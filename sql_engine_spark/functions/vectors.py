@@ -1,0 +1,58 @@
+"""Vector math over `array<float>` embedding columns — JVM-side.
+
+Built on `aggregate`/`zip_with` higher-order functions so the hot path
+stays inside whole-stage codegen (no Python). Elements are cast to double
+before the sequential left-to-right reduction, which makes the result
+bit-identical to any other engine doing the same sequential reduction
+(e.g. the DuckDB oracle via list_reduce) — IEEE double ops are exact-rounded
+and the iteration order is defined.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def dot(a: Column | str, b: Column | str) -> Column:
+    """Sequential-order dot product of two array<numeric> columns."""
+    prods = F.zip_with(_c(a), _c(b), lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def sq_norm(a: Column | str) -> Column:
+    v = F.transform(_c(a), lambda x: x.cast("double") * x.cast("double"))
+    return F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def l2_norm(a: Column | str) -> Column:
+    return F.sqrt(sq_norm(a))
+
+
+def cosine_sim(a: Column | str, b: Column | str) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+# --- DuckDB oracle spellings (same sequential reduction) -------------------
+
+SQL_DOT = (
+    "list_reduce(list_transform(list_zip({a}, {b}),"
+    " p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)),"
+    " (acc, v) -> acc + v)"
+)
+SQL_SQNORM = (
+    "list_reduce(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),"
+    " (acc, v) -> acc + v)"
+)
+
+
+def sql_dot(a: str, b: str) -> str:
+    return SQL_DOT.format(a=a, b=b)
+
+
+def sql_cosine(a: str, b: str) -> str:
+    return f"({sql_dot(a, b)} / (sqrt({SQL_SQNORM.format(a=a)}) * sqrt({SQL_SQNORM.format(a=b)})))"

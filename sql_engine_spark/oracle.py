@@ -1,0 +1,123 @@
+"""Local replica of the driver's DuckDB-oracle correctness gate.
+
+For each registered query: run the Spark DataFrame and the oracle SQL on
+the same parquet tables, then compare row count, column names, and the
+order-insensitive multiset of values (columns sorted by name, rows sorted).
+Comparison is EXACT — no float tolerance — because every query is designed
+to be bit-identical across engines (see functions/numeric.py). If it passes
+here it passes any reasonable hash-based compare.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import math
+from dataclasses import dataclass, field
+from decimal import Decimal
+from typing import Any
+
+import duckdb
+from pyspark.sql import SparkSession
+
+from sql_engine_spark.io import TABLES
+from sql_engine_spark.registry import Query
+
+
+def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+def _norm(v: Any) -> Any:
+    if isinstance(v, Decimal):
+        return float(v)
+    if isinstance(v, _dt.datetime):
+        return v.replace(tzinfo=None)
+    if isinstance(v, (list, tuple)):
+        return tuple(_norm(x) for x in v)
+    if isinstance(v, float) and math.isnan(v):
+        return "NaN"
+    return v
+
+
+def _key(row: tuple) -> str:
+    return repr(row)
+
+
+@dataclass
+class CompareResult:
+    name: str
+    ok: bool
+    spark_rows: int = 0
+    oracle_rows: int = 0
+    problems: list[str] = field(default_factory=list)
+
+
+def compare_query(
+    spark: SparkSession,
+    con: duckdb.DuckDBPyConnection,
+    q: Query,
+    sf_dir: str,
+    sample_diffs: int = 3,
+) -> CompareResult:
+    res = CompareResult(name=q.name, ok=True)
+    sdf = q.build(spark, sf_dir)
+    s_cols = list(sdf.columns)
+    s_rows = [tuple(_norm(v) for v in row) for row in sdf.collect()]
+
+    if q.oracle is None:
+        res.spark_rows = len(s_rows)
+        res.problems.append("no oracle (rows-only check)")
+        return res
+
+    rel = con.sql(q.oracle)
+    o_cols = list(rel.columns)
+    o_rows = [tuple(_norm(v) for v in row) for row in rel.fetchall()]
+    res.spark_rows, res.oracle_rows = len(s_rows), len(o_rows)
+
+    if sorted(s_cols) != sorted(o_cols):
+        res.ok = False
+        res.problems.append(f"columns differ: spark={s_cols} oracle={o_cols}")
+        return res
+    if len(s_rows) != len(o_rows):
+        res.ok = False
+        res.problems.append(f"row count: spark={len(s_rows)} oracle={len(o_rows)}")
+
+    # Sort columns by name (the driver's convention), then sort rows.
+    s_idx = [s_cols.index(c) for c in sorted(s_cols)]
+    o_idx = [o_cols.index(c) for c in sorted(o_cols)]
+    s_sorted = sorted(_key(tuple(r[i] for i in s_idx)) for r in s_rows)
+    o_sorted = sorted(_key(tuple(r[i] for i in o_idx)) for r in o_rows)
+    if s_sorted != o_sorted:
+        res.ok = False
+        diffs = [
+            (a, b) for a, b in zip(s_sorted, o_sorted) if a != b
+        ][:sample_diffs]
+        only_s = [r for r in s_sorted if r not in set(o_sorted)][:sample_diffs]
+        only_o = [r for r in o_sorted if r not in set(s_sorted)][:sample_diffs]
+        res.problems.append(f"value mismatch; first diffs={diffs}")
+        if only_s:
+            res.problems.append(f"spark-only rows: {only_s}")
+        if only_o:
+            res.problems.append(f"oracle-only rows: {only_o}")
+    return res
+
+
+def run_all(
+    spark: SparkSession, sf_dir: str, names: list[str] | None = None
+) -> list[CompareResult]:
+    from sql_engine_spark.registry import all_queries
+
+    qs = all_queries()
+    con = duckdb_connection(sf_dir)
+    out = []
+    for name, q in sorted(qs.items()):
+        if names and name not in names:
+            continue
+        try:
+            out.append(compare_query(spark, con, q, sf_dir))
+        except Exception as exc:  # noqa: BLE001
+            out.append(CompareResult(name=name, ok=False, problems=[f"EXCEPTION: {exc}"]))
+    return out

@@ -1,0 +1,10 @@
+"""Importing this package registers every query with the registry."""
+
+import sql_engine_spark.queries.core  # noqa: F401
+import sql_engine_spark.queries.relational  # noqa: F401
+import sql_engine_spark.queries.windows  # noqa: F401
+import sql_engine_spark.queries.dedup  # noqa: F401
+import sql_engine_spark.queries.similarity  # noqa: F401
+import sql_engine_spark.queries.text  # noqa: F401
+import sql_engine_spark.queries.events  # noqa: F401
+import sql_engine_spark.queries.multimodal  # noqa: F401
