@@ -1,0 +1,72 @@
+#!/usr/bin/env python
+"""Benchmark harness: times the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) and prints ONE JSON line.
+
+Each query is forced end-to-end with the `noop` sink (full computation,
+no driver-side collect bottleneck). A warmup query amortizes JVM/session
+startup so the numbers measure the plans, not Spark boot.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from sql_engine_spark.registry import all_queries
+from sql_engine_spark.session import get_spark
+
+HEADLINE = [
+    "tpch_q1",
+    "tpch_q3_like",
+    "tpch_q5_like",
+    "join_inner_multi",
+    "window_running",
+    "events_sessionize",
+    "events_user_funnel",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "ann_brute_topk",
+    "text_token_stats",
+    "range_join_buckets",
+]
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = all_queries()
+
+    # Warmup: boot executors + parquet footer caches on a small scan.
+    qs["scan_project"].build(spark, sf_dir).write.mode("overwrite").format("noop").save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        qs[name].build(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

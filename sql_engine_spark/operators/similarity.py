@@ -1,0 +1,160 @@
+"""Similarity search over embedding columns (array<float>).
+
+- `brute_force_topk`: exact cosine top-k. The query side is broadcast
+  (queries are assumed small); the corpus is scanned once and the top-k is
+  computed with a window over (query, -similarity) — at scale this is one
+  map stage + one shuffle by query id. Correct baseline for any corpus.
+- `lsh_topk`: the scale path. Random-hyperplane LSH buckets both sides
+  (signs of dot products against deterministic +-1 hyperplanes derived from
+  md5), candidates are corpus rows sharing the query's bucket, then exact
+  cosine re-ranks within the bucket. Sub-linear candidate volume; recall
+  is tunable via `planes` (fewer planes -> bigger buckets -> higher recall).
+- `embedding_cosine_pairs`: near-dup pairs by cosine within a blocking
+  column (for dedup of embedded corpora).
+
+All vector math is JVM-side (zip_with/aggregate); sums reduce left-to-right
+over doubles, bit-identical to the DuckDB oracle's list_reduce.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from sql_engine_spark.functions.vectors import cosine_sim
+
+
+def plane_pattern_expr(plane: int, dim: int) -> str:
+    """Spark expr: deterministic +-1.0 hyperplane vector #`plane`."""
+    return (
+        f"transform(sequence(0, {dim - 1}), d -> "
+        f"CASE WHEN substring(md5(concat('{plane}', '-', cast(d AS string))), 1, 1) "
+        f"IN ('8','9','a','b','c','d','e','f') THEN 1.0 ELSE -1.0 END)"
+    )
+
+
+def sql_plane_pattern(plane: int, dim: int) -> str:
+    """DuckDB spelling of the same hyperplane (range is end-exclusive)."""
+    return (
+        f"list_transform(range(0, {dim}), d -> "
+        f"CASE WHEN substring(md5(concat('{plane}', '-', CAST(d AS VARCHAR))), 1, 1) "
+        f"IN ('8','9','a','b','c','d','e','f') THEN 1.0 ELSE -1.0 END)"
+    )
+
+
+def lsh_bucket(vec_col: str, planes: int, dim: int) -> "F.Column":
+    """Bucket id: concatenated signs of dot(vec, plane_j), j < planes."""
+    bits = []
+    for j in range(planes):
+        dot = (
+            f"aggregate(zip_with({vec_col}, {plane_pattern_expr(j, dim)}, "
+            f"(x, p) -> CAST(x AS double) * p), CAST(0.0 AS double), (acc, v) -> acc + v)"
+        )
+        bits.append(f"(CASE WHEN ({dot}) >= 0 THEN '1' ELSE '0' END)")
+    return F.expr("concat(" + ", ".join(bits) + ")")
+
+
+def sql_lsh_bucket(vec_col: str, planes: int, dim: int) -> str:
+    bits = []
+    for j in range(planes):
+        dot = (
+            f"list_reduce(list_transform(list_zip({vec_col}, {sql_plane_pattern(j, dim)}), "
+            f"p -> CAST(p[1] AS DOUBLE) * p[2]), (a, b) -> a + b)"
+        )
+        bits.append(f"(CASE WHEN ({dot}) >= 0 THEN '1' ELSE '0' END)")
+    return "concat(" + ", ".join(bits) + ")"
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    k: int,
+) -> DataFrame:
+    """Exact cosine top-k: (query_id, neighbor_id, cosine, rank)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        F.broadcast(q)
+        .crossJoin(c)
+        .withColumn("cosine", cosine_sim("__qv", "__cv"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    planes: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k: exact re-rank within the query's LSH bucket.
+
+    At scale the bucket join replaces the cross join: corpus is shuffled
+    once by bucket, queries broadcast, candidates ~ corpus/2^planes.
+    """
+    bucket = lsh_bucket(vec_col, planes, dim)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        bucket.alias("__bucket"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        bucket.alias("__bucket"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        F.broadcast(q)
+        .join(c, "__bucket")
+        .withColumn("cosine", cosine_sim("__qv", "__cv"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", F.col("__bucket").alias("bucket"), "cosine", "rank"
+        )
+    )
+
+
+def embedding_cosine_pairs(
+    df: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    block_col: str,
+    threshold: float,
+) -> DataFrame:
+    """Near-dup pairs (id_a < id_b, cosine >= threshold) within blocks."""
+    sel = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(block_col).alias("__block"),
+        F.col(vec_col).alias("__v"),
+    )
+    a, b = sel.alias("a"), sel.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.__block") == F.col("b.__block"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            cosine_sim("a.__v", "b.__v").alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,100 @@
+"""Text analysis operators: language ID, quality scoring, token counting,
+document fingerprinting.
+
+All pure map stages over the text column — built-in string/array/regex
+functions only, so they stay in whole-stage codegen and scale linearly.
+Regexes are restricted to constructs with identical semantics in Java
+regex (Spark) and RE2 (DuckDB oracle): literal char classes, +, |.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sql_engine_spark.operators.textprep import tokens
+
+# Tiny per-language stopword marker sets for the n-gram/stopword heuristic.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a"],
+    "es": ["el", "la", "los", "de", "que"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "la", "les", "et", "est"],
+    "zh": ["de", "shi", "le", "bu", "wo"],
+}
+
+WORD_RE = "[a-z]+|[0-9]+"  # BPE-ish: letter runs and digit runs
+PUNCT_RE = "[.,;:!?]"
+STOPWORDS = ["the", "a", "of", "to", "and", "in", "is"]
+
+
+def _count_in(tokens_col: str, words: list[str]) -> "F.Column":
+    lst = ", ".join(f"'{w}'" for w in words)
+    return F.expr(f"size(filter({tokens_col}, t -> t IN ({lst})))")
+
+
+def sql_count_in(tokens_expr: str, words: list[str]) -> str:
+    lst = ", ".join(f"'{w}'" for w in words)
+    return f"len(list_filter({tokens_expr}, t -> t IN ({lst})))"
+
+
+def lang_id(tokens_col: str) -> "F.Column":
+    """Stopword-vote language guess. Portable argmax: encode each
+    candidate as lpad(score) ++ lang-code, take the greatest string —
+    highest score wins, ties break to the greatest language code."""
+    encoded = [
+        F.concat(
+            F.lpad(_count_in(tokens_col, words).cast("string"), 6, "0"), F.lit(lang)
+        )
+        for lang, words in sorted(LANG_MARKERS.items())
+    ]
+    return F.substring(F.greatest(*encoded), 7, 2)
+
+
+def sql_lang_id(tokens_expr: str) -> str:
+    encoded = ", ".join(
+        f"concat(lpad(CAST({sql_count_in(tokens_expr, words)} AS VARCHAR), 6, '0'), '{lang}')"
+        for lang, words in sorted(LANG_MARKERS.items())
+    )
+    return f"substring(greatest({encoded}), 7, 2)"
+
+
+def quality_features(df, text_col: str, id_col: str):
+    """Length/punct/stopword features + a CASE-based quality score."""
+    out = (
+        df.select(F.col(id_col), F.col(text_col).alias("__text"))
+        .withColumn("__tokens", tokens("__text"))
+        .withColumn("n_chars_obs", F.length("__text").cast("long"))
+        .withColumn("n_tokens", F.size("__tokens").cast("long"))
+        .withColumn(
+            "n_words",
+            F.size(F.expr(f"regexp_extract_all(lower(__text), '{WORD_RE}', 0)")).cast("long"),
+        )
+        .withColumn(
+            "n_punct",
+            F.size(F.expr(f"regexp_extract_all(__text, '{PUNCT_RE}', 0)")).cast("long"),
+        )
+        .withColumn("stopword_ratio", _count_in("__tokens", STOPWORDS) / F.col("n_tokens"))
+        .withColumn(
+            "avg_token_len",
+            F.expr("aggregate(__tokens, 0L, (acc, t) -> acc + length(t))")
+            / F.col("n_tokens"),
+        )
+    )
+    score = (
+        F.when((F.col("n_tokens") < 5) | (F.col("avg_token_len") > 20), "low")
+        .when((F.col("stopword_ratio") > 0.05) & (F.col("n_tokens") >= 20), "high")
+        .otherwise("medium")
+    )
+    return out.withColumn("quality", score).drop("__text", "__tokens")
+
+
+def fingerprint(tokens_col: str) -> "F.Column":
+    """OpenRefine-style fingerprint: md5 of the sorted distinct token set.
+    Robust to word order and duplication — the canonical cheap near-dup key."""
+    return F.md5(
+        F.array_join(F.array_sort(F.array_distinct(F.col(tokens_col))), " ")
+    )
+
+
+def sql_fingerprint(tokens_expr: str) -> str:
+    return f"md5(array_to_string(list_sort(list_distinct({tokens_expr})), ' '))"

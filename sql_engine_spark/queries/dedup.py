@@ -1,1 +1,157 @@
-"""Placeholder — populated in this round."""
+"""Deduplication queries over the `documents` / `embeddings` tables.
+
+Each entry wires an operator from operators/dedup.py to a DuckDB oracle
+that computes the *identical* md5-based pipeline, so even MinHash-LSH is
+exact-checked, not rows-only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sql_engine_spark.io import load
+from sql_engine_spark.operators import dedup as D
+from sql_engine_spark.operators.similarity import embedding_cosine_pairs
+from sql_engine_spark.operators.textprep import sql_shingles, sql_tokens, tokens
+from sql_engine_spark.registry import register
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+        SELECT MIN(doc_id) AS rep_id, COUNT(*) AS n_copies
+        FROM documents GROUP BY md5(text)
+    """,
+    doc="Exact dedup: one hash-aggregate on the content digest; "
+    "representative = min doc id. Scales as a single shuffle.",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").withColumn("__key", F.md5("text"))
+    return D.exact_dedup_groups(docs, ["__key"], "doc_id").select("rep_id", "n_copies")
+
+
+_MINHASH_PARAMS = dict(shingle_k=3, num_hashes=8, bands=4, threshold=0.2)
+
+
+def _sql_minhash_lsh(k: int, num_hashes: int, bands: int, threshold: float) -> str:
+    r = num_hashes // bands
+    toks = sql_tokens("text")
+    return f"""
+        WITH docs AS (
+            SELECT doc_id AS id, {sql_shingles(toks, k)} AS sh FROM documents
+        ),
+        sigs AS (
+            SELECT id, list_distinct(sh) AS shset,
+                   list_transform(range(0, {num_hashes}), j ->
+                       list_aggregate(list_transform(sh, s ->
+                           md5(concat(CAST(j AS VARCHAR), '|', s))), 'min')) AS sig
+            FROM docs
+        ),
+        buckets AS (
+            SELECT id, b,
+                   md5(array_to_string(sig[b*{r}+1 : b*{r}+{r}], '|')) AS key
+            FROM sigs CROSS JOIN range(0, {bands}) t(b)
+        ),
+        candidates AS (
+            SELECT DISTINCT a.id AS id_a, b.id AS id_b
+            FROM buckets a JOIN buckets b ON a.b = b.b AND a.key = b.key AND a.id < b.id
+        )
+        SELECT id_a, id_b,
+               len(list_intersect(sa.shset, sb.shset))
+                 / len(list_distinct(list_concat(sa.shset, sb.shset))) AS jaccard
+        FROM candidates
+        JOIN sigs sa ON id_a = sa.id
+        JOIN sigs sb ON id_b = sb.id
+        WHERE len(list_intersect(sa.shset, sb.shset))
+                 / len(list_distinct(list_concat(sa.shset, sb.shset))) >= {threshold}
+    """
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=_sql_minhash_lsh(3, 8, 4, 0.2),
+    doc="MinHash+LSH near-dup: shingle -> 8 minhashes -> 4 bands -> "
+    "bucket equi-join -> exact Jaccard verify. The only shuffles are the "
+    "band-key join and the verify joins; no O(n^2) stage.",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return D.minhash_lsh_pairs(docs, "doc_id", "text", **_MINHASH_PARAMS)
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+        SELECT doc_id, {D.sql_simhash_bits(sql_tokens('text'), 16)} AS simhash
+        FROM documents
+    """,
+    doc="SimHash fingerprint (16-bit, per-row map work): hamming-close "
+    "fingerprints indicate near-dups; grouping equal fingerprints is the "
+    "cheap first pass at scale.",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").withColumn("__tokens", tokens("text"))
+    return docs.select("doc_id", D.simhash_bits("__tokens", 16).alias("simhash"))
+
+
+_NGRAM_ORACLE = f"""
+    WITH docs AS (
+        SELECT doc_id AS id, lang, source,
+               list_distinct({sql_shingles(sql_tokens('text'), 2)}) AS shset
+        FROM documents
+    )
+    SELECT a.id AS id_a, b.id AS id_b,
+           len(list_intersect(a.shset, b.shset))
+             / len(list_distinct(list_concat(a.shset, b.shset))) AS jaccard
+    FROM docs a
+    JOIN docs b ON a.lang = b.lang AND a.source = b.source AND a.id < b.id
+    WHERE len(list_intersect(a.shset, b.shset))
+             / len(list_distinct(list_concat(a.shset, b.shset))) >= 0.15
+"""
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=_NGRAM_ORACLE,
+    doc="All-pairs word-bigram Jaccard within (lang, source) blocks — the "
+    "explicit-blocking fallback when LSH recall isn't wanted.",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return D.ngram_jaccard_pairs(
+        docs, "doc_id", "text", ["lang", "source"], ngram_k=2, threshold=0.15
+    )
+
+
+_EMB_ORACLE = """
+    WITH v AS (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings
+    ),
+    pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               list_reduce(list_transform(list_zip(a.e, b.e), p -> p[1] * p[2]),
+                           (x, y) -> x + y)
+               / (sqrt(list_reduce(list_transform(a.e, x -> x * x), (x, y) -> x + y))
+                  * sqrt(list_reduce(list_transform(b.e, x -> x * x), (x, y) -> x + y)))
+               AS cosine
+        FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.2
+"""
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=_EMB_ORACLE,
+    doc="Embedding-cosine near-dup pairs within label blocks. Vector math "
+    "is zip_with/aggregate (JVM codegen); sequential double reduction is "
+    "bit-identical to the oracle's list_reduce.",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return embedding_cosine_pairs(
+        emb, id_col="vec_id", vec_col="embedding", block_col="label", threshold=0.2
+    )

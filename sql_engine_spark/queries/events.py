@@ -1,1 +1,227 @@
-"""Placeholder — populated in this round."""
+"""Event-stream analytics over the `events` table (batch side; the same
+logic runs incrementally in sql_engine_spark.streaming).
+
+Timestamps are timestamp_ntz end-to-end; bucketing uses wall-clock
+components (make_timestamp_ntz / date components), never session-tz
+dependent functions, so results match the oracle under any driver tz.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from sql_engine_spark.functions.numeric import dsum, sql_dsum
+from sql_engine_spark.io import load
+from sql_engine_spark.operators.asof import asof_join, range_join_buckets
+from sql_engine_spark.registry import register
+
+SESSION_GAP_S = 1800
+
+
+@register(
+    "events_sessionize",
+    oracle=f"""
+        WITH flagged AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR date_diff('second', lag(ts) OVER w, ts) > {SESSION_GAP_S}
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        sessions AS (
+            SELECT user_id, ts, event_id,
+                   SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS session_id
+            FROM flagged
+        )
+        SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+               MIN(ts) AS session_start, MAX(ts) AS session_end,
+               COUNT(*) AS n_events,
+               date_diff('second', MIN(ts), MAX(ts)) AS duration_s
+        FROM sessions GROUP BY user_id, session_id
+    """,
+    doc="Batch sessionization: 30-min-gap sessions via lag + running sum "
+    "(one shuffle on user_id). The streaming twin uses session_window / "
+    "applyInPandasWithState (streaming/).",
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # date_diff('second', a, b) in the oracle counts second-boundary crossings
+    # (truncate each operand, then subtract); truncate before diffing to match.
+    gap = F.expr(
+        "timestampdiff(SECOND, lag(date_trunc('second', ts)) "
+        "OVER (PARTITION BY user_id ORDER BY ts, event_id), date_trunc('second', ts))"
+    )
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(gap.isNull() | (gap > SESSION_GAP_S), 1).otherwise(0).alias("new_session"),
+    )
+    sessions = flagged.withColumn("session_id", F.sum("new_session").over(run).cast("long"))
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count("*").alias("n_events"),
+        F.expr(
+            "timestampdiff(SECOND, date_trunc('second', min(ts)), date_trunc('second', max(ts)))"
+        ).alias("duration_s"),
+    )
+
+
+@register(
+    "events_tumbling_window",
+    oracle=f"""
+        SELECT event_type,
+               make_timestamp(year(ts), month(ts), day(ts), hour(ts),
+                              CAST(floor(minute(ts) / 5) * 5 AS INT), 0.0) AS window_start,
+               COUNT(*) AS n,
+               {sql_dsum('value')} AS sum_value,
+               MIN(value) AS min_value, MAX(value) AS max_value
+        FROM events
+        GROUP BY 1, 2
+    """,
+    doc="5-minute tumbling-window aggregate per event type, built from "
+    "wall-clock components (tz-independent). Streaming twin: "
+    "window(ts, '5 minutes') + watermark.",
+)
+def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    win = F.expr(
+        "make_timestamp_ntz(year(ts), month(ts), day(ts), hour(ts), "
+        "CAST(floor(minute(ts) / 5) * 5 AS INT), 0)"
+    )
+    return (
+        ev.groupBy("event_type", win.alias("window_start"))
+        .agg(
+            F.count("*").alias("n"),
+            dsum("value").alias("sum_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+    )
+
+
+@register(
+    "events_json_extract",
+    oracle="""
+        SELECT event_id, event_type,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        FROM events
+        WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+    """,
+    doc="JSON property extraction from the props column (semi-structured "
+    "surface; reference has no JSON support at all).",
+)
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.select("event_id", "event_type", k.alias("k")).where(F.col("k") > 50)
+
+
+_ASOF_ORACLE = """
+    WITH purchases AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ),
+    views AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'
+    )
+    SELECT p.event_id, p.user_id, p.ts,
+           (SELECT max(v.ts) FROM views v
+            WHERE v.user_id = p.user_id AND v.ts <= p.ts)              AS asof_ts,
+           (SELECT max(v.event_id) FROM views v
+            WHERE v.user_id = p.user_id
+              AND v.ts = (SELECT max(v2.ts) FROM views v2
+                          WHERE v2.user_id = p.user_id AND v2.ts <= p.ts))
+                                                                        AS asof_event_id
+    FROM purchases p
+"""
+
+
+@register(
+    "asof_join_events",
+    oracle=_ASOF_ORACLE,
+    doc="As-of join: each purchase matched to the user's latest prior "
+    "view. Implemented union+ordered-window (one shuffle on user_id, "
+    "O(n log n)) — not a range join. Reference/Spark lack this operator.",
+)
+def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.where(F.col("event_type") == "view").select("event_id", "user_id", "ts")
+    return asof_join(
+        purchases,
+        views,
+        key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_payload=["event_id"],
+    ).select("event_id", "user_id", "ts", "asof_ts", "asof_event_id")
+
+
+_BUCKETS = [(0.0, 100.0, "xs"), (100.0, 200.0, "s"), (200.0, 300.0, "m"),
+            (300.0, 400.0, "l"), (400.0, 1000.0, "xl")]
+
+_RANGE_ORACLE = """
+    WITH buckets(lo, hi, bucket) AS (
+        VALUES (0.0, 100.0, 'xs'), (100.0, 200.0, 's'), (200.0, 300.0, 'm'),
+               (300.0, 400.0, 'l'), (400.0, 1000.0, 'xl')
+    )
+    SELECT bucket, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS sum_value
+    FROM events LEFT JOIN buckets ON value >= lo AND value < hi
+    GROUP BY bucket
+"""
+
+
+@register(
+    "range_join_buckets",
+    oracle=_RANGE_ORACLE,
+    doc="Range (interval) join of event values into broadcast bucket "
+    "boundaries + per-bucket aggregate.",
+)
+def range_join_buckets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    buckets = spark.createDataFrame(_BUCKETS, "lo double, hi double, bucket string")
+    return (
+        range_join_buckets(ev, buckets, value_col="value")
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"), dsum("value").alias("sum_value"))
+    )
+
+
+@register(
+    "events_user_funnel",
+    oracle=f"""
+        SELECT user_id,
+               COUNT(*) AS n_events,
+               COUNT(CASE WHEN event_type = 'view' THEN 1 END)     AS n_views,
+               COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchases,
+               COUNT(DISTINCT event_type) AS n_types,
+               MIN(ts) AS first_seen, MAX(ts) AS last_seen,
+               {sql_dsum("CASE WHEN event_type = 'purchase' THEN value ELSE 0 END")}
+                   AS purchase_value
+        FROM events GROUP BY user_id
+    """,
+    doc="Per-user funnel stats: conditional counts, distinct types, "
+    "first/last timestamps, conditional sums.",
+)
+def events_user_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    is_purchase = F.col("event_type") == "purchase"
+    return ev.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.count(F.when(F.col("event_type") == "view", 1)).alias("n_views"),
+        F.count(F.when(is_purchase, 1)).alias("n_purchases"),
+        F.countDistinct("event_type").alias("n_types"),
+        F.min("ts").alias("first_seen"),
+        F.max("ts").alias("last_seen"),
+        dsum(F.when(is_purchase, F.col("value")).otherwise(0.0)).alias("purchase_value"),
+    )

@@ -1,1 +1,99 @@
-"""Placeholder — populated in this round."""
+"""Similarity-search queries over the `embeddings` table (64-dim float
+vectors): exact brute-force cosine top-k baseline and the LSH-bucketed
+approximate variant (the 100 TB scale path)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sql_engine_spark.io import load
+from sql_engine_spark.operators.similarity import (
+    brute_force_topk,
+    lsh_topk,
+    sql_lsh_bucket,
+)
+from sql_engine_spark.registry import register
+
+DIM = 64
+_COS = """
+    list_reduce(list_transform(list_zip(q.e, c.e), p -> p[1] * p[2]), (x, y) -> x + y)
+    / (sqrt(list_reduce(list_transform(q.e, x -> x * x), (x, y) -> x + y))
+       * sqrt(list_reduce(list_transform(c.e, x -> x * x), (x, y) -> x + y)))
+"""
+
+_BRUTE_ORACLE = f"""
+    WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings
+    ),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {_COS} AS cosine
+        FROM v q JOIN v c ON q.vec_id < 10 AND c.vec_id >= 10
+    )
+    SELECT query_id, neighbor_id, cosine,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+    FROM scored
+    QUALIFY rank <= 5
+"""
+
+
+@register(
+    "ann_brute_topk",
+    oracle=_BRUTE_ORACLE,
+    doc="Exact cosine top-5 for 10 query vectors over the corpus: broadcast "
+    "queries x corpus scan + per-query window. The correctness baseline "
+    "for ANN.",
+)
+def ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return brute_force_topk(
+        emb.where(F.col("vec_id") < 10),
+        emb.where(F.col("vec_id") >= 10),
+        id_col="vec_id",
+        vec_col="embedding",
+        k=5,
+    )
+
+
+def _lsh_oracle(planes: int) -> str:
+    bucket = sql_lsh_bucket("e", planes, DIM)
+    return f"""
+        WITH v AS (
+            SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+            FROM embeddings
+        ),
+        vb AS (SELECT vec_id, e, {bucket} AS bucket FROM v),
+        scored AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   q.bucket AS bucket, {_COS} AS cosine
+            FROM vb q JOIN vb c ON q.bucket = c.bucket
+             AND q.vec_id < 10 AND c.vec_id >= 10
+        )
+        SELECT query_id, neighbor_id, bucket, cosine,
+               CAST(row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+        FROM scored
+        QUALIFY rank <= 5
+    """
+
+
+@register(
+    "ann_lsh_topk",
+    oracle=_lsh_oracle(4),
+    doc="Approximate top-5 via random-hyperplane LSH (4 planes -> 16 "
+    "buckets): bucket equi-join replaces the cross join; exact cosine "
+    "re-ranks inside the bucket. The corpus shuffles once by bucket.",
+)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return lsh_topk(
+        emb.where(F.col("vec_id") < 10),
+        emb.where(F.col("vec_id") >= 10),
+        id_col="vec_id",
+        vec_col="embedding",
+        k=5,
+        planes=4,
+        dim=DIM,
+    )

@@ -1,1 +1,114 @@
-"""Placeholder — populated in this round."""
+"""Text-analysis queries over the `documents` table: language ID, quality
+scoring, token counting, fingerprinting. All pure map stages."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sql_engine_spark.io import load
+from sql_engine_spark.operators import text as T
+from sql_engine_spark.operators.textprep import sql_tokens, tokens
+from sql_engine_spark.registry import register
+
+_TOKS = sql_tokens("text")
+
+
+@register(
+    "text_lang_id",
+    oracle=f"""
+        SELECT doc_id, lang AS labeled_lang,
+               {T.sql_lang_id(_TOKS)} AS predicted_lang,
+               lang = {T.sql_lang_id(_TOKS)} AS lang_match
+        FROM documents
+    """,
+    doc="Stopword-vote language identification vs the labeled lang column.",
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").withColumn("__tokens", tokens("text"))
+    pred = T.lang_id("__tokens")
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        pred.alias("predicted_lang"),
+        (F.col("lang") == pred).alias("lang_match"),
+    )
+
+
+@register(
+    "text_quality",
+    oracle=f"""
+        WITH feats AS (
+            SELECT doc_id,
+                   CAST(length(text) AS BIGINT) AS n_chars_obs,
+                   CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+                   CAST(len(regexp_extract_all(lower(text), '{T.WORD_RE}')) AS BIGINT) AS n_words,
+                   CAST(len(regexp_extract_all(text, '{T.PUNCT_RE}')) AS BIGINT) AS n_punct,
+                   {T.sql_count_in(_TOKS, T.STOPWORDS)} / len({_TOKS}) AS stopword_ratio,
+                   list_reduce(list_transform({_TOKS}, t -> length(t)), (a, b) -> a + b)
+                       / len({_TOKS}) AS avg_token_len
+            FROM documents
+        )
+        SELECT *,
+               CASE WHEN n_tokens < 5 OR avg_token_len > 20 THEN 'low'
+                    WHEN stopword_ratio > 0.05 AND n_tokens >= 20 THEN 'high'
+                    ELSE 'medium' END AS quality
+        FROM feats
+    """,
+    doc="Quality features (length, punct, stopword ratio, token shape) + "
+    "CASE-based quality band — the heuristic filter stage of a data "
+    "pipeline.",
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.quality_features(load(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@register(
+    "text_token_stats",
+    oracle=f"""
+        SELECT doc_id,
+               CAST(len({_TOKS}) AS BIGINT)                         AS n_ws_tokens,
+               CAST(len(regexp_extract_all(lower(text), '{T.WORD_RE}')) AS BIGINT)
+                                                                    AS n_re_tokens,
+               CAST(len(list_distinct({_TOKS})) AS BIGINT)          AS n_unique,
+               len(list_distinct({_TOKS})) / len({_TOKS})           AS type_token_ratio
+        FROM documents
+    """,
+    doc="Token counting: whitespace tokens, BPE-ish regex tokens, unique "
+    "count, type-token ratio.",
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").withColumn("__tokens", tokens("text"))
+    n = F.size("__tokens").cast("long")
+    uniq = F.size(F.array_distinct("__tokens")).cast("long")
+    return docs.select(
+        "doc_id",
+        n.alias("n_ws_tokens"),
+        F.size(F.expr(f"regexp_extract_all(lower(text), '{T.WORD_RE}', 0)"))
+        .cast("long")
+        .alias("n_re_tokens"),
+        uniq.alias("n_unique"),
+        (uniq / n).alias("type_token_ratio"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle=f"""
+        WITH fp AS (
+            SELECT doc_id, {T.sql_fingerprint(_TOKS)} AS fingerprint
+            FROM documents
+        )
+        SELECT fingerprint, MIN(doc_id) AS rep_id, COUNT(*) AS n_docs
+        FROM fp GROUP BY fingerprint
+    """,
+    doc="Sorted-distinct-token fingerprint (word-order/duplication "
+    "invariant) grouped into dedup clusters.",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").withColumn("__tokens", tokens("text"))
+    return (
+        docs.select("doc_id", T.fingerprint("__tokens").alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("rep_id"), F.count("*").alias("n_docs"))
+    )

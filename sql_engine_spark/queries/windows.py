@@ -76,11 +76,11 @@ def window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity,
                CAST(SUM(CAST(l_quantity AS DECIMAL(27,6)))
                     OVER (PARTITION BY l_suppkey
-                          ORDER BY l_orderkey, l_linenumber
+                          ORDER BY l_orderkey, l_linenumber, l_quantity
                           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
                     AS DOUBLE)                                     AS qty_3row_sum,
                MIN(l_quantity) OVER (PARTITION BY l_suppkey
-                                     ORDER BY l_orderkey, l_linenumber
+                                     ORDER BY l_orderkey, l_linenumber, l_quantity
                                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
                                                                    AS qty_3row_min
         FROM lineitem
@@ -88,9 +88,12 @@ def window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Sliding 3-row frame aggregate per supplier.",
 )
 def window_moving_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # l_quantity tiebreaker: the synthetic data has duplicate
+    # (l_orderkey, l_linenumber) pairs per suppkey, so a ROWS frame is
+    # tie-order dependent without it.
     w = (
         Window.partitionBy("l_suppkey")
-        .orderBy("l_orderkey", "l_linenumber")
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity")
         .rowsBetween(-2, Window.currentRow)
     )
     return load(spark, sf_dir, "lineitem").select(
