@@ -79,10 +79,23 @@ def minhash_lsh_pairs(
         .withColumn("__sh", shingles("__tokens", shingle_k))
         .withColumn("__shset", F.array_distinct("__sh"))
     )
+    # Band keys as explicit columns + stack, NOT transform+posexplode: a
+    # generator over an array expression re-expands the whole minhash
+    # pipeline per emitted row (~20x slower); explicit columns share one
+    # evaluation via common-subexpression elimination.
+    key_cols = [
+        F.md5(F.concat_ws("|", F.slice("__sig", b * rows_per_band + 1, rows_per_band))).alias(
+            f"__k{b}"
+        )
+        for b in range(bands)
+    ]
+    stack_expr = (
+        f"stack({bands}, " + ", ".join(f"{b}, __k{b}" for b in range(bands)) + ") as (__band, __key)"
+    )
     buckets = (
         docs.withColumn("__sig", minhash_signature("__sh", num_hashes))
-        .withColumn("__bands", band_keys("__sig", bands, rows_per_band))
-        .select("__id", F.posexplode("__bands").alias("__band", "__key"))
+        .select("__id", *key_cols)
+        .select("__id", F.expr(stack_expr))
     )
     a, b = buckets.alias("a"), buckets.alias("b")
     candidates = (

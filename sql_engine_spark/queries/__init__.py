@@ -8,3 +8,4 @@ import sql_engine_spark.queries.similarity  # noqa: F401
 import sql_engine_spark.queries.text  # noqa: F401
 import sql_engine_spark.queries.events  # noqa: F401
 import sql_engine_spark.queries.multimodal  # noqa: F401
+import sql_engine_spark.queries.streaming  # noqa: F401

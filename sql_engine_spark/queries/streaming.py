@@ -1,0 +1,197 @@
+"""Structured-Streaming queries registered in the driver gate.
+
+Each runs a real streaming query (file-source replay of the events table,
+one chunk per micro-batch trigger) into a memory sink, then returns the
+drained result as a batch DataFrame — so the incremental implementations
+are oracle-checked against plain SQL, not just smoke-tested. The oracles
+are the *batch* semantics each stream must converge to.
+"""
+
+from __future__ import annotations
+
+from contextlib import contextmanager
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sql_engine_spark.functions.numeric import sql_dsum
+from sql_engine_spark.io import load
+from sql_engine_spark.queries.events import SESSION_GAP_S
+from sql_engine_spark.registry import register
+from sql_engine_spark.streaming.sessionize import sessionize_stateful
+from sql_engine_spark.streaming.source import (
+    events_replay_chunks,
+    events_stream,
+    run_to_memory,
+)
+from sql_engine_spark.streaming.windows import (
+    session_window_agg,
+    sliding_agg,
+    tumbling_agg,
+)
+
+N_CHUNKS = 4
+
+
+@contextmanager
+def _state_partitions(spark: SparkSession, n: int = 8):
+    """Stateful operators run `spark.sql.shuffle.partitions` state tasks
+    per trigger; cap them for the bounded replays (the conf is captured at
+    query start, so restoring it doesn't affect the running stream)."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+@register(
+    "streaming_tumbling_window",
+    oracle=f"""
+        SELECT event_type,
+               make_timestamp(year(ts), month(ts), day(ts), hour(ts),
+                              CAST(floor(minute(ts) / 5) * 5 AS INT), 0.0) AS window_start,
+               COUNT(*) AS n,
+               {sql_dsum('value')} AS sum_value,
+               MIN(value) AS min_value, MAX(value) AS max_value
+        FROM events
+        GROUP BY 1, 2
+    """,
+    doc="Incremental 5-minute tumbling windows (watermarked event-time "
+    "agg over a 4-chunk replay) — must converge to exactly the batch "
+    "events_tumbling_window result.",
+)
+def streaming_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    with _state_partitions(spark):
+        stream = events_stream(spark, sf_dir, N_CHUNKS)
+        return run_to_memory(tumbling_agg(stream), "stream_tumbling", "complete")
+
+
+@register(
+    "streaming_sliding_window",
+    oracle=f"""
+        WITH grid AS (
+            SELECT event_type, value,
+                   make_timestamp(year(ts), month(ts), day(ts), hour(ts),
+                                  CAST(floor(minute(ts) / 5) * 5 AS INT), 0.0) AS g
+            FROM events
+        )
+        SELECT event_type,
+               g - to_minutes(CAST(b * 5 AS BIGINT)) AS window_start,
+               COUNT(*) AS n,
+               {sql_dsum('value')} AS sum_value
+        FROM grid CROSS JOIN range(0, 2) t(b)
+        GROUP BY 1, 2
+    """,
+    doc="Incremental sliding windows (10-min length, 5-min slide): each "
+    "event lands in two overlapping windows; oracle materializes both "
+    "memberships with a range cross join.",
+)
+def streaming_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    with _state_partitions(spark):
+        stream = events_stream(spark, sf_dir, N_CHUNKS)
+        return run_to_memory(
+            sliding_agg(stream, length_minutes=10, slide_minutes=5),
+            "stream_sliding",
+            "complete",
+        )
+
+
+@register(
+    "streaming_session_window",
+    oracle=f"""
+        WITH flagged AS (
+            SELECT user_id, ts, event_id, value,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                                >= {SESSION_GAP_S} * 1000000
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        sessions AS (
+            SELECT user_id, ts, value,
+                   SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS sid
+            FROM flagged
+        )
+        SELECT user_id, MIN(ts) AS session_start,
+               COUNT(*) AS n_events, {sql_dsum('value')} AS sum_value
+        FROM sessions GROUP BY user_id, sid
+    """,
+    doc="Built-in merging session windows (session_window, 30-min gap) "
+    "over the replay. Oracle is gap-chaining on raw microseconds: "
+    "session_window starts a new session when the gap is >= the window "
+    "gap (interval overlap rule), unlike the truncation semantics of "
+    "events_sessionize.",
+)
+def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    with _state_partitions(spark):
+        stream = events_stream(spark, sf_dir, N_CHUNKS)
+        # No watermark: complete-mode snapshot must retain every session
+        # (a watermark would evict finalized ones from the state store).
+        return run_to_memory(
+            session_window_agg(stream, gap="30 minutes", watermark=None),
+            "stream_session_window",
+            "complete",
+        )
+
+
+@register(
+    "streaming_sessionize_stateful",
+    oracle=f"""
+        WITH flagged AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR date_diff('second', lag(ts) OVER w, ts) > {SESSION_GAP_S}
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        sessions AS (
+            SELECT user_id, ts,
+                   SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS session_id
+            FROM flagged
+        )
+        SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+               MIN(ts) AS session_start, MAX(ts) AS session_end,
+               COUNT(*) AS n_events
+        FROM sessions GROUP BY user_id, session_id
+    """,
+    doc="Custom stateful sessionizer (applyInPandasWithState): ordinal "
+    "session ids per user, cross-batch state, sentinel-flushed tails — "
+    "must reproduce the batch events_sessionize result exactly.",
+)
+def streaming_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    out_dir, _ = events_replay_chunks(spark, sf_dir, N_CHUNKS)
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    # One far-future sentinel event per user closes every tail session in
+    # the final micro-batch (see streaming/sessionize.py docstring).
+    sentinels = (
+        ev.select("user_id")
+        .distinct()
+        .withColumn("event_id", F.lit(-1).cast("long"))
+        .withColumn("ts", F.lit(max_ts) + F.expr("INTERVAL 3650 DAYS"))
+        .withColumn("event_type", F.lit("__end__"))
+        .withColumn("value", F.lit(0.0))
+        .withColumn("props", F.lit(None).cast("string"))
+        .select(ev.columns)
+    )
+    sentinels.coalesce(1).write.mode("append").parquet(out_dir)
+
+    with _state_partitions(spark):
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(out_dir)
+        )
+        res = run_to_memory(
+            sessionize_stateful(stream, SESSION_GAP_S), "stream_sessionize", "append"
+        )
+    cutoff = F.lit(max_ts) + F.expr("INTERVAL 1 DAY")
+    return res.where(F.col("session_start") < cutoff)

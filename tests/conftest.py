@@ -12,6 +12,10 @@ from sql_engine_spark.session import get_spark
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 
+def pytest_configure(config):
+    config.addinivalue_line("markers", "streaming: streaming behavior tests")
+
+
 @pytest.fixture(scope="session")
 def spark():
     spark = get_spark("pytest", master="local[8]", shuffle_partitions=8)
