@@ -52,6 +52,14 @@ class Engine:
         except BaseException as exc:  # noqa: BLE001
             raise map_spark_exception(exc) from exc
 
+    def explain(self, sql: str, mode: str = "formatted") -> str:
+        """Catalyst plan for the (last) statement — the reference has no
+        EXPLAIN at all (identity optimizer, optimizer/mod.rs:10-12)."""
+        from sql_engine_spark.plans.audit import explain_str
+
+        statements = split_statements(sql)
+        return explain_str(self.sql(statements[-1]), mode)
+
     def execute(self, sql: str, max_rows: int | None = None) -> Result:
         """Execute; on multi-statement input runs only the last statement,
         matching the reference (/root/reference/src/planner/mod.rs:132-137)."""

@@ -1,0 +1,57 @@
+"""Write paths (sinks). The reference has no write path at all
+(SURVEY.md §2.5 — Parquet read only); this is pure superset surface.
+
+100 TB posture:
+- `partition_by` produces a hive-layout dataset so downstream reads get
+  partition pruning (a filter on the partition column skips whole
+  directories, visible as PartitionFilters in the scan node).
+- `sort_by` clusters rows within each output file (better min/max
+  row-group statistics -> parquet predicate pushdown skips row groups,
+  and runs compress better).
+- `max_records_per_file` bounds file sizes so a 1000-executor read gets
+  balanced splits; without it one skewed task can emit a multi-GB file.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from sql_engine_spark.errors import StorageError
+
+_WRITE_FORMATS = {"parquet", "orc", "json", "csv"}
+
+
+def write_table(
+    df: DataFrame,
+    path: str,
+    *,
+    format: str = "parquet",
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    sort_by: list[str] | None = None,
+    max_records_per_file: int | None = None,
+    options: dict[str, str] | None = None,
+) -> None:
+    """Write `df` as a (optionally partitioned) dataset at `path`."""
+    if format not in _WRITE_FORMATS:
+        raise StorageError(f"Unsupported write format: {format}")
+    out = df
+    if sort_by:
+        # Cluster within output tasks; with partition_by also repartition by
+        # the partition columns first so each task writes few files.
+        if partition_by:
+            out = out.repartition(*partition_by)
+        out = out.sortWithinPartitions(*sort_by)
+    writer = out.write.mode(mode).format(format)
+    if format == "csv":
+        writer = writer.option("header", "true")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
+    for k, v in (options or {}).items():
+        writer = writer.option(k, v)
+    try:
+        writer.save(path)
+    except Exception as exc:  # noqa: BLE001 - mapped to taxonomy
+        raise StorageError(str(exc)) from exc
