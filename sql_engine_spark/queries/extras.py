@@ -1,0 +1,220 @@
+"""Coverage extras: grouping sets, pivot, explode/unnest, statistical
+aggregates, and an Arrow-batched pandas-UDF stage — all oracle-checked.
+Everything here is absent from the reference (SURVEY.md §2.5)."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from sql_engine_spark.functions.numeric import dsum, sql_dsum
+from sql_engine_spark.io import load
+from sql_engine_spark.operators.textprep import sql_tokens, tokens
+from sql_engine_spark.registry import register
+
+
+@register(
+    "grouping_sets_agg",
+    oracle=f"""
+        SELECT l_returnflag, l_linestatus,
+               COUNT(*) AS n, {sql_dsum('l_quantity')} AS sum_qty,
+               CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
+               CAST(grouping(l_linestatus) AS BIGINT) AS g_status
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+    doc="Explicit GROUPING SETS with grouping() markers (cube/rollup's "
+    "general form; one pass, expanded map-side).",
+)
+def grouping_sets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("__gs_lineitem")
+    return spark.sql(
+        f"""
+        SELECT l_returnflag, l_linestatus,
+               COUNT(*) AS n, {sql_dsum('l_quantity')} AS sum_qty,
+               CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
+               CAST(grouping(l_linestatus) AS BIGINT) AS g_status
+        FROM __gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        """
+    )
+
+
+@register(
+    "pivot_agg",
+    oracle=f"""
+        SELECT o_orderpriority,
+               {sql_dsum("CASE WHEN o_orderstatus = 'F' THEN o_totalprice END")} AS F,
+               {sql_dsum("CASE WHEN o_orderstatus = 'O' THEN o_totalprice END")} AS O,
+               {sql_dsum("CASE WHEN o_orderstatus = 'P' THEN o_totalprice END")} AS P
+        FROM orders GROUP BY o_orderpriority
+    """,
+    doc="Pivot on order status (explicit value list -> single-pass "
+    "conditional aggregation, no extra shuffle vs plain groupBy).",
+)
+def pivot_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(dsum("o_totalprice"))
+    )
+
+
+@register(
+    "explode_word_count",
+    oracle=f"""
+        SELECT word, COUNT(*) AS n
+        FROM (SELECT unnest({sql_tokens('text')}) AS word FROM documents)
+        GROUP BY word
+    """,
+    doc="Explode/unnest surface: token explosion + word-count aggregate "
+    "(the map side pre-aggregates, so the shuffle carries distinct words).",
+)
+def explode_word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(tokens("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+# Moment-based stats from exact decimal sums, with the SAME double
+# arithmetic on both engines. Spark's built-in stddev/corr/covar reduce
+# doubles in partition order, so their low bits vary by partitioning and
+# can't hash-match an oracle; decimal partial sums are associative, and
+# the finishing expression is a fixed IEEE sequence.
+# Product moments must multiply in DECIMAL, not double: casting a
+# double *product* to decimal rounds its 6th fractional digit, and Spark
+# (shortest-string cast) and DuckDB (exact binary expansion) can round a
+# borderline product differently. Inputs have ~2 stored decimals, so
+# casting THEM to decimal is unambiguous, and the decimal multiply/sum
+# is exact in both engines.
+# Asymmetric widths: a >18-digit side forces DuckDB onto its int128
+# multiply (it overflows int64 otherwise regardless of result width), and
+# 19+13+1 = 33 keeps Spark's result precision under 38 so the scale-12
+# product is exact in both engines.
+_DW = "DECIMAL(19,6)"
+_DN = "DECIMAL(13,6)"
+
+
+# Converting a scale-12 decimal sum (~27 significant digits) straight to
+# double is engine-dependent in the last ulp (DuckDB divides
+# (double)unscaled by 10^scale — two roundings; Spark rounds once), and
+# decimal->decimal(_,0) rounding modes differ too. Split instead: the
+# integer part is integral so its scale-0 cast is unambiguous and exact in
+# double (< 2^53 here); the fractional part is < 1 and converts with a
+# single correctly-rounded division in both engines; one final double add
+# is identical IEEE everywhere.
+def _exact_double(e: str) -> str:
+    return (
+        f"CAST(CAST(({e}) - (({e}) % 1) AS DECIMAL(27,0)) AS DOUBLE)"
+        f" + CAST(({e}) % 1 AS DOUBLE)"
+    )
+
+
+def _dprod(x: str, y: str) -> str:
+    return f"SUM(CAST({x} AS {_DW}) * CAST({y} AS {_DN}))"
+
+
+# Fully parenthesized: `a * b / c` associates left in Spark but DuckDB
+# can evaluate it as a * (b / c), which rounds differently in the last ulp.
+_STATS_EXPRS = [
+    "sqrt((s2 - ((s * s) / n)) / (n - 1)) AS sd_qty",
+    "(s2 - ((s * s) / n)) / (n - 1) AS var_qty",
+    "(sxy - ((s * sy) / n)) / sqrt((s2 - ((s * s) / n)) * (sy2 - ((sy * sy) / n)))"
+    " AS corr_qty_price",
+    "(sxy - ((s * sy) / n)) / (n - 1) AS covar_qty_price",
+]
+_STATS_FINISH = ",\n               ".join(_STATS_EXPRS)
+
+
+@register(
+    "stats_agg",
+    oracle=f"""
+        WITH m0 AS (
+            SELECT l_returnflag,
+                   CAST(COUNT(*) AS DOUBLE) AS n,
+                   {sql_dsum('l_quantity')} AS s,
+                   {_dprod('l_quantity', 'l_quantity')} AS s2d,
+                   {sql_dsum('l_extendedprice')} AS sy,
+                   {_dprod('l_extendedprice', 'l_extendedprice')} AS sy2d,
+                   {_dprod('l_quantity', 'l_extendedprice')} AS sxyd
+            FROM lineitem GROUP BY l_returnflag
+        ),
+        m AS (
+            SELECT l_returnflag, n, s, sy,
+                   {_exact_double('s2d')} AS s2,
+                   {_exact_double('sy2d')} AS sy2,
+                   {_exact_double('sxyd')} AS sxy
+            FROM m0
+        )
+        SELECT l_returnflag, {_STATS_FINISH} FROM m
+    """,
+    doc="Statistical aggregates (stddev/variance/correlation/covariance) "
+    "as single-pass decimal moments + deterministic double finishing (at "
+    "production scale swap in F.stddev_samp/F.corr if bit-stability "
+    "across partitionings isn't required).",
+)
+def stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    qw, qn = F.col("l_quantity").cast(_DW), F.col("l_quantity").cast(_DN)
+    pw, pn = F.col("l_extendedprice").cast(_DW), F.col("l_extendedprice").cast(_DN)
+    m0 = li.groupBy("l_returnflag").agg(
+        F.count("*").cast("double").alias("n"),
+        dsum("l_quantity").alias("s"),
+        F.sum(qw * qn).alias("s2d"),
+        dsum("l_extendedprice").alias("sy"),
+        F.sum(pw * pn).alias("sy2d"),
+        F.sum(qw * pn).alias("sxyd"),
+    )
+    m = m0.selectExpr(
+        "l_returnflag",
+        "n",
+        "s",
+        "sy",
+        f"{_exact_double('s2d')} AS s2",
+        f"{_exact_double('sy2d')} AS sy2",
+        f"{_exact_double('sxyd')} AS sxy",
+    )
+    return m.selectExpr("l_returnflag", *_STATS_EXPRS)
+
+
+def _make_text_udfs():
+    """Built lazily: decorating at import time needs a live SparkSession
+    (the return type is parsed by the JVM), which callers may not have yet."""
+
+    @pandas_udf("long")
+    def digit_count(texts: pd.Series) -> pd.Series:
+        return texts.str.count(r"[0-9]").astype("int64")
+
+    @pandas_udf("long")
+    def char_count(texts: pd.Series) -> pd.Series:
+        return texts.str.len().astype("int64")
+
+    return char_count, digit_count
+
+
+@register(
+    "udf_pandas_textstats",
+    oracle="""
+        SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS n_chars,
+               CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digits
+        FROM documents
+    """,
+    doc="Arrow-batched scalar pandas UDFs (char/digit counts) — the "
+    "sanctioned Python escape hatch (vectorized, not row-at-a-time), "
+    "oracle-checked against pure SQL.",
+)
+def udf_pandas_textstats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    char_count, digit_count = _make_text_udfs()
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        char_count("text").alias("n_chars"),
+        digit_count("text").alias("n_digits"),
+    )

@@ -109,3 +109,23 @@ def test_superset_clauses(engine, movies1):
 def test_result_from_df_truncation(spark):
     res = Result.from_df(spark.range(10).toDF("i"), max_rows=3)
     assert res.truncated and len(res.rows) == 3
+
+
+def test_ddl_dml_surface(engine):
+    """CREATE/INSERT/SELECT/DROP through the engine (reference rejects all
+    DDL/DML, /root/reference/src/planner/mod.rs:205-207 — superset here)."""
+    engine.execute("DROP TABLE IF EXISTS t_ddl_probe")
+    engine.execute("CREATE TABLE t_ddl_probe (a INT, b STRING) USING parquet")
+    try:
+        engine.execute("INSERT INTO t_ddl_probe VALUES (1, 'x'), (2, 'y')")
+        res = engine.execute("SELECT a, b FROM t_ddl_probe ORDER BY a")
+        assert res.rows == [(1, "x"), (2, "y")]
+        engine.execute("INSERT OVERWRITE TABLE t_ddl_probe VALUES (3, 'z')")
+        res = engine.execute("SELECT a, b FROM t_ddl_probe")
+        assert res.rows == [(3, "z")]
+        n = engine.execute(
+            "SELECT count(*) AS n FROM t_ddl_probe JOIN t_ddl_probe USING (a)"
+        )
+        assert n.rows == [(1,)]
+    finally:
+        engine.execute("DROP TABLE t_ddl_probe")
