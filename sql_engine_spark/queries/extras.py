@@ -218,3 +218,44 @@ def udf_pandas_textstats(spark: SparkSession, sf_dir: str) -> DataFrame:
         char_count("text").alias("n_chars"),
         digit_count("text").alias("n_digits"),
     )
+
+
+@register(
+    "udaf_pandas_normalize",
+    oracle="""
+        WITH g AS (
+            SELECT o_orderkey, o_custkey, o_totalprice,
+                   MIN(o_totalprice) OVER (PARTITION BY o_custkey) AS mn,
+                   MAX(o_totalprice) OVER (PARTITION BY o_custkey) AS mx,
+                   COUNT(*) OVER (PARTITION BY o_custkey) AS cnt
+            FROM orders
+        )
+        SELECT o_orderkey, o_custkey,
+               (o_totalprice - mn) / (mx - mn) AS norm_price
+        FROM g WHERE cnt >= 2 AND mx > mn
+    """,
+    doc="Grouped-map pandas UDF (applyInPandas): per-customer min-max "
+    "normalization. Elementwise IEEE ops, so the Python path is "
+    "bit-identical to the SQL window formulation. Degenerate groups "
+    "(single order / constant price) are filtered on both sides.",
+)
+def udaf_pandas_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+    def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
+        mn, mx = pdf["o_totalprice"].min(), pdf["o_totalprice"].max()
+        if len(pdf) < 2 or mx <= mn:
+            return pdf.iloc[0:0][["o_orderkey", "o_custkey"]].assign(norm_price=[])
+        return pd.DataFrame(
+            {
+                "o_orderkey": pdf["o_orderkey"],
+                "o_custkey": pdf["o_custkey"],
+                "norm_price": (pdf["o_totalprice"] - mn) / (mx - mn),
+            }
+        )
+
+    return orders.groupBy("o_custkey").applyInPandas(
+        normalize, "o_orderkey bigint, o_custkey bigint, norm_price double"
+    )
