@@ -400,3 +400,14 @@ def tpch_q5_like(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(dsum(revenue).alias("revenue"))
     )
+
+
+@register(
+    "select_no_from",
+    oracle="SELECT 1 AS one, 'a' || 'b' AS s, CAST(2.5 * 4 AS DOUBLE) AS x",
+    doc="FROM-less SELECT — the reference's Empty operator "
+    "(/root/reference/src/executor/empty.rs:8-28, planned at "
+    "planner/mod.rs:449-454): one synthetic row feeding the projection.",
+)
+def select_no_from(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.sql("SELECT 1 AS one, 'a' || 'b' AS s, CAST(2.5 * 4 AS DOUBLE) AS x")

@@ -259,3 +259,28 @@ def udaf_pandas_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.groupBy("o_custkey").applyInPandas(
         normalize, "o_orderkey bigint, o_custkey bigint, norm_price double"
     )
+
+
+@register(
+    "skew_salted_agg",
+    oracle=f"""
+        SELECT event_type,
+               COUNT(*) AS n,
+               {sql_dsum('value')} AS sum_value,
+               MIN(value) AS min_value,
+               MAX(value) AS max_value
+        FROM events GROUP BY event_type
+    """,
+    doc="Skew-resistant aggregation: events carry only a handful of "
+    "event_type keys (each a hot key at scale), so the first stage "
+    "shuffles on (key, salt-of-event_id) across 16 buckets and a second "
+    "stage merges ~16 partials per key. Decimal partial sums keep the "
+    "two-stage result bit-identical to the single-stage oracle.",
+)
+def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sql_engine_spark.operators.skew import salted_sum_count
+
+    ev = load(spark, sf_dir, "events")
+    return salted_sum_count(
+        ev, ["event_type"], "value", unique_col="event_id", buckets=16
+    )
