@@ -22,6 +22,7 @@ from sql_engine_spark.session import get_spark
 
 HEADLINE = [
     "tpch_q1",
+    "tpch_q6_like",
     "tpch_q3_like",
     "tpch_q5_like",
     "join_inner_multi",

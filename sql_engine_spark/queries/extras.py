@@ -284,3 +284,36 @@ def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return salted_sum_count(
         ev, ["event_type"], "value", unique_col="event_id", buckets=16
     )
+
+
+@register(
+    "tpch_q6_like",
+    oracle=f"""
+        SELECT {_exact_double(_dprod('l_extendedprice', 'l_discount'))} AS revenue,
+               COUNT(*) AS n
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-01-01'
+          AND l_discount BETWEEN 0.04 AND 0.07
+          AND l_quantity < 24
+    """,
+    doc="TPC-H Q6 shape: pure filter + global product-sum. Every predicate "
+    "reaches the parquet scan (PushedFilters) and only 4 of 11 columns are "
+    "read — the canonical pushdown/pruning showcase.",
+)
+def tpch_q6_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    filtered = li.where(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+        & (F.col("l_discount") >= 0.04)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    rev = filtered.agg(
+        F.sum(F.col("l_extendedprice").cast(_DW) * F.col("l_discount").cast(_DN)).alias(
+            "__revd"
+        ),
+        F.count("*").alias("n"),
+    )
+    return rev.selectExpr(f"{_exact_double('__revd')} AS revenue", "n")
