@@ -195,3 +195,29 @@ def streaming_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame
         )
     cutoff = F.lit(max_ts) + F.expr("INTERVAL 1 DAY")
     return res.where(F.col("session_start") < cutoff)
+
+
+@register(
+    "streaming_drop_duplicates",
+    oracle="""
+        SELECT user_id, event_type, MIN(event_id) AS first_event_id
+        FROM events
+        GROUP BY user_id, event_type
+    """,
+    doc="Streaming deduplication: stateful dropDuplicates keyed on "
+    "(user_id, event_type) over the time-ordered replay keeps the FIRST "
+    "arrival, so the kept event_id is the per-key minimum (event_id is "
+    "monotone in ts in this dataset, and each replay chunk reads as a "
+    "single split so within-batch order is the file order). State is one "
+    "row per distinct key, sharded by key hash.",
+)
+def streaming_drop_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    with _state_partitions(spark):
+        stream = events_stream(spark, sf_dir, N_CHUNKS)
+        deduped = stream.select("user_id", "event_type", "event_id").dropDuplicates(
+            ["user_id", "event_type"]
+        )
+        res = run_to_memory(deduped, "stream_dropdup", "append")
+    return res.select(
+        "user_id", "event_type", F.col("event_id").alias("first_event_id")
+    )
