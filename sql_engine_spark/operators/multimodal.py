@@ -88,12 +88,83 @@ def sample_frames(df: DataFrame, *, id_col: str, binary_col: str, every_n: int =
                 for idx in range(0, n_frames, every_n):
                     rows["doc_id"].append(int(i))
                     rows["frame_idx"].append(idx)
+                    # digest formula is SQL-expressible (md5 of payload
+                    # bytes ++ '|' ++ decimal index) so the pipeline stays
+                    # oracle-checkable
                     rows["frame_digest"].append(
-                        hashlib.md5(payload + idx.to_bytes(4, "big")).hexdigest()
+                        hashlib.md5(payload + b"|" + str(idx).encode()).hexdigest()
                     )
             yield pd.DataFrame(rows)
 
     return df.select(id_col, binary_col).mapInPandas(batches, out_schema)
+
+
+RESIZED_SCHEMA = "doc_id long, width int, height int, resized_digest string"
+
+
+def resize_images(
+    df: DataFrame, *, id_col: str, binary_col: str, target: int = 32
+) -> DataFrame:
+    """Resize stub: clamps the fake-decoded dimensions to `target` and
+    emits a digest of (payload, final dims). A real kernel would call
+    PIL.Image.resize per batch — the Arrow/batch shape is identical."""
+
+    id_name, bin_name = id_col, binary_col
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {
+                "doc_id": [],
+                "width": [],
+                "height": [],
+                "resized_digest": [],
+            }
+            for i, payload in zip(pdf[id_name], pdf[bin_name]):
+                payload = bytes(payload)
+                w, h, _, _ = _decode_image_fake(payload)
+                w2, h2 = min(w, target), min(h, target)
+                out["doc_id"].append(int(i))
+                out["width"].append(w2)
+                out["height"].append(h2)
+                out["resized_digest"].append(
+                    hashlib.md5(payload + f"|{w2}x{h2}".encode()).hexdigest()
+                )
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, binary_col).mapInPandas(batches, RESIZED_SCHEMA)
+
+
+AUDIO_SCHEMA = "doc_id long, n_samples long, duration_s double, mfcc array<float>"
+
+
+def extract_audio_features(
+    df: DataFrame, *, id_col: str, binary_col: str, sample_rate: int = 16_000
+) -> DataFrame:
+    """Audio feature stub (librosa absent): sample count from payload
+    length, duration at `sample_rate`, and an MFCC-shaped 4-dim vector
+    from the digest — deterministic, batch-wise, Arrow-transported."""
+
+    id_name, bin_name = id_col, binary_col
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {
+                "doc_id": [],
+                "n_samples": [],
+                "duration_s": [],
+                "mfcc": [],
+            }
+            for i, payload in zip(pdf[id_name], pdf[bin_name]):
+                payload = bytes(payload)
+                d = hashlib.md5(payload).digest()
+                n = len(payload) * 4  # fake: 4 samples per byte
+                out["doc_id"].append(int(i))
+                out["n_samples"].append(n)
+                out["duration_s"].append(n / sample_rate)
+                out["mfcc"].append([round(b / 255.0, 6) for b in d[:4]])
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, binary_col).mapInPandas(batches, AUDIO_SCHEMA)
 
 
 def with_binary_payload(df: DataFrame, text_col: str, out: str = "payload") -> DataFrame:

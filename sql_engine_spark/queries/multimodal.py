@@ -8,7 +8,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from sql_engine_spark.io import load
-from sql_engine_spark.operators.multimodal import decode_images, with_binary_payload
+from sql_engine_spark.operators.multimodal import (
+    decode_images,
+    sample_frames,
+    with_binary_payload,
+)
 from sql_engine_spark.registry import register
 
 
@@ -45,3 +49,26 @@ def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = with_binary_payload(load(spark, sf_dir, "documents"), "text")
     return decode_images(docs, id_col="doc_id", binary_col="payload")
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+        SELECT doc_id,
+               CAST(idx AS INT) AS frame_idx,
+               md5(text || '|' || CAST(idx AS VARCHAR)) AS frame_digest
+        FROM (
+            SELECT doc_id, text,
+                   unnest(range(0,
+                       greatest(1, octet_length(CAST(text AS BLOB)) // 16), 10)) AS idx
+            FROM documents
+        )
+    """,
+    doc="Video frame-sampling plumbing: one output row per sampled frame "
+    "(stride 10 over a payload-derived frame count), via mapInPandas. "
+    "The frame digest is SQL-expressible so even the stub is "
+    "oracle-checked row-for-row.",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = with_binary_payload(load(spark, sf_dir, "documents"), "text")
+    return sample_frames(docs, id_col="doc_id", binary_col="payload", every_n=10)

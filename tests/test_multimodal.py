@@ -1,0 +1,58 @@
+"""Multimodal plumbing: the decode/resize/audio/frame kernels are stubbed
+(codecs absent in this container) but the Spark-side shape — schemas,
+Arrow batching, column pruning to (id, payload) — is real and pinned."""
+
+from __future__ import annotations
+
+from sql_engine_spark.io import load
+from sql_engine_spark.operators.multimodal import (
+    decode_images,
+    extract_audio_features,
+    resize_images,
+    sample_frames,
+    with_binary_payload,
+)
+from sql_engine_spark.plans.audit import audit
+
+
+def _docs(spark, sf_dir):
+    return with_binary_payload(load(spark, sf_dir, "documents"), "text")
+
+
+def test_decode_schema_and_determinism(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    out = decode_images(docs, id_col="doc_id", binary_col="payload")
+    assert [f.name for f in out.schema.fields] == [
+        "doc_id", "n_bytes", "width", "height", "channels", "features",
+    ]
+    a = sorted(map(tuple, out.limit(50).collect()))
+    b = sorted(map(tuple, decode_images(docs, id_col="doc_id", binary_col="payload").limit(50).collect()))
+    assert a == b
+    row = out.first()
+    assert 1 <= row.width <= 64 and len(row.features) == 8
+
+
+def test_decode_prunes_to_needed_columns(spark, sf_dir):
+    out = decode_images(_docs(spark, sf_dir), id_col="doc_id", binary_col="payload")
+    # only doc_id and text (payload source) may be read from parquet
+    assert audit(out).reads_only("doc_id", "text")
+
+
+def test_resize_clamps_dims(spark, sf_dir):
+    out = resize_images(_docs(spark, sf_dir), id_col="doc_id", binary_col="payload", target=16)
+    rows = out.limit(100).collect()
+    assert rows and all(r.width <= 16 and r.height <= 16 for r in rows)
+
+
+def test_audio_features_shape(spark, sf_dir):
+    out = extract_audio_features(_docs(spark, sf_dir), id_col="doc_id", binary_col="payload")
+    r = out.first()
+    assert r.n_samples > 0 and abs(r.duration_s - r.n_samples / 16000) < 1e-9
+    assert len(r.mfcc) == 4
+
+
+def test_frame_sample_stride(spark, sf_dir):
+    out = sample_frames(_docs(spark, sf_dir), id_col="doc_id", binary_col="payload", every_n=10)
+    rows = out.where("doc_id = 1").collect()
+    idxs = sorted(r.frame_idx for r in rows)
+    assert idxs == list(range(0, 10 * len(idxs), 10))
