@@ -18,14 +18,17 @@ recomputation after a lost task must land rows in the same bucket.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 SALT = "__salt"
 
 
-def with_salt(df: DataFrame, unique_col: str, buckets: int) -> DataFrame:
-    return df.withColumn(SALT, F.pmod(F.xxhash64(unique_col), F.lit(buckets)))
+def with_salt(df: DataFrame, unique_col: str | Sequence[str], buckets: int) -> DataFrame:
+    cols = [unique_col] if isinstance(unique_col, str) else list(unique_col)
+    return df.withColumn(SALT, F.pmod(F.xxhash64(*cols), F.lit(buckets)))
 
 
 def salted_sum_count(
@@ -67,7 +70,7 @@ def salted_join(
     dim: DataFrame,
     on: str,
     *,
-    unique_col: str,
+    unique_col: str | Sequence[str],
     buckets: int = 16,
     how: str = "inner",
 ) -> DataFrame:

@@ -317,3 +317,61 @@ def tpch_q6_like(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
     )
     return rev.selectExpr(f"{_exact_double('__revd')} AS revenue", "n")
+
+
+@register(
+    "skew_salted_join",
+    oracle="""
+        SELECT l_orderkey, l_linenumber, l_quantity, o_orderpriority
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    """,
+    doc="Skew-resistant shuffle join: the fact (lineitem) salts on "
+    "hash(l_orderkey, l_linenumber) so a hot order spreads over 8 "
+    "reducers; the dim (orders) is broadcast-replicated x8 so every "
+    "(key, salt) pair finds its match. For when AQE's runtime skew "
+    "split isn't enough and the dim is too big to broadcast whole.",
+)
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sql_engine_spark.operators.skew import salted_join
+
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").withColumnRenamed("o_orderkey", "l_orderkey")
+    return salted_join(
+        li,
+        o.select("l_orderkey", "o_orderpriority"),
+        "l_orderkey",
+        unique_col=["l_orderkey", "l_linenumber"],
+        buckets=8,
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "o_orderpriority")
+
+
+@register(
+    "array_higher_order",
+    oracle="""
+        SELECT vec_id,
+               len(embedding)                                   AS dim,
+               embedding[1]                                     AS first_elem,
+               list_max(embedding)                              AS max_elem,
+               list_min(embedding)                              AS min_elem,
+               len(list_filter(embedding, x -> x > 0))          AS n_positive,
+               list_max(list_transform(embedding, x -> -x))     AS neg_min
+        FROM embeddings
+    """,
+    doc="Array / higher-order functions over array<float> embeddings: "
+    "size, element_at, array_min/max, filter-count, transform-then-max. "
+    "All comparisons and negation are IEEE-exact so float32 results are "
+    "bit-identical cross-engine. Everything runs JVM-side inside "
+    "whole-stage codegen — no UDFs for per-element array work.",
+)
+def array_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    e = F.col("embedding")
+    return emb.select(
+        "vec_id",
+        F.size(e).cast("long").alias("dim"),
+        F.element_at(e, 1).alias("first_elem"),
+        F.array_max(e).alias("max_elem"),
+        F.array_min(e).alias("min_elem"),
+        F.size(F.filter(e, lambda x: x > 0)).cast("long").alias("n_positive"),
+        F.array_max(F.transform(e, lambda x: -x)).alias("neg_min"),
+    )

@@ -209,6 +209,117 @@ def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_right_outer",
+    oracle="""
+        SELECT p_partkey, COUNT(l_orderkey) AS n_lineitems,
+               COUNT(*) AS n_rows, MAX(l_quantity) AS max_qty
+        FROM lineitem RIGHT JOIN part ON l_partkey = p_partkey
+        GROUP BY p_partkey
+    """,
+    doc="RIGHT OUTER join preserving unmatched parts (mirror of "
+    "join_left_outer; reference rejects all outer joins, "
+    "planner/mod.rs:501).",
+)
+def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part")
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.join(p, li.l_partkey == p.p_partkey, "right")
+        .groupBy("p_partkey")
+        .agg(
+            F.count("l_orderkey").alias("n_lineitems"),
+            F.count("*").alias("n_rows"),
+            F.max("l_quantity").alias("max_qty"),
+        )
+    )
+
+
+@register(
+    "subquery_exists_agg",
+    oracle="""
+        SELECT o_orderpriority, COUNT(*) AS n_orders
+        FROM orders
+        WHERE EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        GROUP BY o_orderpriority
+    """,
+    doc="TPC-H Q4 shape: correlated EXISTS feeding an aggregate. Catalyst "
+    "decorrelates to a left-semi join; the semi side is pre-filtered so "
+    "only matching lineitem rows shuffle.",
+)
+def subquery_exists_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+@register(
+    "subquery_correlated_scalar",
+    oracle="""
+        SELECT l1.l_partkey, l1.l_orderkey, l1.l_linenumber, l1.l_extendedprice
+        FROM lineitem l1
+        WHERE l1.l_extendedprice =
+              (SELECT MIN(l2.l_extendedprice) FROM lineitem l2
+               WHERE l2.l_partkey = l1.l_partkey)
+    """,
+    doc="TPC-H Q2/Q17 shape: correlated scalar subquery (cheapest lineitem "
+    "per part). Planned as the standard decorrelation — a min-per-key "
+    "aggregate joined back to the fact on the correlation key, which is "
+    "exactly how Catalyst rewrites the SQL form. MIN is exact (no float "
+    "reduction-order hazard).",
+)
+def subquery_correlated_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    min_per_part = li.groupBy(F.col("l_partkey").alias("mp_partkey")).agg(
+        F.min("l_extendedprice").alias("mp_min_price")
+    )
+    return (
+        li.join(
+            min_per_part,
+            (li.l_partkey == F.col("mp_partkey"))
+            & (li.l_extendedprice == F.col("mp_min_price")),
+        )
+        .select("l_partkey", "l_orderkey", "l_linenumber", "l_extendedprice")
+    )
+
+
+@register(
+    "approx_count_distinct",
+    oracle="""
+        SELECT l_returnflag,
+               COUNT(DISTINCT l_partkey) AS n_parts_exact,
+               TRUE AS approx_within_15pct
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="HyperLogLog++ sketch (approx_count_distinct, rsd=0.05) checked "
+    "against the exact distinct count: the oracle-hashed claim is that the "
+    "sketch lands within 15% of truth. At 100 TB the sketch is the only "
+    "option — single pass, fixed-size state, no expand/dedup shuffle.",
+)
+def approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts_exact"),
+            F.approx_count_distinct("l_partkey", rsd=0.05).alias("__approx"),
+        )
+        .select(
+            "l_returnflag",
+            "n_parts_exact",
+            (
+                F.abs(F.col("__approx") - F.col("n_parts_exact"))
+                <= 0.15 * F.col("n_parts_exact")
+            ).alias("approx_within_15pct"),
+        )
+    )
+
+
+@register(
     "subquery_scalar",
     oracle=f"""
         SELECT o_orderkey, o_totalprice FROM orders
