@@ -46,12 +46,12 @@ def main() -> int:
     qs = all_queries()
 
     # Warmup: boot executors + parquet footer caches on a small scan, and
-    # compile the heaviest codegen shapes (decimal agg, window) at the
-    # smallest SF so timings measure the plans, not Janino.
+    # compile every headline plan's codegen at the smallest SF so timings
+    # measure the plans at sf_dir, not Janino compilation.
     qs["scan_project"].build(spark, sf_dir).write.mode("overwrite").format("noop").save()
     warm_dir = "/root/testdata/sf0.001"
     if os.path.isdir(warm_dir):
-        for wq in ["tpch_q1", "window_running", "dedup_minhash_lsh"]:
+        for wq in HEADLINE:
             qs[wq].build(spark, warm_dir).write.mode("overwrite").format("noop").save()
 
     timings: dict[str, float] = {}

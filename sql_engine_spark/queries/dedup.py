@@ -36,17 +36,22 @@ _MINHASH_PARAMS = dict(shingle_k=3, num_hashes=8, bands=4, threshold=0.2)
 
 def _sql_minhash_lsh(k: int, num_hashes: int, bands: int, threshold: float) -> str:
     r = num_hashes // bands
+    width = 32 // num_hashes
     toks = sql_tokens("text")
     return f"""
         WITH docs AS (
             SELECT doc_id AS id, {sql_shingles(toks, k)} AS sh FROM documents
         ),
+        digs AS (
+            SELECT id, shset, list_transform(shset, s -> md5(s)) AS dig
+            FROM (SELECT id, list_distinct(sh) AS shset FROM docs)
+        ),
         sigs AS (
-            SELECT id, list_distinct(sh) AS shset,
+            SELECT id, shset,
                    list_transform(range(0, {num_hashes}), j ->
-                       list_aggregate(list_transform(sh, s ->
-                           md5(concat(CAST(j AS VARCHAR), '|', s))), 'min')) AS sig
-            FROM docs
+                       list_aggregate(list_transform(dig, h ->
+                           substring(h, j * {width} + 1, {width})), 'min')) AS sig
+            FROM digs
         ),
         buckets AS (
             SELECT id, b,

@@ -189,7 +189,10 @@ _RANGE_ORACLE = """
 )
 def range_join_buckets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
-    buckets = spark.createDataFrame(_BUCKETS, "lo double, hi double, bucket string")
+    # VALUES-literal plan (LocalRelation), not createDataFrame: the latter
+    # ships a Python RDD (applySchemaToPythonRDD) and replans it every run.
+    rows = ", ".join(f"({lo}D, {hi}D, '{b}')" for lo, hi, b in _BUCKETS)
+    buckets = spark.sql(f"SELECT * FROM VALUES {rows} AS buckets(lo, hi, bucket)")
     return (
         range_join_buckets(ev, buckets, value_col="value")
         .groupBy("bucket")
