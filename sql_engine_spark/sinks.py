@@ -10,6 +10,10 @@
   and runs compress better).
 - `max_records_per_file` bounds file sizes so a 1000-executor read gets
   balanced splits; without it one skewed task can emit a multi-GB file.
+- `write_bucketed` pre-shuffles a table once at write time (hash-bucketed
+  by join key, optionally sorted within buckets): two tables bucketed the
+  same way then sort-merge join with ZERO exchanges — the shuffle that
+  would move 100 TB per join is paid once, at ingest.
 """
 
 from __future__ import annotations
@@ -53,5 +57,37 @@ def write_table(
         writer = writer.option(k, v)
     try:
         writer.save(path)
+    except Exception as exc:  # noqa: BLE001 - mapped to taxonomy
+        raise StorageError(str(exc)) from exc
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    path: str,
+    *,
+    bucket_by: list[str],
+    num_buckets: int,
+    sort_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write `df` as a hash-bucketed (optionally bucket-sorted) parquet
+    table registered as `table` in the session catalog, stored at `path`.
+
+    Two tables bucketed by the same keys into the same bucket count join
+    with zero Exchange nodes (and zero Sorts if both are bucket-sorted):
+    the per-join shuffle is paid once at write. This is the co-located
+    join layout for fact tables that are joined repeatedly at 100 TB.
+    """
+    writer = (
+        df.write.mode(mode)
+        .format("parquet")
+        .option("path", path)
+        .bucketBy(num_buckets, *bucket_by)
+    )
+    if sort_by:
+        writer = writer.sortBy(*sort_by)
+    try:
+        writer.saveAsTable(table)
     except Exception as exc:  # noqa: BLE001 - mapped to taxonomy
         raise StorageError(str(exc)) from exc

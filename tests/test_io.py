@@ -94,3 +94,46 @@ def test_read_path_rejects_unknown_format(spark, tmp_path):
 
     with pytest.raises(StorageError):
         read_path(spark, str(tmp_path / "nope.xyz"))
+
+
+def test_bucketed_join_no_shuffle(spark, sf_dir, tmp_path):
+    """Two tables bucketed by the join key into the same bucket count must
+    sort-merge join with ZERO shuffle exchanges — the co-located layout
+    that pays the join shuffle once at write time."""
+    from sql_engine_spark.plans.audit import explain_str
+    from sql_engine_spark.sinks import write_bucketed
+
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    write_bucketed(
+        o, "b_orders", str(tmp_path / "b_orders"),
+        bucket_by=["o_orderkey"], num_buckets=4, sort_by=["o_orderkey"],
+    )
+    write_bucketed(
+        li, "b_lineitem", str(tmp_path / "b_lineitem"),
+        bucket_by=["l_orderkey"], num_buckets=4, sort_by=["l_orderkey"],
+    )
+    try:
+        bo, bl = spark.table("b_orders"), spark.table("b_lineitem")
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = bl.join(bo, bl.l_orderkey == bo.o_orderkey).select(
+                "l_orderkey", "l_quantity", "o_orderpriority"
+            )
+            plan = explain_str(joined)
+            assert "SortMergeJoin" in plan
+            assert "Exchange" not in plan, plan
+            # correctness: matches the plain (shuffled) join
+            expected = (
+                li.join(o, li.l_orderkey == o.o_orderkey)
+                .select("l_orderkey", "l_quantity", "o_orderpriority")
+            )
+            assert sorted(map(tuple, joined.collect())) == sorted(
+                map(tuple, expected.collect())
+            )
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
