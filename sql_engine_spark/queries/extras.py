@@ -375,3 +375,27 @@ def array_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.filter(e, lambda x: x > 0)).cast("long").alias("n_positive"),
         F.array_max(F.transform(e, lambda x: -x)).alias("neg_min"),
     )
+
+
+@register(
+    "percentile_agg",
+    oracle="""
+        SELECT l_returnflag,
+               percentile_cont(0.5)  WITHIN GROUP (ORDER BY l_quantity)      AS median_qty,
+               percentile_cont(0.25) WITHIN GROUP (ORDER BY l_extendedprice) AS price_p25,
+               percentile_cont(0.75) WITHIN GROUP (ORDER BY l_extendedprice) AS price_p75
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="Exact interpolated percentiles (median / quartiles) per group. "
+    "Spark's percentile() and DuckDB's percentile_cont use the same "
+    "linear-interpolation formula, bit-identical on this data. At 100 TB "
+    "swap to approx_percentile (t-digest sketch, single pass, bounded "
+    "state) — exact percentile needs the full sorted group.",
+)
+def percentile_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_quantity, 0.5)").alias("median_qty"),
+        F.expr("percentile(l_extendedprice, 0.25)").alias("price_p25"),
+        F.expr("percentile(l_extendedprice, 0.75)").alias("price_p75"),
+    )
