@@ -399,3 +399,38 @@ def percentile_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(l_extendedprice, 0.25)").alias("price_p25"),
         F.expr("percentile(l_extendedprice, 0.75)").alias("price_p75"),
     )
+
+
+@register(
+    "tpch_q18_like",
+    oracle=f"""
+        SELECT c_name, c_custkey, o_orderkey, o_totalprice, sum_qty
+        FROM (SELECT l_orderkey, {sql_dsum('l_quantity')} AS sum_qty
+              FROM lineitem GROUP BY l_orderkey
+              HAVING {sql_dsum('l_quantity')} > 250) big
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 20
+    """,
+    doc="TPC-H Q18 shape (large-volume customers): HAVING on a grouped "
+    "sum, then join the surviving keys back through orders to customer. "
+    "The aggregate runs FIRST so only ~0.2% of orderkeys enter the joins; "
+    "customer is broadcast.",
+)
+def tpch_q18_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(dsum("l_quantity").alias("sum_qty"))
+        .where(F.col("sum_qty") > 250)
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select("c_name", "c_custkey", "o_orderkey", "o_totalprice", "sum_qty")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(20)
+    )

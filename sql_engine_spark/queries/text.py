@@ -112,3 +112,29 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("fingerprint")
         .agg(F.min("doc_id").alias("rep_id"), F.count("*").alias("n_docs"))
     )
+
+
+@register(
+    "text_regexp_funcs",
+    oracle="""
+        SELECT doc_id,
+               regexp_extract(text, '([A-Za-z]+)', 1)        AS first_word,
+               regexp_replace(text, '[0-9]+', '#', 'g')      AS digits_masked,
+               regexp_matches(text, '[0-9]')                 AS has_digit,
+               length(regexp_replace(text, '[^aeiou]', '', 'g')) AS n_vowels
+        FROM documents
+    """,
+    doc="Regexp scalar functions (extract / replace-all / match / "
+    "strip-count). Patterns are plain character classes so Java regex "
+    "(Spark) and RE2 (DuckDB) agree; DuckDB needs the 'g' flag to match "
+    "Spark's replace-ALL semantics.",
+)
+def text_regexp_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.regexp_extract("text", "([A-Za-z]+)", 1).alias("first_word"),
+        F.regexp_replace("text", "[0-9]+", "#").alias("digits_masked"),
+        F.col("text").rlike("[0-9]").alias("has_digit"),
+        F.length(F.regexp_replace("text", "[^aeiou]", "")).cast("long").alias("n_vowels"),
+    )

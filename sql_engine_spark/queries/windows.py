@@ -156,3 +156,38 @@ def window_ntile_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.cume_dist().over(w).alias("cd"),
         F.first("s_suppkey").over(run).alias("richest"),
     )
+
+
+@register(
+    "window_first_last",
+    oracle="""
+        SELECT o_orderkey, o_custkey, o_totalprice,
+               first_value(o_totalprice) OVER
+                   (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+                   AS first_price,
+               last_value(o_totalprice) OVER
+                   (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+                   AS last_price,
+               nth_value(o_totalprice, 2) OVER
+                   (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+                   AS second_price
+        FROM orders
+    """,
+    doc="first_value / last_value / nth_value window functions; last/nth "
+    "use the full-partition frame (the default running frame makes "
+    "last_value just the current row).",
+)
+def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.first("o_totalprice").over(w).alias("first_price"),
+        F.last("o_totalprice").over(wf).alias("last_price"),
+        F.nth_value("o_totalprice", 2).over(wf).alias("second_price"),
+    )
