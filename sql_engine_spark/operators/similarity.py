@@ -130,6 +130,72 @@ def lsh_topk(
     )
 
 
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    num_centroids: int,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k.
+
+    Coarse quantizer: every corpus vector is assigned to its nearest
+    centroid (one cell each); each query probes its `nprobe` nearest
+    cells and exact cosine re-ranks only those cells' members — the
+    candidate set is ~nprobe/num_centroids of the corpus, and the corpus
+    shuffles ONCE by cell id. Centroids here are the lowest-id corpus
+    vectors (deterministic, oracle-reproducible); in production swap in
+    k-means centroids — the plan shape is identical, only the centroid
+    table changes.
+
+    Returns (query_id, neighbor_id, cell, cosine, rank).
+    """
+    from sql_engine_spark.functions.vectors import dot, l2_norm, normalized
+
+    def norm_side(df: DataFrame, out_id: str) -> DataFrame:
+        # Normalize ONCE per row; every downstream cosine is then a plain
+        # dot product (1 array reduction per pair instead of 3).
+        return (
+            df.select(F.col(id_col).alias(out_id), F.col(vec_col).alias("__v"))
+            .withColumn("__n", l2_norm("__v"))
+            .withColumn("__nv", normalized("__v", "__n"))
+            .select(out_id, "__nv")
+        )
+
+    cents = F.broadcast(
+        norm_side(corpus.orderBy(id_col).limit(num_centroids), "cent_id")
+        .withColumnRenamed("__nv", "__ce")
+    )
+
+    def nearest_cells(df: DataFrame, out_id: str, n: int) -> DataFrame:
+        w = Window.partitionBy(out_id).orderBy(F.desc("__ccos"), F.asc("cent_id"))
+        return (
+            norm_side(df, out_id)
+            .crossJoin(cents)
+            .withColumn("__ccos", dot("__nv", "__ce"))
+            .withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= n)
+            .select(out_id, "__nv", "cent_id")
+        )
+
+    corp = nearest_cells(corpus, "neighbor_id", 1).withColumnRenamed("__nv", "__cv")
+    probes = nearest_cells(queries, "query_id", nprobe).withColumnRenamed("__nv", "__qv")
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        F.broadcast(probes)
+        .join(corp, "cent_id")
+        .withColumn("cosine", dot("__qv", "__cv"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", F.col("cent_id").alias("cell"), "cosine", "rank"
+        )
+    )
+
+
 def embedding_cosine_pairs(
     df: DataFrame,
     *,

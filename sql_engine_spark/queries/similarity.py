@@ -97,3 +97,86 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         planes=4,
         dim=DIM,
     )
+
+
+def _dot(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_transform(list_zip({a}, {b}), p -> p[1] * p[2]),"
+        f" (x, y) -> x + y)"
+    )
+
+
+def _ivf_oracle(num_centroids: int, nprobe: int, k: int) -> str:
+    # Vectors are normalized ONCE (e / l2norm) and every cosine is then a
+    # plain dot product — mirrors operators/similarity.py:ivf_topk exactly
+    # (same op order, so bit-identical).
+    return f"""
+        WITH v AS (
+            SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+            FROM embeddings
+        ),
+        nrm AS (
+            SELECT vec_id, list_transform(e, x -> x / n) AS nv
+            FROM (SELECT vec_id, e,
+                         sqrt(list_reduce(list_transform(e, x -> x * x),
+                                          (a, b) -> a + b)) AS n
+                  FROM v)
+        ),
+        cents AS (
+            SELECT vec_id AS cent_id, nv AS ce FROM nrm
+            WHERE vec_id >= 10 ORDER BY vec_id LIMIT {num_centroids}
+        ),
+        corp AS (
+            SELECT vec_id, nv, cent_id FROM (
+                SELECT c.vec_id, c.nv, t.cent_id,
+                       row_number() OVER (PARTITION BY c.vec_id
+                                          ORDER BY {_dot('c.nv', 't.ce')} DESC, t.cent_id) AS rn
+                FROM nrm c CROSS JOIN cents t
+                WHERE c.vec_id >= 10
+            ) WHERE rn = 1
+        ),
+        probes AS (
+            SELECT vec_id, nv, cent_id FROM (
+                SELECT q.vec_id, q.nv, t.cent_id,
+                       row_number() OVER (PARTITION BY q.vec_id
+                                          ORDER BY {_dot('q.nv', 't.ce')} DESC, t.cent_id) AS rn
+                FROM nrm q CROSS JOIN cents t
+                WHERE q.vec_id < 10
+            ) WHERE rn <= {nprobe}
+        ),
+        scored AS (
+            SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   c.cent_id AS cell, {_dot('p.nv', 'c.nv')} AS cosine
+            FROM probes p JOIN corp c ON p.cent_id = c.cent_id
+        )
+        SELECT query_id, neighbor_id, cell, cosine,
+               CAST(row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+        FROM scored
+        QUALIFY rank <= {k}
+    """
+
+
+@register(
+    "ann_ivf_topk",
+    oracle=_ivf_oracle(4, 2, 5),
+    doc="IVF approximate top-5: corpus vectors partitioned into 4 cells "
+    "by nearest centroid, queries probe their 2 nearest cells, exact "
+    "cosine re-ranks the probed cells only. The corpus shuffles once by "
+    "cell; candidates ~ nprobe/num_centroids of the corpus. Centroids "
+    "are the lowest-id corpus vectors (deterministic stand-in for "
+    "k-means; identical plan shape).",
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sql_engine_spark.operators.similarity import ivf_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        emb.where(F.col("vec_id") < 10),
+        emb.where(F.col("vec_id") >= 10),
+        id_col="vec_id",
+        vec_col="embedding",
+        k=5,
+        num_centroids=4,
+        nprobe=2,
+    )
