@@ -434,3 +434,67 @@ def tpch_q18_like(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
         .limit(20)
     )
+
+
+@register(
+    "map_functions",
+    oracle="""
+        SELECT l_returnflag,
+               COUNT(CASE WHEN l_linestatus = 'O' THEN 1 END)     AS n_O,
+               COUNT(CASE WHEN l_linestatus = 'F' THEN 1 END)     AS n_F,
+               2 * COUNT(CASE WHEN l_linestatus = 'O' THEN 1 END) AS n_O_doubled,
+               COUNT(DISTINCT l_linestatus)                       AS n_statuses
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="MapType surface: per-flag status->count map built with "
+    "map_from_entries(collect_list(struct)), read back via element_at / "
+    "transform_values / map_keys. The oracle states the same facts as "
+    "conditional counts (DuckDB MAPs don't hash-compare cross-engine).",
+)
+def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_returnflag", "l_linestatus").agg(F.count("*").alias("cnt"))
+    m = counts.groupBy("l_returnflag").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("l_linestatus", "cnt")))
+        ).alias("m")
+    )
+    doubled = F.transform_values("m", lambda _, v: v * 2)
+    return m.select(
+        "l_returnflag",
+        F.coalesce(F.element_at("m", F.lit("O")), F.lit(0)).alias("n_O"),
+        F.coalesce(F.element_at("m", F.lit("F")), F.lit(0)).alias("n_F"),
+        F.coalesce(F.element_at(doubled, F.lit("O")), F.lit(0)).alias("n_O_doubled"),
+        F.size(F.map_keys(F.col("m"))).cast("long").alias("n_statuses"),
+    )
+
+
+@register(
+    "udtf_split_words",
+    oracle="""
+        WITH s AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+        SELECT doc_id, ws[CAST(i AS INT)] AS word, CAST(i - 1 AS INT) AS pos
+        FROM s CROSS JOIN range(1, 2000) t(i)
+        WHERE i <= len(ws)
+    """,
+    doc="Python UDTF (table function): one output row per word with its "
+    "position, invoked via LATERAL. Completes the UDF/UDAF/UDTF surface "
+    "(reference has none). Row-at-a-time Python — fine for a surface "
+    "demo; the hot-path equivalent is posexplode(split(...)), pure JVM.",
+)
+def udtf_split_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="word: string, pos: int")
+    class SplitWords:
+        def eval(self, text: str):
+            if text is None:
+                return
+            for i, w in enumerate(text.split(" ")):
+                yield w, i
+
+    spark.udtf.register("split_words", SplitWords)
+    load(spark, sf_dir, "documents").createOrReplaceTempView("__udtf_docs")
+    return spark.sql(
+        "SELECT d.doc_id, s.word, s.pos FROM __udtf_docs d, LATERAL split_words(d.text) s"
+    )
