@@ -25,6 +25,7 @@ HEADLINE = [
     "tpch_q6_like",
     "tpch_q3_like",
     "tpch_q5_like",
+    "tpch_q18_like",
     "join_inner_multi",
     "window_running",
     "events_sessionize",
@@ -32,8 +33,11 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "ann_brute_topk",
+    "ann_ivf_topk",
     "text_token_stats",
     "range_join_buckets",
+    "sample_hash",
+    "skew_salted_join",
 ]
 
 
