@@ -249,3 +249,49 @@ def streaming_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n"), dsum("value").alias("sum_value")
         )
         return run_to_memory(agg, "stream_static_join", "complete")
+
+
+@register(
+    "streaming_stream_join",
+    oracle="""
+        SELECT p.user_id,
+               p.event_id AS purchase_id, v.event_id AS view_id,
+               p.ts AS purchase_ts,      v.ts AS view_ts
+        FROM events p JOIN events v
+          ON p.user_id = v.user_id
+         AND p.event_type = 'purchase' AND v.event_type = 'view'
+         AND v.ts >= p.ts - INTERVAL 1 HOUR AND v.ts <= p.ts
+    """,
+    doc="Stream-stream inner join: purchases matched to the same user's "
+    "views from the preceding hour, both sides arriving incrementally "
+    "(each side buffers state; matches emit as the partner arrives). No "
+    "watermark on the bounded replay so no state is evicted and the "
+    "result converges to the batch interval join exactly; production "
+    "adds withWatermark on both sides to bound state.",
+)
+def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    with _state_partitions(spark):
+        s = events_stream(spark, sf_dir, N_CHUNKS)
+        p = s.where(F.col("event_type") == "purchase").select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        v = s.where(F.col("event_type") == "view").select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        joined = p.join(
+            v,
+            (F.col("p_user") == F.col("v_user"))
+            & (F.col("view_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR"))
+            & (F.col("view_ts") <= F.col("purchase_ts")),
+        ).select(
+            F.col("p_user").alias("user_id"),
+            "purchase_id",
+            "view_id",
+            "purchase_ts",
+            "view_ts",
+        )
+        return run_to_memory(joined, "stream_stream_join", "append")
