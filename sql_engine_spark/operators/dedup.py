@@ -96,8 +96,16 @@ def minhash_lsh_pairs(
     # sides of the verify join — without it the tokenize/shingle pipeline is
     # recomputed 3x (measured ~1.7x wall on 50k docs). MEMORY_AND_DISK
     # spills on big corpora; Spark evicts LRU after the query completes.
+    # A single local parquet file arrives as ONE scan split, serializing
+    # the md5/shingle map work; at 100 TB the scan has thousands of
+    # splits and this is a no-op. The repartition shuffle (raw ids+text)
+    # is amortized by the 3 downstream reuses of the persisted projection.
+    src = df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__text"))
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < target:
+        src = src.repartition(target)
     docs = (
-        df.select(F.col(id_col).alias("__id"), tokens(text_col).alias("__tokens"))
+        src.select("__id", tokens("__text").alias("__tokens"))
         .withColumn("__sh", shingles("__tokens", shingle_k))
         .withColumn("__shset", F.array_distinct("__sh"))
         .select("__id", "__shset")
