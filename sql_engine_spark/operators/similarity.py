@@ -170,18 +170,37 @@ def ivf_topk(
         .withColumnRenamed("__nv", "__ce")
     )
 
-    def nearest_cells(df: DataFrame, out_id: str, n: int) -> DataFrame:
-        w = Window.partitionBy(out_id).orderBy(F.desc("__ccos"), F.asc("cent_id"))
+    def scored_cells(df: DataFrame, out_id: str) -> DataFrame:
         return (
             norm_side(df, out_id)
             .crossJoin(cents)
             .withColumn("__ccos", dot("__nv", "__ce"))
+        )
+
+    # Corpus assignment (nearest cell only) is an argmax — max_by over a
+    # hash aggregate (partial+final, map-side combinable) instead of a
+    # window, which would sort-shuffle the whole corpus at scale. Ties
+    # break to the lowest cent_id, same as the window ordering.
+    corp = (
+        scored_cells(corpus, "neighbor_id")
+        .groupBy("neighbor_id")
+        .agg(
+            F.max_by("cent_id", F.struct(F.col("__ccos"), -F.col("cent_id"))).alias(
+                "cent_id"
+            ),
+            F.first("__nv").alias("__cv"),
+        )
+    )
+
+    def nearest_cells(df: DataFrame, out_id: str, n: int) -> DataFrame:
+        w = Window.partitionBy(out_id).orderBy(F.desc("__ccos"), F.asc("cent_id"))
+        return (
+            scored_cells(df, out_id)
             .withColumn("__rn", F.row_number().over(w))
             .where(F.col("__rn") <= n)
             .select(out_id, "__nv", "cent_id")
         )
 
-    corp = nearest_cells(corpus, "neighbor_id", 1).withColumnRenamed("__nv", "__cv")
     probes = nearest_cells(queries, "query_id", nprobe).withColumnRenamed("__nv", "__qv")
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
