@@ -38,6 +38,7 @@ HEADLINE = [
     "range_join_buckets",
     "sample_hash",
     "skew_salted_join",
+    "pipeline_curate",
 ]
 
 

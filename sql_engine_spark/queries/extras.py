@@ -498,3 +498,73 @@ def udtf_split_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         "SELECT d.doc_id, s.word, s.pos FROM __udtf_docs d, LATERAL split_words(d.text) s"
     )
+
+
+@register(
+    "tpch_q12_like",
+    oracle="""
+        SELECT l_linestatus,
+               COUNT(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                          THEN 1 END) AS high_line_count,
+               COUNT(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                          THEN 1 END) AS low_line_count
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+          AND l_shipdate <  TIMESTAMP '1996-01-01'
+        GROUP BY l_linestatus
+    """,
+    doc="TPC-H Q12 shape: join + conditional (CASE-gated) counts per "
+    "group. The lineitem date filter is pushed to the scan before the "
+    "join.",
+)
+def tpch_q12_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1995-01-01") & (F.col("l_shipdate") < "1996-01-01")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.count(F.when(high, 1)).alias("high_line_count"),
+            F.count(F.when(~high, 1)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "tpch_q14_like",
+    oracle=f"""
+        SELECT 100.00 * promo / total AS promo_revenue_pct,
+               promo AS promo_revenue, total AS total_revenue
+        FROM (
+            SELECT {sql_dsum("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END")} AS promo,
+                   {sql_dsum("l_extendedprice * (1 - l_discount)")} AS total
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate <  TIMESTAMP '1996-07-01'
+        )
+    """,
+    doc="TPC-H Q14 shape (promotion revenue share): broadcast join to "
+    "part, conditional revenue sums through the exact decimal reduction, "
+    "final ratio in double (single IEEE division, engine-stable).",
+)
+def tpch_q14_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-07-01")
+    )
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    agg = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            dsum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0)).alias("promo"),
+            dsum(rev).alias("total"),
+        )
+    )
+    return agg.select(
+        (100.0 * F.col("promo") / F.col("total")).alias("promo_revenue_pct"),
+        F.col("promo").alias("promo_revenue"),
+        F.col("total").alias("total_revenue"),
+    )
