@@ -72,3 +72,67 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = with_binary_payload(load(spark, sf_dir, "documents"), "text")
     return sample_frames(docs, id_col="doc_id", binary_col="payload", every_n=10)
+
+
+# Hex-pair -> byte value, pure SQL (DuckDB has no blob indexing).
+def _sql_byte(h: str, i: int) -> str:
+    c1 = f"substring({h}, {2 * i + 1}, 1)"
+    c2 = f"substring({h}, {2 * i + 2}, 1)"
+    hexpos = "strpos('0123456789abcdef', {c}) - 1"
+    return f"(16 * ({hexpos.format(c=c1)}) + ({hexpos.format(c=c2)}))"
+
+
+@register(
+    "multimodal_resize",
+    oracle=f"""
+        WITH d AS (SELECT doc_id, text, md5(text) AS h FROM documents),
+        dims AS (
+            SELECT doc_id, text,
+                   least(1 + {_sql_byte('h', 0)} % 64, 32) AS width,
+                   least(1 + {_sql_byte('h', 1)} % 64, 32) AS height
+            FROM d
+        )
+        SELECT doc_id, CAST(width AS INT) AS width, CAST(height AS INT) AS height,
+               md5(text || '|' || CAST(width AS VARCHAR) || 'x'
+                        || CAST(height AS VARCHAR)) AS resized_digest
+        FROM dims
+    """,
+    doc="Image-resize plumbing (mapInPandas, PIL absent so dims come from "
+    "the deterministic fake decoder): clamp decoded dims to 32 and digest "
+    "(payload, final dims). The dimension/digest formulas are "
+    "SQL-expressible, so the batch pipeline is oracle-checked "
+    "row-for-row.",
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sql_engine_spark.operators.multimodal import resize_images
+
+    docs = with_binary_payload(load(spark, sf_dir, "documents"), "text")
+    return resize_images(docs, id_col="doc_id", binary_col="payload", target=32)
+
+
+@register(
+    "multimodal_audio_features",
+    oracle=f"""
+        WITH d AS (
+            SELECT doc_id, md5(text) AS h,
+                   CAST(octet_length(CAST(text AS BLOB)) * 4 AS BIGINT) AS n_samples
+            FROM documents
+        )
+        SELECT doc_id, n_samples,
+               n_samples / 16000.0 AS duration_s,
+               [CAST(round({_sql_byte('h', 0)} / 255.0, 6) AS FLOAT),
+                CAST(round({_sql_byte('h', 1)} / 255.0, 6) AS FLOAT),
+                CAST(round({_sql_byte('h', 2)} / 255.0, 6) AS FLOAT),
+                CAST(round({_sql_byte('h', 3)} / 255.0, 6) AS FLOAT)] AS mfcc
+        FROM d
+    """,
+    doc="Audio feature plumbing (librosa absent; digest-derived MFCC "
+    "stand-in): sample count from payload bytes, duration at 16 kHz, "
+    "4-dim feature vector — Arrow-batched mapInPandas with the formulas "
+    "SQL-expressible for a row-for-row oracle check.",
+)
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sql_engine_spark.operators.multimodal import extract_audio_features
+
+    docs = with_binary_payload(load(spark, sf_dir, "documents"), "text")
+    return extract_audio_features(docs, id_col="doc_id", binary_col="payload")
