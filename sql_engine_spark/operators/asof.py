@@ -71,7 +71,13 @@ def asof_join(
         .where(F.col("__side") == 1)
     )
     if tolerance_seconds is not None:
-        in_tol = F.expr(f"timestampdiff(SECOND, __match.__rts, __ts) <= {tolerance_seconds}")
+        # MICROSECOND diff: exact duration comparison. SECOND-granularity
+        # diffs truncate and DuckDB's date_diff counts boundary crossings
+        # instead — the two disagree on sub-second offsets.
+        in_tol = F.expr(
+            f"timestampdiff(MICROSECOND, __match.__rts, __ts)"
+            f" <= {tolerance_seconds}L * 1000000L"
+        )
         matched = matched.withColumn(
             "__match", F.when(in_tol, F.col("__match")).otherwise(F.lit(None))
         )

@@ -228,3 +228,36 @@ def events_user_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("ts").alias("last_seen"),
         dsum(F.when(is_purchase, F.col("value")).otherwise(0.0)).alias("purchase_value"),
     )
+
+
+@register(
+    "asof_join_tolerance",
+    oracle=f"""
+        WITH matched AS ({_ASOF_ORACLE})
+        SELECT event_id, user_id, ts,
+               CASE WHEN epoch_us(ts) - epoch_us(asof_ts) <= 600 * 1000000
+                    THEN asof_ts END       AS asof_ts,
+               CASE WHEN epoch_us(ts) - epoch_us(asof_ts) <= 600 * 1000000
+                    THEN asof_event_id END AS asof_event_id
+        FROM matched
+    """,
+    doc="As-of join with a 10-minute tolerance: matches older than the "
+    "window null out (exact microsecond comparison — second-granularity "
+    "diffs truncate differently across engines). Same single-shuffle "
+    "union+window plan as asof_join_events.",
+)
+def asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.where(F.col("event_type") == "view").select("event_id", "user_id", "ts")
+    return asof_join(
+        purchases,
+        views,
+        key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_payload=["event_id"],
+        tolerance_seconds=600,
+    ).select("event_id", "user_id", "ts", "asof_ts", "asof_event_id")
