@@ -18,6 +18,8 @@
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 
 from sql_engine_spark.errors import StorageError
@@ -59,6 +61,51 @@ def write_table(
         writer.save(path)
     except Exception as exc:  # noqa: BLE001 - mapped to taxonomy
         raise StorageError(str(exc)) from exc
+
+
+def compact_dataset(
+    spark,
+    path: str,
+    *,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    sort_by: list[str] | None = None,
+    format: str = "parquet",
+) -> int:
+    """Rewrite a dataset into ~target_file_bytes files; returns the new
+    file count.
+
+    The small-files problem is the classic failure mode of incremental
+    ingest at scale: thousands of KB-sized files turn a scan into a
+    metadata storm (one task + one open per file). Compaction sizes the
+    output from the dataset's actual on-disk bytes, optionally
+    re-clusters rows (better row-group min/max stats -> more row-group
+    skipping), and atomically swaps via write-to-temp + rename.
+    """
+    import shutil
+
+    src_bytes = sum(
+        os.path.getsize(os.path.join(dirpath, f))
+        for dirpath, _, files in os.walk(path)
+        for f in files
+        if not f.startswith(("_", "."))
+    )
+    n_files = max(1, -(-src_bytes // target_file_bytes))  # ceil-div
+    df = spark.read.format(format).load(path)
+    out = df.repartition(n_files)
+    if sort_by:
+        out = out.sortWithinPartitions(*sort_by)
+    tmp = path.rstrip("/") + ".__compact_tmp__"
+    try:
+        out.write.mode("overwrite").format(format).save(tmp)
+    except Exception as exc:  # noqa: BLE001 - mapped to taxonomy
+        raise StorageError(str(exc)) from exc
+    shutil.rmtree(path)
+    os.replace(tmp, path)
+    return sum(
+        1
+        for f in os.listdir(path)
+        if f.startswith("part-") and not f.endswith(".crc")
+    )
 
 
 def write_bucketed(

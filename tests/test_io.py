@@ -137,3 +137,25 @@ def test_bucketed_join_no_shuffle(spark, sf_dir, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_compact_dataset(spark, sf_dir, tmp_path):
+    """Many tiny files -> few right-sized files, same rows, atomic swap."""
+    from sql_engine_spark.sinks import compact_dataset
+
+    src = load(spark, sf_dir, "lineitem")
+    path = str(tmp_path / "fragmented")
+    # Simulate pathological incremental ingest: 64 tiny files.
+    src.repartition(64).write.mode("overwrite").parquet(path)
+    n_before = sum(1 for f in os.listdir(path) if f.startswith("part-"))
+    assert n_before >= 64
+    expected = src.count()
+
+    n_after = compact_dataset(
+        spark, path, target_file_bytes=4 * 1024 * 1024, sort_by=["l_orderkey"]
+    )
+    assert n_after < n_before
+    back = spark.read.parquet(path)
+    assert back.count() == expected
+    # No temp dir left behind.
+    assert not os.path.exists(path + ".__compact_tmp__")
