@@ -21,6 +21,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from sql_engine_spark.errors import StorageError
 
@@ -59,6 +60,61 @@ def write_table(
         writer = writer.option(k, v)
     try:
         writer.save(path)
+    except Exception as exc:  # noqa: BLE001 - mapped to taxonomy
+        raise StorageError(str(exc)) from exc
+
+
+def _morton_interleave(c1, c2, bits: int):
+    """Interleave the low `bits` bits of two non-negative long columns
+    into a Morton (Z-order) code. Pure JVM bit ops inside codegen."""
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = (
+            z.bitwiseOR(F.shiftleft(F.shiftright(c1, i).bitwiseAND(F.lit(1)), 2 * i))
+            .bitwiseOR(F.shiftleft(F.shiftright(c2, i).bitwiseAND(F.lit(1)), 2 * i + 1))
+        )
+    return z
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    *,
+    cols: tuple[str, str],
+    n_files: int,
+    bits: int = 16,
+) -> None:
+    """Write `df` Z-order-clustered on two numeric columns.
+
+    Each column is min/max-normalized into `bits` bits and the bits are
+    interleaved; range-partitioning + sorting by the Morton code makes
+    every output file (and parquet row group) cover a small RECTANGLE of
+    the (c1, c2) space, so min/max stats prune scans filtered on EITHER
+    column — a plain sort only skips on its leading column. The min/max
+    pass is one extra aggregate at write time; reads pay nothing.
+    """
+    a, b = cols
+    row = df.agg(
+        F.min(a).alias("a_min"), F.max(a).alias("a_max"),
+        F.min(b).alias("b_min"), F.max(b).alias("b_max"),
+    ).first()
+    span = (1 << bits) - 1
+
+    def norm(c: str, lo, hi):
+        if hi == lo:
+            return F.lit(0).cast("long")
+        return ((F.col(c) - F.lit(lo)) * span / F.lit(hi - lo)).cast("long")
+
+    z = _morton_interleave(norm(a, row.a_min, row.a_max), norm(b, row.b_min, row.b_max), bits)
+    try:
+        (
+            df.withColumn("__z", z)
+            .repartitionByRange(n_files, "__z")
+            .sortWithinPartitions("__z")
+            .drop("__z")
+            .write.mode("overwrite")
+            .parquet(path)
+        )
     except Exception as exc:  # noqa: BLE001 - mapped to taxonomy
         raise StorageError(str(exc)) from exc
 

@@ -159,3 +159,45 @@ def test_compact_dataset(spark, sf_dir, tmp_path):
     assert back.count() == expected
     # No temp dir left behind.
     assert not os.path.exists(path + ".__compact_tmp__")
+
+
+def test_zorder_layout_skips_on_both_columns(spark, sf_dir, tmp_path):
+    """Z-order files must each cover a small range of BOTH cluster columns
+    (checked from real parquet footer stats); a plain sort only localizes
+    its leading column, leaving the second column's per-file range ~the
+    full domain."""
+    import pyarrow.parquet as pq
+    from sql_engine_spark.sinks import write_zordered
+
+    src = load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey", "l_quantity")
+
+    def avg_file_range(path, col):
+        spans = []
+        for f in os.listdir(path):
+            if not (f.startswith("part-") and f.endswith(".parquet")):
+                continue
+            md = pq.ParquetFile(os.path.join(path, f)).metadata
+            idx = md.schema.names.index(col)
+            los = [md.row_group(g).column(idx).statistics.min for g in range(md.num_row_groups)]
+            his = [md.row_group(g).column(idx).statistics.max for g in range(md.num_row_groups)]
+            spans.append(max(his) - min(los))
+        return sum(spans) / len(spans)
+
+    z_path = str(tmp_path / "zorder")
+    s_path = str(tmp_path / "sorted")
+    write_zordered(src, z_path, cols=("l_partkey", "l_suppkey"), n_files=8)
+    (
+        src.repartitionByRange(8, "l_partkey")
+        .sortWithinPartitions("l_partkey")
+        .write.mode("overwrite")
+        .parquet(s_path)
+    )
+    # Same rows either way.
+    assert spark.read.parquet(z_path).count() == src.count()
+    # Plain sort localizes only the leading column; Z-order localizes both.
+    domain = src.agg(F.max("l_suppkey") - F.min("l_suppkey")).first()[0]
+    assert avg_file_range(s_path, "l_suppkey") > 0.9 * domain
+    assert avg_file_range(z_path, "l_suppkey") < 0.6 * domain
+    assert avg_file_range(z_path, "l_partkey") < 0.6 * (
+        src.agg(F.max("l_partkey") - F.min("l_partkey")).first()[0]
+    )
