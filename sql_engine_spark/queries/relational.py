@@ -593,3 +593,23 @@ def cast_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderkey").cast("double").alias("key_dbl"),
         F.col("o_orderdate").cast("date").cast("string").alias("date_str"),
     )
+
+
+@register(
+    "collect_sorted_agg",
+    oracle="""
+        SELECT l_returnflag,
+               list_sort(list(DISTINCT l_linestatus))                 AS statuses,
+               list_sort(list(DISTINCT CAST(l_linenumber AS BIGINT))) AS linenums
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="Array-building aggregates: collect_set made deterministic by "
+    "sort_array (collect order is partition-dependent; the sorted set is "
+    "a pure function of the data).",
+)
+def collect_sorted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.sort_array(F.collect_set("l_linestatus")).alias("statuses"),
+        F.sort_array(F.collect_set(F.col("l_linenumber").cast("long"))).alias("linenums"),
+    )

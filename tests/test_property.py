@@ -1,0 +1,104 @@
+"""Property-based differential testing: hypothesis generates random
+filter + group + aggregate plans over lineitem; each must match DuckDB
+exactly. The reference has NO property/randomized testing (SURVEY.md §5)
+— this is the superset guard that catches expression-semantics drift the
+hand-written corpus never thought to write down."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from sql_engine_spark.functions.numeric import dsum, sql_dsum
+from sql_engine_spark.io import load
+from sql_engine_spark.oracle import compare_query, duckdb_connection
+from sql_engine_spark.registry import Query
+
+NUM_COLS = {
+    "l_quantity": (1.0, 50.0),
+    "l_discount": (0.0, 0.1),
+    "l_linenumber": (1, 7),
+}
+STR_COLS = {"l_returnflag": ["A", "N", "R"], "l_linestatus": ["O", "F"]}
+OPS = ["<", "<=", ">", ">=", "=", "<>"]
+
+_num_pred = st.builds(
+    lambda c, op, frac: (c, op, round(NUM_COLS[c][0] + frac * (NUM_COLS[c][1] - NUM_COLS[c][0]), 3)),
+    st.sampled_from(sorted(NUM_COLS)),
+    st.sampled_from(OPS),
+    st.floats(0.0, 1.0, allow_nan=False),
+)
+_str_pred = st.builds(
+    lambda c, op, i: (c, op, STR_COLS[c][i % len(STR_COLS[c])]),
+    st.sampled_from(sorted(STR_COLS)),
+    st.sampled_from(["=", "<>"]),
+    st.integers(0, 2),
+)
+_predicates = st.lists(st.one_of(_num_pred, _str_pred), min_size=1, max_size=3)
+_connectors = st.lists(st.sampled_from(["AND", "OR"]), min_size=2, max_size=2)
+_group = st.sampled_from([(), ("l_returnflag",), ("l_linestatus",), ("l_returnflag", "l_linestatus")])
+_agg_col = st.sampled_from(["l_quantity", "l_extendedprice", "l_linenumber"])
+
+
+def _sql_lit(v):
+    return f"'{v}'" if isinstance(v, str) else repr(v)
+
+
+def _where_sql(preds, conns):
+    parts = [f"({c} {op} {_sql_lit(v)})" for c, op, v in preds]
+    out = parts[0]
+    for i, p in enumerate(parts[1:]):
+        out = f"({out} {conns[i]} {p})"
+    return out
+
+
+def _where_col(preds, conns):
+    def one(c, op, v):
+        col = F.col(c)
+        return {
+            "<": col < v, "<=": col <= v, ">": col > v,
+            ">=": col >= v, "=": col == v, "<>": col != v,
+        }[op]
+
+    out = one(*preds[0])
+    for i, p in enumerate(preds[1:]):
+        out = (out & one(*p)) if conns[i] == "AND" else (out | one(*p))
+    return out
+
+
+@pytest.fixture(scope="module")
+def con(sf_dir):
+    return duckdb_connection(sf_dir)
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(preds=_predicates, conns=_connectors, group=_group, agg_col=_agg_col)
+def test_random_filter_agg_matches_duckdb(spark, con, sf_dir, preds, conns, group, agg_col):
+    where_sql = _where_sql(preds, conns)
+    gcols = ", ".join(group)
+    sql = (
+        f"SELECT {gcols + ', ' if gcols else ''}COUNT(*) AS n, "
+        f"MIN({agg_col}) AS mn, MAX({agg_col}) AS mx, {sql_dsum(agg_col)} AS s "
+        f"FROM lineitem WHERE {where_sql}"
+        + (f" GROUP BY {gcols}" if gcols else "")
+    )
+
+    def build(spark_, sf_dir_):
+        li = load(spark_, sf_dir_, "lineitem").where(_where_col(preds, conns))
+        aggs = [
+            F.count("*").alias("n"),
+            F.min(agg_col).alias("mn"),
+            F.max(agg_col).alias("mx"),
+            dsum(agg_col).alias("s"),
+        ]
+        return li.groupBy(*group).agg(*aggs) if group else li.agg(*aggs)
+
+    res = compare_query(spark, con, Query(name="prop", build=build, oracle=sql), sf_dir)
+    assert res.ok, f"{sql}\n{res.problems}"
