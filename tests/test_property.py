@@ -102,3 +102,44 @@ def test_random_filter_agg_matches_duckdb(spark, con, sf_dir, preds, conns, grou
 
     res = compare_query(spark, con, Query(name="prop", build=build, oracle=sql), sf_dir)
     assert res.ok, f"{sql}\n{res.problems}"
+
+
+_o_pred = st.builds(
+    lambda op, frac: ("o_totalprice", op, round(1000 + frac * 500000, 2)),
+    st.sampled_from(OPS),
+    st.floats(0.0, 1.0, allow_nan=False),
+)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(li_preds=_predicates, conns=_connectors, o_pred=_o_pred, group=_group)
+def test_random_join_agg_matches_duckdb(spark, con, sf_dir, li_preds, conns, o_pred, group):
+    li_where = _where_sql(li_preds, conns)
+    oc, oop, ov = o_pred
+    gcols = ", ".join(group)
+    sql = (
+        f"SELECT {gcols + ', ' if gcols else ''}COUNT(*) AS n, "
+        f"MIN(o_totalprice) AS mn, {sql_dsum('l_quantity')} AS s "
+        f"FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        f"WHERE {li_where} AND ({oc} {oop} {_sql_lit(ov)})"
+        + (f" GROUP BY {gcols}" if gcols else "")
+    )
+
+    def build(spark_, sf_dir_):
+        li = load(spark_, sf_dir_, "lineitem").where(_where_col(li_preds, conns))
+        o = load(spark_, sf_dir_, "orders").where(_where_col([o_pred], []))
+        j = li.join(o, li.l_orderkey == o.o_orderkey)
+        aggs = [
+            F.count("*").alias("n"),
+            F.min("o_totalprice").alias("mn"),
+            dsum("l_quantity").alias("s"),
+        ]
+        return j.groupBy(*group).agg(*aggs) if group else j.agg(*aggs)
+
+    res = compare_query(spark, con, Query(name="prop_join", build=build, oracle=sql), sf_dir)
+    assert res.ok, f"{sql}\n{res.problems}"
