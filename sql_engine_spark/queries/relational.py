@@ -125,6 +125,60 @@ def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "setop_union",
+    oracle="""
+        SELECT c_nationkey AS nationkey FROM customer
+        UNION
+        SELECT s_nationkey AS nationkey FROM supplier
+    """,
+    doc="UNION (distinct semantics): set union deduplicates across both "
+    "sides — plans as union-all + hash aggregate.",
+)
+def setop_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.union(s).distinct()
+
+
+@register(
+    "unpivot_stack",
+    oracle="""
+        WITH agg AS (
+            SELECT l_returnflag,
+                   COUNT(*)                  AS n_rows,
+                   COUNT(DISTINCT l_partkey) AS n_parts,
+                   COUNT(DISTINCT l_suppkey) AS n_supp
+            FROM lineitem GROUP BY l_returnflag
+        )
+        SELECT l_returnflag, 'n_rows' AS metric, n_rows AS value FROM agg
+        UNION ALL
+        SELECT l_returnflag, 'n_parts', n_parts FROM agg
+        UNION ALL
+        SELECT l_returnflag, 'n_supp', n_supp FROM agg
+    """,
+    doc="UNPIVOT / melt: wide aggregate row -> long (metric, value) rows. "
+    "Spark plans an Expand node (no shuffle beyond the aggregate); exact "
+    "bigint measures keep it cross-engine hashable.",
+)
+def unpivot_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    agg = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.countDistinct("l_suppkey").alias("n_supp"),
+        )
+    )
+    return agg.unpivot(
+        ids=["l_returnflag"],
+        values=["n_rows", "n_parts", "n_supp"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
+
+
+@register(
     "join_left_outer",
     oracle="""
         SELECT p_partkey, COUNT(l_orderkey) AS n_lineitems,
