@@ -261,3 +261,40 @@ def asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_payload=["event_id"],
         tolerance_seconds=600,
     ).select("event_id", "user_id", "ts", "asof_ts", "asof_event_id")
+
+
+@register(
+    "events_time_rollup",
+    oracle=f"""
+        WITH b AS (
+            SELECT make_timestamp(year(ts), month(ts), day(ts), 0, 0, 0.0) AS day_b,
+                   make_timestamp(year(ts), month(ts), day(ts), hour(ts), 0, 0.0) AS hour_b,
+                   value
+            FROM events
+        )
+        SELECT day_b, hour_b, COUNT(*) AS n, {sql_dsum('value')} AS sum_value,
+               CAST(grouping(day_b) AS BIGINT) AS g_day,
+               CAST(grouping(hour_b) AS BIGINT) AS g_hour
+        FROM b GROUP BY ROLLUP (day_b, hour_b)
+    """,
+    doc="Hypertable-style continuous-aggregate rollup: hour -> day -> grand "
+    "total grains in ONE pass (GROUP BY ROLLUP expands map-side; one "
+    "shuffle carries only pre-aggregated grain rows). This is the batch "
+    "materialization of what a time-series store keeps incrementally.",
+)
+def events_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "events").createOrReplaceTempView("__ev_rollup")
+    return spark.sql(
+        f"""
+        WITH b AS (
+            SELECT make_timestamp_ntz(year(ts), month(ts), day(ts), 0, 0, 0) AS day_b,
+                   make_timestamp_ntz(year(ts), month(ts), day(ts), hour(ts), 0, 0) AS hour_b,
+                   value
+            FROM __ev_rollup
+        )
+        SELECT day_b, hour_b, COUNT(*) AS n, {sql_dsum('value')} AS sum_value,
+               CAST(grouping(day_b) AS BIGINT) AS g_day,
+               CAST(grouping(hour_b) AS BIGINT) AS g_hour
+        FROM b GROUP BY ROLLUP (day_b, hour_b)
+        """
+    )

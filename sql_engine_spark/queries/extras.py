@@ -568,3 +568,28 @@ def tpch_q14_like(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("promo").alias("promo_revenue"),
         F.col("total").alias("total_revenue"),
     )
+
+
+@register(
+    "approx_quantile_check",
+    oracle="""
+        SELECT l_returnflag,
+               percentile_cont(0.5)  WITHIN GROUP (ORDER BY l_extendedprice) AS exact_median,
+               TRUE AS approx_within_1pct
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="approx_percentile sketch (single pass, bounded memory — the "
+    "100 TB path; exact percentile needs a per-group sort) validated "
+    "against the exact interpolated percentile. Sketch output itself "
+    "is partitioning-dependent, so the oracle-hashed claim is the "
+    "deterministic boolean 'within 1% of exact' (same pattern as "
+    "approx_count_distinct).",
+)
+def approx_quantile_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    exact = F.expr("percentile(l_extendedprice, 0.5D)")
+    approx = F.expr("approx_percentile(l_extendedprice, 0.5D, 10000)")
+    return li.groupBy("l_returnflag").agg(
+        exact.alias("exact_median"),
+        (F.abs(approx - exact) <= 0.01 * F.abs(exact)).alias("approx_within_1pct"),
+    )
