@@ -14,7 +14,7 @@ ulps between libm implementations.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from sql_engine_spark.functions.numeric import dsum, sql_dsum
@@ -175,6 +175,70 @@ def unpivot_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
         values=["n_rows", "n_parts", "n_supp"],
         variableColumnName="metric",
         valueColumnName="value",
+    )
+
+
+@register(
+    "merge_upsert_latest",
+    oracle="""
+        WITH snap AS (
+            SELECT o_orderkey, o_orderstatus, o_totalprice, 0 AS version FROM orders
+        ),
+        upd AS (
+            SELECT o_orderkey, 'X' AS o_orderstatus, o_totalprice + 1.0 AS o_totalprice,
+                   1 AS version
+            FROM orders WHERE o_orderkey % 10 = 0
+        ),
+        ins AS (
+            SELECT o_orderkey + 1000000000 AS o_orderkey, 'N' AS o_orderstatus,
+                   100.0 AS o_totalprice, 1 AS version
+            FROM orders WHERE o_orderkey % 97 = 0
+        ),
+        all_rows AS (
+            SELECT * FROM snap UNION ALL SELECT * FROM upd UNION ALL SELECT * FROM ins
+        )
+        SELECT o_orderkey, o_orderstatus, o_totalprice,
+               CAST(version AS BIGINT) AS version
+        FROM (SELECT *, row_number() OVER (PARTITION BY o_orderkey
+                                           ORDER BY version DESC) AS rn
+              FROM all_rows)
+        WHERE rn = 1
+    """,
+    doc="MERGE/CDC upsert as a pure-relational plan: snapshot UNION ALL "
+    "change-batch (updates + inserts), then per-key latest-version-wins "
+    "via row_number — the standard Delta/Hudi merge shape, one shuffle "
+    "on the merge key. The change batch is derived deterministically "
+    "from orders so the oracle replays it exactly.",
+)
+def merge_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    snap = orders.withColumn("version", F.lit(0))
+    upd = (
+        orders.where(F.col("o_orderkey") % 10 == 0)
+        .select(
+            "o_orderkey",
+            F.lit("X").alias("o_orderstatus"),
+            (F.col("o_totalprice") + F.lit(1.0)).alias("o_totalprice"),
+            F.lit(1).alias("version"),
+        )
+    )
+    ins = (
+        orders.where(F.col("o_orderkey") % 97 == 0)
+        .select(
+            (F.col("o_orderkey") + F.lit(1000000000)).alias("o_orderkey"),
+            F.lit("N").alias("o_orderstatus"),
+            F.lit(100.0).alias("o_totalprice"),
+            F.lit(1).alias("version"),
+        )
+    )
+    merged = snap.unionByName(upd).unionByName(ins)
+    w = Window.partitionBy("o_orderkey").orderBy(F.desc("version"))
+    return (
+        merged.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice", F.col("version").cast("long").alias("version"))
     )
 
 
