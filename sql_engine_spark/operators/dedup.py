@@ -227,3 +227,38 @@ def ngram_jaccard_pairs(
         )
         .where(F.col("jaccard") >= threshold)
     )
+
+
+def connected_components_fixed(
+    pairs: DataFrame, a_col: str, b_col: str, iterations: int = 3
+) -> DataFrame:
+    """Dup-pair clustering: fixed-iteration min-label propagation.
+
+    Each node starts labeled with its own id; every iteration each node
+    takes the min of its label and its neighbors' labels (one join + one
+    hash aggregate per iteration — the standard large-graph CC loop,
+    label diameter halves per round). A FIXED iteration count keeps the
+    result a pure deterministic function of the edge set, so the DuckDB
+    oracle can unroll the same iterations and hash-match even on graphs
+    that haven't fully converged. Returns (node, label).
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    for _ in range(iterations):
+        nbr = edges.join(
+            labels.select(F.col("node").alias("dst"), F.col("label").alias("nbr_label")),
+            "dst",
+        ).select(F.col("src").alias("node"), "nbr_label")
+        labels = (
+            labels.join(nbr, "node")
+            .groupBy("node", "label")
+            .agg(F.min("nbr_label").alias("min_nbr"))
+            .select("node", F.least(F.col("label"), F.col("min_nbr")).alias("label"))
+        )
+    return labels

@@ -160,3 +160,47 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_cosine_pairs(
         emb, id_col="vec_id", vec_col="embedding", block_col="label", threshold=0.2
     )
+
+
+def _sql_cc_iter(prev: str, cur: str) -> str:
+    return f"""
+        {cur} AS (
+            SELECT n.node, LEAST(n.label, MIN(ld.label)) AS label
+            FROM {prev} n
+            JOIN cc_edges e ON e.src = n.node
+            JOIN {prev} ld ON ld.node = e.dst
+            GROUP BY n.node, n.label
+        )"""
+
+
+@register(
+    "dedup_connected_components",
+    oracle=f"""
+        WITH cc_pairs AS (
+            SELECT id_a, id_b FROM ({_sql_minhash_lsh(3, 8, 4, 0.2)})
+        ),
+        cc_edges AS (
+            SELECT id_a AS src, id_b AS dst FROM cc_pairs
+            UNION ALL
+            SELECT id_b AS src, id_a AS dst FROM cc_pairs
+        ),
+        l0 AS (
+            SELECT DISTINCT src AS node, src AS label FROM cc_edges
+        ),
+        {_sql_cc_iter('l0', 'l1')},
+        {_sql_cc_iter('l1', 'l2')},
+        {_sql_cc_iter('l2', 'l3')}
+        SELECT node AS doc_id, label AS cluster_id FROM l3
+    """,
+    doc="Near-dup clusters: MinHash-LSH pairs -> undirected edges -> "
+    "3 rounds of min-label propagation (join + hash-agg per round; the "
+    "standard distributed connected-components loop). Fixed iteration "
+    "count keeps it oracle-hashable; at scale you loop until a "
+    "convergence counter hits zero instead.",
+)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(docs, "doc_id", "text", **_MINHASH_PARAMS)
+    return D.connected_components_fixed(pairs, "id_a", "id_b", iterations=3).select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
