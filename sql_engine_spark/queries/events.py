@@ -298,3 +298,37 @@ def events_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM b GROUP BY ROLLUP (day_b, hour_b)
         """
     )
+
+
+@register(
+    "events_retention_cohort",
+    oracle="""
+        WITH first_seen AS (
+            SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
+            FROM events GROUP BY user_id
+        )
+        SELECT f.cohort_day,
+               CAST(date_diff('day', f.cohort_day, CAST(e.ts AS DATE)) AS BIGINT)
+                   AS day_offset,
+               COUNT(DISTINCT e.user_id) AS active_users
+        FROM events e JOIN first_seen f ON e.user_id = f.user_id
+        GROUP BY 1, 2
+    """,
+    doc="Cohort retention: users bucketed by first-seen day, activity "
+    "counted per (cohort, day-offset) cell. Two shuffles on user_id "
+    "(first-seen agg, then join + distinct-count); the join key equals "
+    "the aggregation key so AQE can co-locate them.",
+)
+def events_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(F.min(F.col("ts").cast("date")).alias("cohort_day"))
+    return (
+        ev.join(first, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff(F.col("ts").cast("date"), F.col("cohort_day"))
+            .cast("long")
+            .alias("day_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("active_users"))
+    )

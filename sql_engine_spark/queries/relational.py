@@ -731,3 +731,35 @@ def collect_sorted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sort_array(F.collect_set("l_linestatus")).alias("statuses"),
         F.sort_array(F.collect_set(F.col("l_linenumber").cast("long"))).alias("linenums"),
     )
+
+
+@register(
+    "scalar_conditional_funcs",
+    oracle="""
+        SELECT l_orderkey, l_linenumber,
+               COALESCE(NULLIF(l_returnflag, 'N'), 'none')   AS flag_or_none,
+               NULLIF(l_quantity, 1.0)                       AS qty_or_null,
+               IFNULL(NULLIF(l_linestatus, 'O'), 'open')     AS status_or_open,
+               GREATEST(l_quantity, l_discount * 100)        AS g,
+               LEAST(l_tax, l_discount)                      AS l
+        FROM lineitem
+    """,
+    doc="Conditional scalar functions (COALESCE / NULLIF / IFNULL / "
+    "GREATEST / LEAST) — NULLs synthesized via NULLIF since the data has "
+    "none. Pure per-row map work, no shuffle.",
+)
+def scalar_conditional_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.coalesce(F.nullif("l_returnflag", F.lit("N")), F.lit("none")).alias(
+            "flag_or_none"
+        ),
+        F.nullif("l_quantity", F.lit(1.0)).alias("qty_or_null"),
+        F.ifnull(F.nullif("l_linestatus", F.lit("O")), F.lit("open")).alias(
+            "status_or_open"
+        ),
+        F.greatest("l_quantity", F.col("l_discount") * 100).alias("g"),
+        F.least("l_tax", "l_discount").alias("l"),
+    )
