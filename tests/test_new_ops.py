@@ -1,0 +1,48 @@
+"""Unit tests for the CC / merge / unpivot operators (semantic invariants
+the oracle hash can't express: fixpoint behavior, key uniqueness, shape)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sql_engine_spark.operators.dedup import connected_components_fixed
+from sql_engine_spark.registry import all_queries
+
+
+def test_connected_components_toy_graph(spark):
+    # Two components: {1,2,3,4} (a path, diameter 3) and {10, 11}.
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "id_a int, id_b int"
+    )
+    out = connected_components_fixed(pairs, "id_a", "id_b", iterations=3)
+    got = {(r.node, r.label) for r in out.collect()}
+    assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10)}
+
+
+def test_connected_components_unconverged_is_deterministic(spark):
+    # A 6-node path needs >2 iterations to converge; with 1 iteration the
+    # result must still be the exact one-step label propagation.
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6)], "id_a int, id_b int"
+    )
+    out = connected_components_fixed(pairs, "id_a", "id_b", iterations=1)
+    got = {(r.node, r.label) for r in out.collect()}
+    # label_1(v) = min(v, neighbors(v))
+    assert got == {(1, 1), (2, 1), (3, 2), (4, 3), (5, 4), (6, 5)}
+
+
+def test_merge_upsert_unique_keys_and_wins(spark, sf_dir):
+    df = all_queries()["merge_upsert_latest"].build(spark, sf_dir)
+    total = df.count()
+    assert df.select("o_orderkey").distinct().count() == total
+    # every updated key (orderkey % 10 == 0, not an insert) carries version 1
+    updated = df.where((F.col("o_orderkey") % 10 == 0) & (F.col("o_orderkey") < 1000000000))
+    assert updated.where(F.col("version") != 1).count() == 0
+    assert updated.where(F.col("o_orderstatus") != "X").count() == 0
+
+
+def test_unpivot_shape(spark, sf_dir):
+    df = all_queries()["unpivot_stack"].build(spark, sf_dir)
+    n_flags = df.select("l_returnflag").distinct().count()
+    assert df.count() == 3 * n_flags
+    assert set(df.columns) == {"l_returnflag", "metric", "value"}
