@@ -593,3 +593,46 @@ def approx_quantile_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         exact.alias("exact_median"),
         (F.abs(approx - exact) <= 0.01 * F.abs(exact)).alias("approx_within_1pct"),
     )
+
+
+@register(
+    "array_set_funcs",
+    oracle="""
+        WITH sets AS (
+            SELECT l_orderkey,
+                   COALESCE(list_sort(array_agg(DISTINCT l_linenumber)
+                            FILTER (WHERE l_quantity > 25)), []) AS hi,
+                   COALESCE(list_sort(array_agg(DISTINCT l_linenumber)
+                            FILTER (WHERE l_discount > 0.05)), []) AS disc
+            FROM lineitem GROUP BY l_orderkey
+        )
+        SELECT l_orderkey, hi, disc,
+               list_sort(list_intersect(hi, disc))                AS both_sets,
+               list_sort(list_distinct(list_concat(hi, disc)))    AS either_set,
+               list_sort(list_filter(hi, x -> NOT list_contains(disc, x)))
+                                                                  AS hi_only
+        FROM sets
+    """,
+    doc="Array set algebra (intersect / union / except) over per-group "
+    "collected sets; results sorted so they are order-canonical and "
+    "cross-engine hashable. One shuffle (the collect_set aggregate); "
+    "the set ops are per-row map work.",
+)
+def array_set_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    sets = li.groupBy("l_orderkey").agg(
+        F.sort_array(
+            F.collect_set(F.when(F.col("l_quantity") > 25, F.col("l_linenumber")))
+        ).alias("hi"),
+        F.sort_array(
+            F.collect_set(F.when(F.col("l_discount") > 0.05, F.col("l_linenumber")))
+        ).alias("disc"),
+    )
+    return sets.select(
+        "l_orderkey",
+        "hi",
+        "disc",
+        F.sort_array(F.array_intersect("hi", "disc")).alias("both_sets"),
+        F.sort_array(F.array_union("hi", "disc")).alias("either_set"),
+        F.sort_array(F.array_except("hi", "disc")).alias("hi_only"),
+    )
