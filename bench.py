@@ -24,7 +24,9 @@ HEADLINE = [
     "tpch_q1",
     "tpch_q6_like",
     "tpch_q3_like",
+    "tpch_q4_like",
     "tpch_q5_like",
+    "tpch_q10_like",
     "tpch_q18_like",
     "join_inner_multi",
     "window_running",

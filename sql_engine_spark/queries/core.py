@@ -411,3 +411,74 @@ def tpch_q5_like(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def select_no_from(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql("SELECT 1 AS one, 'a' || 'b' AS s, CAST(2.5 * 4 AS DOUBLE) AS x")
+
+
+@register(
+    "tpch_q4_like",
+    oracle="""
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1996-04-01'
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey
+                        AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+        GROUP BY o_orderpriority
+    """,
+    doc="TPC-H Q4 shape: date-windowed orders, EXISTS lineitem with a "
+    "non-equi lateness predicate (shipped >90 days after order) -> "
+    "LEFT SEMI join, priority rollup. The date filter is pushed to the "
+    "orders scan; the semi join carries the extra theta condition.",
+)
+def tpch_q4_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-04-01")
+    )
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 90 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))
+
+
+@register(
+    "tpch_q10_like",
+    oracle=f"""
+        SELECT c_custkey, c_name, n_name,
+               {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1996-07-01'
+        GROUP BY c_custkey, c_name, n_name
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 20
+    """,
+    doc="TPC-H Q10 shape: returned-item revenue per customer over a date "
+    "window, top 20. Nation broadcasts; top-k via TakeOrderedAndProject "
+    "(no global sort).",
+)
+def tpch_q10_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-07-01")
+    )
+    li = load(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    n = load(spark, sf_dir, "nation")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(dsum(revenue).alias("revenue"))
+        .select("c_custkey", "c_name", "n_name", "revenue")
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
