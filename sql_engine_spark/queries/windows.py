@@ -191,3 +191,44 @@ def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("o_totalprice").over(wf).alias("last_price"),
         F.nth_value("o_totalprice", 2).over(wf).alias("second_price"),
     )
+
+
+@register(
+    "window_time_range_frame",
+    oracle="""
+        WITH b AS (
+            SELECT user_id, event_id, ts, value,
+                   CAST(date_diff('second', TIMESTAMP '1995-01-01', ts) AS BIGINT)
+                       AS sec
+            FROM events
+        )
+        SELECT user_id, event_id, ts,
+               COUNT(*) OVER w AS n_1h,
+               CAST(SUM(CAST(value AS DECIMAL(27,6))) OVER w AS DOUBLE) AS sum_1h
+        FROM b
+        WINDOW w AS (PARTITION BY user_id ORDER BY sec
+                     RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+    """,
+    doc="Time-based RANGE window frame: trailing 1-hour count/sum per "
+    "user. Ordering key is wall-clock seconds since a fixed epoch "
+    "(timestampdiff, tz-independent), so the frame is value-bounded, "
+    "not row-bounded; the frame SET is deterministic under ties and the "
+    "decimal window sum is order-insensitive. One shuffle on user_id.",
+)
+def window_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").withColumn(
+        "sec",
+        F.expr("timestampdiff(SECOND, TIMESTAMP_NTZ '1995-01-01', ts)").cast("long"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("sec")
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.count("*").over(w).alias("n_1h"),
+        F.sum(F.col("value").cast(DEC)).over(w).cast("double").alias("sum_1h"),
+    )
