@@ -262,3 +262,49 @@ def connected_components_fixed(
             .select("node", F.least(F.col("label"), F.col("min_nbr")).alias("label"))
         )
     return labels
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_cols: list[str],
+    *,
+    ngram_k: int = 2,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """Asymmetric containment: |A∩B| / |A| (and / |B|) over shingle sets.
+
+    Catches subset/quote relationships Jaccard misses — a short document
+    fully contained in a long one scores ~1.0 containment but low
+    Jaccard. Same blocked self-join shape as ngram_jaccard_pairs.
+    Returns (id_a, id_b, c_ab, c_ba) where c_ab = |A∩B|/|A|.
+    """
+    docs = (
+        df.select(
+            F.col(id_col).alias("__id"),
+            *[F.col(c) for c in block_cols],
+            tokens(text_col).alias("__tokens"),
+        )
+        .withColumn("__shset", F.array_distinct(shingles("__tokens", ngram_k)))
+        .where(F.size("__shset") > 0)
+        .drop("__tokens")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    a, b = docs.alias("a"), docs.alias("b")
+    cond = F.col("a.__id") < F.col("b.__id")
+    for c in block_cols:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    inter = F.size(F.array_intersect("a.__shset", "b.__shset"))
+    c_ab = inter / F.size("a.__shset")
+    c_ba = inter / F.size("b.__shset")
+    return (
+        a.join(b, cond)
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            c_ab.alias("c_ab"),
+            c_ba.alias("c_ba"),
+        )
+        .where(F.greatest("c_ab", "c_ba") >= threshold)
+    )

@@ -204,3 +204,32 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.connected_components_fixed(pairs, "id_a", "id_b", iterations=3).select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )
+
+
+@register(
+    "dedup_containment",
+    oracle=f"""
+        WITH docs AS (
+            SELECT doc_id AS id, lang, source,
+                   list_distinct({sql_shingles(sql_tokens('text'), 2)}) AS shset
+            FROM documents
+        ),
+        nz AS (SELECT * FROM docs WHERE len(shset) > 0)
+        SELECT id_a, id_b, c_ab, c_ba FROM (
+            SELECT a.id AS id_a, b.id AS id_b,
+                   len(list_intersect(a.shset, b.shset)) / len(a.shset) AS c_ab,
+                   len(list_intersect(a.shset, b.shset)) / len(b.shset) AS c_ba
+            FROM nz a
+            JOIN nz b ON a.lang = b.lang AND a.source = b.source AND a.id < b.id
+        ) WHERE GREATEST(c_ab, c_ba) >= 0.3
+    """,
+    doc="Asymmetric containment |A∩B|/|A| within (lang, source) blocks: "
+    "finds subset/quote near-dups that Jaccard under-scores (short doc "
+    "inside long doc). Integer-cardinality division is single-rounding "
+    "IEEE, so it hash-matches cross-engine.",
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return D.containment_pairs(
+        docs, "doc_id", "text", ["lang", "source"], ngram_k=2, threshold=0.3
+    )
