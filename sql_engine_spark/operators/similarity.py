@@ -42,10 +42,14 @@ def sql_plane_pattern(plane: int, dim: int) -> str:
     )
 
 
-def lsh_bucket(vec_col: str, planes: int, dim: int) -> "F.Column":
-    """Bucket id: concatenated signs of dot(vec, plane_j), j < planes."""
+def lsh_bucket(vec_col: str, planes: int, dim: int, offset: int = 0) -> "F.Column":
+    """Bucket id: concatenated signs of dot(vec, plane_{offset+j}), j < planes.
+
+    `offset` selects an independent set of hyperplanes (the plane index
+    seeds the md5 pattern), so multi-table LSH uses offsets 0, planes,
+    2*planes, ... for its tables."""
     bits = []
-    for j in range(planes):
+    for j in range(offset, offset + planes):
         dot = (
             f"aggregate(zip_with({vec_col}, {plane_pattern_expr(j, dim)}, "
             f"(x, p) -> CAST(x AS double) * p), CAST(0.0 AS double), (acc, v) -> acc + v)"
@@ -54,9 +58,9 @@ def lsh_bucket(vec_col: str, planes: int, dim: int) -> "F.Column":
     return F.expr("concat(" + ", ".join(bits) + ")")
 
 
-def sql_lsh_bucket(vec_col: str, planes: int, dim: int) -> str:
+def sql_lsh_bucket(vec_col: str, planes: int, dim: int, offset: int = 0) -> str:
     bits = []
-    for j in range(planes):
+    for j in range(offset, offset + planes):
         dot = (
             f"list_reduce(list_transform(list_zip({vec_col}, {sql_plane_pattern(j, dim)}), "
             f"p -> CAST(p[1] AS DOUBLE) * p[2]), (a, b) -> a + b)"
@@ -242,4 +246,55 @@ def embedding_cosine_pairs(
             cosine_sim("a.__v", "b.__v").alias("cosine"),
         )
         .where(F.col("cosine") >= threshold)
+    )
+
+
+def lsh_multitable_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    planes: int = 3,
+    tables: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Multi-table LSH top-k (OR-amplification): `tables` independent
+    hash tables of `planes` hyperplanes each; a corpus row is a candidate
+    if it shares a bucket with the query in ANY table, then exact cosine
+    re-ranks the candidate union. Recall ~ 1-(1-p)^tables vs p for one
+    table, at the cost of `tables`x bucket rows — the standard LSH
+    recall/space dial. One shuffle of the (replicated) bucket rows; the
+    candidate set stays ~tables/2^planes of the corpus.
+    """
+    def bucket_rows(df: DataFrame, out_id: str) -> DataFrame:
+        cols = [
+            lsh_bucket(vec_col, planes, dim, offset=t * planes).alias(f"__b{t}")
+            for t in range(tables)
+        ]
+        wide = df.select(F.col(id_col).alias(out_id), *cols)
+        stack = (
+            f"stack({tables}, "
+            + ", ".join(f"{t}, __b{t}" for t in range(tables))
+            + ") as (__t, __bucket)"
+        )
+        return wide.selectExpr(out_id, stack)
+
+    cands = (
+        bucket_rows(queries, "query_id")
+        .join(bucket_rows(corpus, "neighbor_id"), ["__t", "__bucket"])
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        cands.join(c, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .withColumn("cosine", cosine_sim("__qv", "__cv"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
     )

@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 from sql_engine_spark.io import load
 from sql_engine_spark.operators.similarity import (
     brute_force_topk,
+    lsh_multitable_topk,
     lsh_topk,
     sql_lsh_bucket,
 )
@@ -179,4 +180,63 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=5,
         num_centroids=4,
         nprobe=2,
+    )
+
+
+def _lsh_multitable_oracle(planes: int, tables: int, k: int) -> str:
+    qb = "\n            UNION ALL ".join(
+        f"SELECT vec_id, {t} AS t, {sql_lsh_bucket('e', planes, DIM, offset=t * planes)} AS b "
+        f"FROM v WHERE vec_id < 10"
+        for t in range(tables)
+    )
+    cb = "\n            UNION ALL ".join(
+        f"SELECT vec_id, {t} AS t, {sql_lsh_bucket('e', planes, DIM, offset=t * planes)} AS b "
+        f"FROM v WHERE vec_id >= 10"
+        for t in range(tables)
+    )
+    return f"""
+        WITH v AS (
+            SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+            FROM embeddings
+        ),
+        qb AS ({qb}),
+        cb AS ({cb}),
+        cands AS (
+            SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS neighbor_id
+            FROM qb JOIN cb ON qb.t = cb.t AND qb.b = cb.b
+        ),
+        scored AS (
+            SELECT query_id, neighbor_id, {_COS} AS cosine
+            FROM cands
+            JOIN v q ON q.vec_id = query_id
+            JOIN v c ON c.vec_id = neighbor_id
+        )
+        SELECT query_id, neighbor_id, cosine,
+               CAST(row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+        FROM scored
+        QUALIFY rank <= {k}
+    """
+
+
+@register(
+    "ann_lsh_multitable_topk",
+    oracle=_lsh_multitable_oracle(3, 4, 5),
+    doc="Multi-table LSH top-5 (4 tables x 3 planes, OR-amplified): "
+    "candidate = shares a bucket in ANY table, exact cosine re-ranks "
+    "the union. The higher-recall point on the LSH dial vs "
+    "ann_lsh_topk's single table (recall 1-(1-p)^4 vs p) for 4x "
+    "bucket rows; candidates still ~tables/2^planes of the corpus.",
+)
+def ann_lsh_multitable_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return lsh_multitable_topk(
+        emb.where(F.col("vec_id") < 10),
+        emb.where(F.col("vec_id") >= 10),
+        id_col="vec_id",
+        vec_col="embedding",
+        k=5,
+        planes=3,
+        tables=4,
+        dim=DIM,
     )

@@ -46,3 +46,21 @@ def test_unpivot_shape(spark, sf_dir):
     n_flags = df.select("l_returnflag").distinct().count()
     assert df.count() == 3 * n_flags
     assert set(df.columns) == {"l_returnflag", "metric", "value"}
+
+
+def _topk_pairs(spark, sf_dir, name):
+    df = all_queries()[name].build(spark, sf_dir)
+    return {(r.query_id, r.neighbor_id) for r in df.collect()}
+
+
+def test_ann_recall_vs_brute_force(spark, sf_dir):
+    # Deterministic data -> deterministic recall; floors leave headroom
+    # below the measured values (ivf 0.56, multitable 0.52 at sf0.001).
+    brute = _topk_pairs(spark, sf_dir, "ann_brute_topk")
+    ivf = _topk_pairs(spark, sf_dir, "ann_ivf_topk")
+    multi = _topk_pairs(spark, sf_dir, "ann_lsh_multitable_topk")
+    assert len(brute & ivf) / len(brute) >= 0.5
+    assert len(brute & multi) / len(brute) >= 0.4
+    # OR-amplification must not lose the single-table candidates' recall
+    single = _topk_pairs(spark, sf_dir, "ann_lsh_topk")
+    assert len(brute & multi) >= len(brute & single)
