@@ -28,6 +28,8 @@ HEADLINE = [
     "tpch_q5_like",
     "tpch_q10_like",
     "tpch_q18_like",
+    "tpch_q9_like",
+    "tpch_q21_like",
     "join_inner_multi",
     "window_running",
     "events_sessionize",
