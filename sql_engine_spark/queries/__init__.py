@@ -11,5 +11,6 @@ import sql_engine_spark.queries.multimodal  # noqa: F401
 import sql_engine_spark.queries.streaming  # noqa: F401
 import sql_engine_spark.queries.extras  # noqa: F401
 import sql_engine_spark.queries.tpch_more  # noqa: F401
+import sql_engine_spark.queries.extras2  # noqa: F401
 import sql_engine_spark.queries.sampling  # noqa: F401
 import sql_engine_spark.queries.pipeline  # noqa: F401

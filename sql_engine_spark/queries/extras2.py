@@ -1,0 +1,194 @@
+"""Second round of standard-SQL-superset surface: LATERAL correlated
+subqueries, inline VALUES relations, struct construction/access, and
+sequence packing for training-data pipelines.
+
+None of this parses in the reference (single SELECT over parquet paths only,
+/root/reference/src/planner/mod.rs:202-207); all of it is first-class in
+Spark SQL / DataFrame and in the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from sql_engine_spark.io import load
+from sql_engine_spark.operators.textprep import sql_tokens, tokens
+from sql_engine_spark.registry import register
+
+
+@register(
+    "join_lateral_topn",
+    oracle="""
+        SELECT n_name, t.c_custkey, t.c_acctbal
+        FROM nation
+        JOIN LATERAL (
+            SELECT c_custkey, c_acctbal FROM customer
+            WHERE c_nationkey = n_nationkey
+            ORDER BY c_acctbal DESC, c_custkey
+            LIMIT 2
+        ) t ON TRUE
+    """,
+    doc="LATERAL correlated subquery with ORDER BY + LIMIT: the two "
+    "richest customers per nation, written as a per-row dependent "
+    "subquery rather than a window. Spark decorrelates the lateral "
+    "into a ranked window join under the hood — same single shuffle "
+    "as the explicit row_number() formulation, so the convenient "
+    "surface costs nothing at scale.",
+)
+def join_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "nation").createOrReplaceTempView("__lat_nation")
+    load(spark, sf_dir, "customer").createOrReplaceTempView("__lat_customer")
+    return spark.sql(
+        """
+        SELECT n_name, t.c_custkey, t.c_acctbal
+        FROM __lat_nation
+        JOIN LATERAL (
+            SELECT c_custkey, c_acctbal FROM __lat_customer
+            WHERE c_nationkey = n_nationkey
+            ORDER BY c_acctbal DESC, c_custkey
+            LIMIT 2
+        ) t
+        """
+    )
+
+
+@register(
+    "values_inline_dim",
+    oracle="""
+        SELECT urgency, COUNT(*) AS n_orders
+        FROM orders
+        JOIN (VALUES ('1-URGENT',        'rush'),
+                     ('2-HIGH',          'rush'),
+                     ('3-MEDIUM',        'normal'),
+                     ('4-NOT SPECIFIED', 'normal'),
+                     ('5-LOW',           'lax')) AS m(prio, urgency)
+          ON o_orderpriority = m.prio
+        GROUP BY urgency
+    """,
+    doc="Inline VALUES relation as a join dimension: a literal "
+    "priority -> urgency mapping broadcast against the fact table — the "
+    "zero-I/O version of a lookup-table join (the reference can only "
+    "address parquet files as relations, planner/mod.rs:508-535).",
+)
+def values_inline_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    m = spark.sql(
+        """
+        SELECT * FROM VALUES ('1-URGENT',        'rush'),
+                             ('2-HIGH',          'rush'),
+                             ('3-MEDIUM',        'normal'),
+                             ('4-NOT SPECIFIED', 'normal'),
+                             ('5-LOW',           'lax') AS m(prio, urgency)
+        """
+    )
+    return (
+        o.join(F.broadcast(m), o.o_orderpriority == m.prio)
+        .groupBy("urgency")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+@register(
+    "nested_struct_funcs",
+    oracle="""
+        SELECT o_orderkey,
+               (struct_pack(status := o_orderstatus,
+                            price  := o_totalprice)).status       AS s_status,
+               (struct_pack(status := o_orderstatus,
+                            price  := o_totalprice)).price * 2    AS s_price_x2,
+               struct_pack(a := o_orderstatus)
+                 = struct_pack(a := o_orderpriority)              AS structs_equal,
+               (struct_pack(lo := least(o_totalprice, 100000.0),
+                            hi := greatest(o_totalprice, 100000.0))).hi
+                 - (struct_pack(lo := least(o_totalprice, 100000.0),
+                                hi := greatest(o_totalprice, 100000.0))).lo
+                                                                  AS band_width
+        FROM orders
+    """,
+    doc="Struct (nested row) construction, field access, and whole-struct "
+    "equality — per-row JVM expressions; the struct never widens the "
+    "shuffle because Catalyst prunes unaccessed fields "
+    "(the reference's type system has no nested values at all, "
+    "SURVEY.md §1.2).",
+)
+def nested_struct_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    sp = F.struct(
+        F.col("o_orderstatus").alias("status"), F.col("o_totalprice").alias("price")
+    )
+    band = F.struct(
+        F.least("o_totalprice", F.lit(100000.0)).alias("lo"),
+        F.greatest("o_totalprice", F.lit(100000.0)).alias("hi"),
+    )
+    return o.select(
+        "o_orderkey",
+        sp.getField("status").alias("s_status"),
+        (sp.getField("price") * 2).alias("s_price_x2"),
+        (
+            F.struct(F.col("o_orderstatus").alias("a"))
+            == F.struct(F.col("o_orderpriority").alias("a"))
+        ).alias("structs_equal"),
+        (band.getField("hi") - band.getField("lo")).alias("band_width"),
+    )
+
+
+_PACK_BUDGET = 512
+
+
+@register(
+    "text_pack_sequences",
+    oracle=f"""
+        WITH toks AS (
+            SELECT source, doc_id,
+                   CAST(len({sql_tokens('text')}) AS BIGINT) AS n_tok
+            FROM documents
+        ),
+        cum AS (
+            SELECT *,
+                   SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS cum_tok
+            FROM toks
+        )
+        SELECT source,
+               CAST(FLOOR((cum_tok - n_tok) / {_PACK_BUDGET}.0) AS BIGINT) AS pack_id,
+               COUNT(*)       AS n_docs,
+               SUM(n_tok)     AS pack_tokens,
+               MIN(doc_id)    AS first_doc,
+               MAX(doc_id)    AS last_doc
+        FROM cum
+        GROUP BY source, pack_id
+    """,
+    doc="Sequence packing (concat-and-chunk): documents are concatenated "
+    "per source in doc_id order and split into fixed token-budget "
+    "contexts; each doc lands in the pack where its first token falls — "
+    "the standard pretraining batch-packing layout. One window pass "
+    "(running token total) + one aggregate, both partitioned by source, "
+    "so the plan is two co-partitioned shuffles regardless of corpus "
+    "size; the token count is the same whitespace tokenizer as the "
+    "text_* queries.",
+)
+def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select(
+        "source", "doc_id", F.size(tokens("text")).cast("long").alias("n_tok")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        docs.withColumn("cum_tok", F.sum("n_tok").over(w))
+        .withColumn(
+            "pack_id",
+            F.floor((F.col("cum_tok") - F.col("n_tok")) / F.lit(float(_PACK_BUDGET))),
+        )
+        .groupBy("source", "pack_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("pack_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )
