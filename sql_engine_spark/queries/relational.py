@@ -717,19 +717,29 @@ def cast_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     "collect_sorted_agg",
     oracle="""
         SELECT l_returnflag,
-               list_sort(list(DISTINCT l_linestatus))                 AS statuses,
-               list_sort(list(DISTINCT CAST(l_linenumber AS BIGINT))) AS linenums
+               array_to_string(list_sort(list(DISTINCT l_linestatus)), ',')
+                   AS statuses,
+               array_to_string(list_sort(list(DISTINCT CAST(l_linenumber AS BIGINT))), ',')
+                   AS linenums
         FROM lineitem GROUP BY l_returnflag
     """,
     doc="Array-building aggregates: collect_set made deterministic by "
     "sort_array (collect order is partition-dependent; the sorted set is "
-    "a pure function of the data).",
+    "a pure function of the data). The sorted arrays are emitted as CSV "
+    "strings: the driver harness canonicalizes results with a pandas sort, "
+    "which cannot hash list-typed cells.",
 )
 def collect_sorted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.sort_array(F.collect_set("l_linestatus")).alias("statuses"),
-        F.sort_array(F.collect_set(F.col("l_linenumber").cast("long"))).alias("linenums"),
+        F.concat_ws(",", F.sort_array(F.collect_set("l_linestatus"))).alias("statuses"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.sort_array(F.collect_set(F.col("l_linenumber").cast("long"))),
+                lambda x: x.cast("string"),
+            ),
+        ).alias("linenums"),
     )
 
 
