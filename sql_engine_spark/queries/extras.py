@@ -606,20 +606,31 @@ def approx_quantile_check(spark: SparkSession, sf_dir: str) -> DataFrame:
                             FILTER (WHERE l_discount > 0.05)), []) AS disc
             FROM lineitem GROUP BY l_orderkey
         )
-        SELECT l_orderkey, hi, disc,
-               list_sort(list_intersect(hi, disc))                AS both_sets,
-               list_sort(list_distinct(list_concat(hi, disc)))    AS either_set,
-               list_sort(list_filter(hi, x -> NOT list_contains(disc, x)))
-                                                                  AS hi_only
+        -- COALESCE: duckdb array_to_string([]) is NULL, Spark concat_ws is ''
+        SELECT l_orderkey,
+               COALESCE(array_to_string(hi, ','), '')   AS hi,
+               COALESCE(array_to_string(disc, ','), '') AS disc,
+               COALESCE(array_to_string(list_sort(list_intersect(hi, disc)), ','), '')
+                                          AS both_sets,
+               COALESCE(array_to_string(list_sort(list_distinct(list_concat(hi, disc))), ','), '')
+                                          AS either_set,
+               COALESCE(array_to_string(
+                   list_sort(list_filter(hi, x -> NOT list_contains(disc, x))), ','), '')
+                                          AS hi_only
         FROM sets
     """,
     doc="Array set algebra (intersect / union / except) over per-group "
-    "collected sets; results sorted so they are order-canonical and "
-    "cross-engine hashable. One shuffle (the collect_set aggregate); "
-    "the set ops are per-row map work.",
+    "collected sets; results sorted so they are order-canonical, then "
+    "emitted as CSV strings (the driver harness canonicalizes results "
+    "with a pandas sort, which cannot hash list cells). One shuffle "
+    "(the collect_set aggregate); the set ops are per-row map work.",
 )
 def array_set_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
+
+    def csv(col) -> F.Column:
+        return F.concat_ws(",", F.transform(col, lambda x: x.cast("string")))
+
     sets = li.groupBy("l_orderkey").agg(
         F.sort_array(
             F.collect_set(F.when(F.col("l_quantity") > 25, F.col("l_linenumber")))
@@ -630,9 +641,9 @@ def array_set_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return sets.select(
         "l_orderkey",
-        "hi",
-        "disc",
-        F.sort_array(F.array_intersect("hi", "disc")).alias("both_sets"),
-        F.sort_array(F.array_union("hi", "disc")).alias("either_set"),
-        F.sort_array(F.array_except("hi", "disc")).alias("hi_only"),
+        csv(F.col("hi")).alias("hi"),
+        csv(F.col("disc")).alias("disc"),
+        csv(F.sort_array(F.array_intersect("hi", "disc"))).alias("both_sets"),
+        csv(F.sort_array(F.array_union("hi", "disc"))).alias("either_set"),
+        csv(F.sort_array(F.array_except("hi", "disc"))).alias("hi_only"),
     )

@@ -38,17 +38,61 @@ def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Hex-pair -> byte value, pure SQL (DuckDB has no blob indexing).
+def _sql_byte(h: str, i: int) -> str:
+    c1 = f"substring({h}, {2 * i + 1}, 1)"
+    c2 = f"substring({h}, {2 * i + 2}, 1)"
+    hexpos = "strpos('0123456789abcdef', {c}) - 1"
+    return f"(16 * ({hexpos.format(c=c1)}) + ({hexpos.format(c=c2)}))"
+
+
+def _decode_oracle() -> str:
+    """The fake decoder derives everything from md5(payload), so DuckDB can
+    reproduce it byte-for-byte from the hex digest: width/height/channels
+    from bytes 0-2, an 8-dim feature vector from bytes 3-10 (each b/255
+    rounded to 6 places, emitted element-wise as FLOAT columns so no
+    float-formatting string comparison is involved)."""
+    feats = ",\n               ".join(
+        f"CAST(round({_sql_byte('h', 3 + i)} / 255.0, 6) AS FLOAT) AS f{i}"
+        for i in range(8)
+    )
+    return f"""
+        WITH d AS (
+            SELECT doc_id, md5(text) AS h,
+                   CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes
+            FROM documents
+        )
+        SELECT doc_id, n_bytes,
+               CAST(1 + {_sql_byte('h', 0)} % 64 AS INT) AS width,
+               CAST(1 + {_sql_byte('h', 1)} % 64 AS INT) AS height,
+               CAST(1 + {_sql_byte('h', 2)} % 4 AS INT)  AS channels,
+               {feats}
+        FROM d
+    """
+
+
 @register(
     "multimodal_decode_features",
-    oracle=None,  # mapInPandas decode is not SQL-expressible
+    oracle=_decode_oracle(),
     doc="Arrow-batched image-decode pipeline over binary payloads "
     "(deterministic fake decoder standing in for PIL — codecs absent in "
     "this container). Exercises the real mapInPandas plumbing: schema, "
-    "batch iteration, column pruning to (id, payload).",
+    "batch iteration, column pruning to (id, payload). The 8-dim feature "
+    "vector is projected element-wise to FLOAT columns so the driver "
+    "harness can hash it, and the digest-derived formulas are "
+    "SQL-expressible for a row-for-row oracle check.",
 )
 def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = with_binary_payload(load(spark, sf_dir, "documents"), "text")
-    return decode_images(docs, id_col="doc_id", binary_col="payload")
+    decoded = decode_images(docs, id_col="doc_id", binary_col="payload")
+    return decoded.select(
+        "doc_id",
+        "n_bytes",
+        "width",
+        "height",
+        "channels",
+        *[F.col("features")[i].alias(f"f{i}") for i in range(8)],
+    )
 
 
 @register(
@@ -72,14 +116,6 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = with_binary_payload(load(spark, sf_dir, "documents"), "text")
     return sample_frames(docs, id_col="doc_id", binary_col="payload", every_n=10)
-
-
-# Hex-pair -> byte value, pure SQL (DuckDB has no blob indexing).
-def _sql_byte(h: str, i: int) -> str:
-    c1 = f"substring({h}, {2 * i + 1}, 1)"
-    c2 = f"substring({h}, {2 * i + 2}, 1)"
-    hexpos = "strpos('0123456789abcdef', {c}) - 1"
-    return f"(16 * ({hexpos.format(c=c1)}) + ({hexpos.format(c=c2)}))"
 
 
 @register(
@@ -120,19 +156,27 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT doc_id, n_samples,
                n_samples / 16000.0 AS duration_s,
-               [CAST(round({_sql_byte('h', 0)} / 255.0, 6) AS FLOAT),
-                CAST(round({_sql_byte('h', 1)} / 255.0, 6) AS FLOAT),
-                CAST(round({_sql_byte('h', 2)} / 255.0, 6) AS FLOAT),
-                CAST(round({_sql_byte('h', 3)} / 255.0, 6) AS FLOAT)] AS mfcc
+               CAST(round({_sql_byte('h', 0)} / 255.0, 6) AS FLOAT) AS mfcc_0,
+               CAST(round({_sql_byte('h', 1)} / 255.0, 6) AS FLOAT) AS mfcc_1,
+               CAST(round({_sql_byte('h', 2)} / 255.0, 6) AS FLOAT) AS mfcc_2,
+               CAST(round({_sql_byte('h', 3)} / 255.0, 6) AS FLOAT) AS mfcc_3
         FROM d
     """,
     doc="Audio feature plumbing (librosa absent; digest-derived MFCC "
     "stand-in): sample count from payload bytes, duration at 16 kHz, "
     "4-dim feature vector — Arrow-batched mapInPandas with the formulas "
-    "SQL-expressible for a row-for-row oracle check.",
+    "SQL-expressible for a row-for-row oracle check. The vector is "
+    "projected element-wise to FLOAT columns so the driver harness can "
+    "hash it.",
 )
 def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sql_engine_spark.operators.multimodal import extract_audio_features
 
     docs = with_binary_payload(load(spark, sf_dir, "documents"), "text")
-    return extract_audio_features(docs, id_col="doc_id", binary_col="payload")
+    feats = extract_audio_features(docs, id_col="doc_id", binary_col="payload")
+    return feats.select(
+        "doc_id",
+        "n_samples",
+        "duration_s",
+        *[F.col("mfcc")[i].alias(f"mfcc_{i}") for i in range(4)],
+    )
