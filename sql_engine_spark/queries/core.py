@@ -345,7 +345,8 @@ def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
         LIMIT 20
     """,
     doc="TPC-H Q3 shape: selective dim filter -> fact join -> agg -> top-k. "
-    "customer side is broadcast after the segment filter; top-k avoids a "
+    "customer join strategy is left to size-based selection + AQE "
+    "(customer grows with SF); top-k avoids a "
     "global sort via TakeOrderedAndProject.",
 )
 def tpch_q3_like(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -355,7 +356,7 @@ def tpch_q3_like(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(dsum(revenue).alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate")
@@ -392,7 +393,7 @@ def tpch_q5_like(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .join(
-            F.broadcast(s),
+            s,
             (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
         )
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)

@@ -429,7 +429,7 @@ def tpch_q18_like(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         big.join(o, big.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .select("c_name", "c_custkey", "o_orderkey", "o_totalprice", "sum_qty")
         .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
         .limit(20)
@@ -557,7 +557,7 @@ def tpch_q14_like(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load(spark, sf_dir, "part").select("p_partkey", "p_type")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     agg = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .agg(
             dsum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0)).alias("promo"),
             dsum(rev).alias("total"),

@@ -461,13 +461,15 @@ def subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE o_custkey IN (SELECT c_custkey FROM customer
                             WHERE c_mktsegment = 'MACHINERY')
     """,
-    doc="IN subquery (plans as left-semi join).",
+    doc="IN subquery (plans as left-semi join; customer grows with SF, so "
+    "the strategy is left to size-based selection + AQE rather than an "
+    "unconditional broadcast hint).",
 )
 def subquery_in(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
     c = load(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "MACHINERY")
     return o.join(
-        F.broadcast(c.select("c_custkey")), o.o_custkey == F.col("c_custkey"), "left_semi"
+        c.select("c_custkey"), o.o_custkey == F.col("c_custkey"), "left_semi"
     ).select("o_orderkey", "o_custkey", "o_orderstatus")
 
 

@@ -71,7 +71,7 @@ def tpch_q7_like(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n1), s.s_nationkey == F.col("n1_key"))
         .join(F.broadcast(n2), c.c_nationkey == F.col("n2_key"))
         .where(pair)
@@ -127,10 +127,10 @@ def tpch_q8_like(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     base = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n1), c.c_nationkey == F.col("n1_key"))
         .join(F.broadcast(r), F.col("n1_region") == r.r_regionkey)
         .join(F.broadcast(n2), s.s_nationkey == F.col("n2_key"))
@@ -171,8 +171,9 @@ def tpch_q8_like(spark: SparkSession, sf_dir: str) -> DataFrame:
     "profit on parts matching a name pattern. The synthetic schema has no "
     "partsupp, so p_retailprice * l_quantity stands in for "
     "ps_supplycost * l_quantity as the cost term (same expression shape). "
-    "LIKE-filtered part broadcasts; profit is a per-row double expression "
-    "reduced in decimal.",
+    "The LIKE-filtered part join is left to size-based selection + AQE "
+    "(part grows with SF, so no unconditional broadcast hint); profit is "
+    "a per-row double expression reduced in decimal.",
 )
 def tpch_q9_like(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load(spark, sf_dir, "part").where(F.col("p_name").like("%widget%"))
@@ -184,9 +185,9 @@ def tpch_q9_like(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_retailprice"
     ) * F.col("l_quantity")
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .select(
             F.col("n_name").alias("nation"),
@@ -228,7 +229,7 @@ def tpch_q11_like(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load(spark, sf_dir, "supplier")
     n = load(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_3")
     base = (
-        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .select("l_partkey", "l_extendedprice")
     )
@@ -306,8 +307,8 @@ def tpch_q16_like(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_suppkey"
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(bad_supp), li.l_suppkey == F.col("s_suppkey"), "left_anti")
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(bad_supp, li.l_suppkey == F.col("s_suppkey"), "left_anti")
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -341,7 +342,7 @@ def tpch_q17_like(spark: SparkSession, sf_dir: str) -> DataFrame:
         (dsum("l_quantity") / F.count("*")).alias("aq_avg")
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .join(avg_qty, li.l_partkey == F.col("aq_partkey"))
         .where(F.col("l_quantity") < 0.2 * F.col("aq_avg"))
         .agg((dsum("l_extendedprice") / 7.0).alias("avg_yearly"))
@@ -365,7 +366,8 @@ def tpch_q17_like(spark: SparkSession, sf_dir: str) -> DataFrame:
     "part-side (brand, size) and lineitem-side (quantity) predicates. "
     "Catalyst extracts the common part-side disjunction "
     "(brand+size ranges) below the join and keeps the cross-table OR as "
-    "the join filter; part broadcasts.",
+    "the join filter; the part join strategy is left to size-based "
+    "selection + AQE (part grows with SF).",
 )
 def tpch_q19_like(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
@@ -385,7 +387,7 @@ def tpch_q19_like(spark: SparkSession, sf_dir: str) -> DataFrame:
         & qty.between(20, 30)
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .where(branch)
         .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
     )
@@ -425,7 +427,7 @@ def tpch_q20_like(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     p = load(spark, sf_dir, "part").where(F.col("p_name").like("%widget%"))
     shippers = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .groupBy("l_suppkey")
         .agg(F.sum(F.col("l_quantity").cast(DEC)).alias("qty"))
         .where(F.col("qty") > 100)
@@ -490,7 +492,7 @@ def tpch_q21_like(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         late_lines.join(per_order, F.col("l_orderkey") == F.col("po_orderkey"))
         .where((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
-        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
     )
