@@ -74,17 +74,32 @@ def main() -> int:
             timings[name] = min(timings.get(name, float("inf")), t)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+
+    # Companion pass at sf0.01: a low-variance second datapoint so
+    # round-over-round deltas aren't drowned by sf0.1 run noise. One
+    # best-of-2 pass (plans are already codegen-warm from the warmup).
+    companion: dict[str, float] = {}
+    comp_dir = "/root/testdata/sf0.01"
+    if os.path.isdir(comp_dir) and os.path.abspath(comp_dir) != os.path.abspath(sf_dir):
+        for _ in range(2):
+            for name in HEADLINE:
+                t0 = time.time()
+                qs[name].build(spark, comp_dir).write.mode("overwrite").format("noop").save()
+                t = round(time.time() - t0, 3)
+                companion[name] = min(companion.get(name, float("inf")), t)
+
+    out = {
+        "metric": "headline_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if companion:
+        out["companion_sf"] = 0.01
+        out["companion_total"] = round(sum(companion.values()), 3)
+        out["companion_queries"] = companion
+    print(json.dumps(out))
     return 0
 
 

@@ -20,7 +20,7 @@ production — semantics are unchanged.
 from __future__ import annotations
 
 from pyspark import StorageLevel
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from sql_engine_spark.operators.textprep import shingles, tokens
@@ -52,11 +52,17 @@ def minhash_signature(digest_col: str, num_hashes: int) -> "F.Column":
     One-permutation style: the 32-hex digest is split into `num_hashes`
     disjoint lanes (32/num_hashes hex chars each); lane j's minhash is the
     lexicographic min of that substring across shingles. One md5 per
-    shingle instead of one per (lane, shingle) — 8x less hashing with the
-    same estimator quality, which is the difference between 1 and k hash
-    passes over 100 TB of shingles. The digest column must be materialized
-    separately (shingle_digests) so the md5 isn't re-evaluated inside each
-    lane's lambda.
+    shingle instead of one per (lane, shingle) — 8x less hashing, which is
+    the difference between 1 and k hash passes over 100 TB of shingles.
+
+    Lane-width tradeoff: each lane is only 32/num_hashes hex chars (16
+    bits at num_hashes=8), so for documents with >>10k distinct shingles
+    min-value collisions bias the per-lane Jaccard estimate upward and
+    inflate candidate-pair volume (correctness is unaffected — the exact
+    Jaccard verify join filters false candidates). For very large
+    documents or num_hashes > 8, derive wider lanes instead, e.g.
+    `xxhash64(concat(h, lane_j))` per lane — k hash calls over the
+    already-computed digests, still one md5 pass over raw shingles.
     """
     width = 32 // num_hashes
     assert width >= 1, "num_hashes must be <= 32 (md5 digest is 32 hex chars)"
@@ -85,11 +91,22 @@ def minhash_lsh_pairs(
     num_hashes: int = 8,
     bands: int = 4,
     threshold: float = 0.2,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, verified Jaccard >= threshold).
 
     Pipeline: shingle -> minhash -> band -> bucket-join -> exact-verify.
     Returns columns (id_a, id_b, jaccard).
+
+    `max_bucket_size` bounds the self-join blowup on degenerate buckets:
+    a boilerplate-heavy corpus can put millions of docs behind one band
+    key, turning that bucket's candidates quadratic. Buckets larger than
+    the cap are DROPPED (standard LSH-at-scale practice: a mega-bucket
+    means the band carries no discriminating signal; its members still
+    pair up via their other, selective bands). The count is computed with
+    an unbounded window over the same (band, key) partitioning the join
+    shuffles by anyway — no extra exchange. Default None = no cap, which
+    keeps the oracle comparison exact on the curated testdata.
     """
     rows_per_band = num_hashes // bands
     # Persist the shingle projection: it feeds the bucket self-join AND both
@@ -102,7 +119,12 @@ def minhash_lsh_pairs(
     # is amortized by the 3 downstream reuses of the persisted projection.
     src = df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__text"))
     target = df.sparkSession.sparkContext.defaultParallelism
-    if src.rdd.getNumPartitions() < target:
+    # Widen a narrow file source without touching df.rdd (which would force
+    # an RDD conversion boundary into the plan just to read a partition
+    # count): inputFiles() is a pure-metadata probe. Non-file sources
+    # (VALUES, streams) return [] and keep their upstream parallelism.
+    n_files = len(src.inputFiles())
+    if 0 < n_files < target:
         src = src.repartition(target)
     docs = (
         src.select("__id", tokens("__text").alias("__tokens"))
@@ -130,6 +152,13 @@ def minhash_lsh_pairs(
         .select("__id", *key_cols)
         .select("__id", F.expr(stack_expr))
     )
+    if max_bucket_size is not None:
+        wb = Window.partitionBy("__band", "__key")
+        buckets = (
+            buckets.withColumn("__bn", F.count("*").over(wb))
+            .where(F.col("__bn") <= max_bucket_size)
+            .drop("__bn")
+        )
     a, b = buckets.alias("a"), buckets.alias("b")
     candidates = (
         a.join(

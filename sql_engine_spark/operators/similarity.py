@@ -157,6 +157,8 @@ def ivf_topk(
 
     Returns (query_id, neighbor_id, cell, cosine, rank).
     """
+    from pyspark import StorageLevel
+
     from sql_engine_spark.functions.vectors import dot, l2_norm, normalized
 
     def norm_side(df: DataFrame, out_id: str) -> DataFrame:
@@ -169,9 +171,16 @@ def ivf_topk(
             .select(out_id, "__nv")
         )
 
+    # Normalize the corpus ONCE and persist: it feeds the centroid pick,
+    # the cell assignment, and (via `corp`) the probe join — without the
+    # persist the corpus parquet is scanned and re-normalized 3-4x
+    # (PLANS.md r1 showed 4 scans). MEMORY_AND_DISK spills on big corpora.
+    corp_norm = norm_side(corpus, "neighbor_id").persist(StorageLevel.MEMORY_AND_DISK)
+
     cents = F.broadcast(
-        norm_side(corpus.orderBy(id_col).limit(num_centroids), "cent_id")
-        .withColumnRenamed("__nv", "__ce")
+        corp_norm.orderBy("neighbor_id")
+        .limit(num_centroids)
+        .select(F.col("neighbor_id").alias("cent_id"), F.col("__nv").alias("__ce"))
     )
 
     def scored_cells(df: DataFrame, out_id: str) -> DataFrame:
@@ -186,7 +195,8 @@ def ivf_topk(
     # window, which would sort-shuffle the whole corpus at scale. Ties
     # break to the lowest cent_id, same as the window ordering.
     corp = (
-        scored_cells(corpus, "neighbor_id")
+        corp_norm.crossJoin(cents)
+        .withColumn("__ccos", dot("__nv", "__ce"))
         .groupBy("neighbor_id")
         .agg(
             F.max_by("cent_id", F.struct(F.col("__ccos"), -F.col("cent_id"))).alias(

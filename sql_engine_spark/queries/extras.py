@@ -473,9 +473,9 @@ def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     "udtf_split_words",
     oracle="""
         WITH s AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
-        SELECT doc_id, ws[CAST(i AS INT)] AS word, CAST(i - 1 AS INT) AS pos
-        FROM s CROSS JOIN range(1, 2000) t(i)
-        WHERE i <= len(ws)
+        SELECT doc_id, unnest(ws) AS word,
+               CAST(generate_subscripts(ws, 1) - 1 AS INT) AS pos
+        FROM s
     """,
     doc="Python UDTF (table function): one output row per word with its "
     "position, invoked via LATERAL. Completes the UDF/UDAF/UDTF surface "

@@ -125,17 +125,28 @@ def compact_dataset(
     *,
     target_file_bytes: int = 128 * 1024 * 1024,
     sort_by: list[str] | None = None,
+    partition_by: list[str] | None = None,
     format: str = "parquet",
 ) -> int:
     """Rewrite a dataset into ~target_file_bytes files; returns the new
-    file count.
+    part-file count (counted recursively, so partitioned layouts report
+    their true file count).
 
     The small-files problem is the classic failure mode of incremental
     ingest at scale: thousands of KB-sized files turn a scan into a
     metadata storm (one task + one open per file). Compaction sizes the
-    output from the dataset's actual on-disk bytes, optionally
+    output from the dataset's actual on-disk bytes and optionally
     re-clusters rows (better row-group min/max stats -> more row-group
-    skipping), and atomically swaps via write-to-temp + rename.
+    skipping). Pass `partition_by` to preserve a hive-partitioned layout
+    (the rewrite flattens directories otherwise).
+
+    Swap discipline: write to a temp dir, rename the original aside, move
+    the temp into place, then delete the old copy — the dataset is only
+    ever missing during the two cheap `os.replace` renames (not during
+    the slow write or the slow delete), and a failure at any step
+    restores the original and removes the temp. This is crash-safe on a
+    POSIX filesystem; on an object store (no atomic rename) use a
+    catalog/manifest swap instead — this helper is for local/HDFS paths.
     """
     import shutil
 
@@ -151,15 +162,26 @@ def compact_dataset(
     if sort_by:
         out = out.sortWithinPartitions(*sort_by)
     tmp = path.rstrip("/") + ".__compact_tmp__"
+    old = path.rstrip("/") + ".__compact_old__"
+    writer = out.write.mode("overwrite").format(format)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
     try:
-        out.write.mode("overwrite").format(format).save(tmp)
+        writer.save(tmp)
+        os.replace(path, old)
+        try:
+            os.replace(tmp, path)
+        except Exception:
+            os.replace(old, path)  # restore the original before surfacing
+            raise
     except Exception as exc:  # noqa: BLE001 - mapped to taxonomy
+        shutil.rmtree(tmp, ignore_errors=True)
         raise StorageError(str(exc)) from exc
-    shutil.rmtree(path)
-    os.replace(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
     return sum(
         1
-        for f in os.listdir(path)
+        for dirpath, _, files in os.walk(path)
+        for f in files
         if f.startswith("part-") and not f.endswith(".crc")
     )
 

@@ -201,3 +201,29 @@ def test_zorder_layout_skips_on_both_columns(spark, sf_dir, tmp_path):
     assert avg_file_range(z_path, "l_partkey") < 0.6 * (
         src.agg(F.max("l_partkey") - F.min("l_partkey")).first()[0]
     )
+
+
+def test_compact_dataset_partitioned_layout(spark, sf_dir, tmp_path):
+    """partition_by preserves the hive layout through the rewrite and the
+    returned file count walks subdirectories."""
+    from sql_engine_spark.sinks import compact_dataset
+
+    src = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_returnflag"
+    )
+    path = str(tmp_path / "part_frag")
+    src.repartition(16).write.mode("overwrite").partitionBy("l_returnflag").parquet(path)
+    expected = src.count()
+
+    n_after = compact_dataset(
+        spark, path, target_file_bytes=64 * 1024 * 1024, partition_by=["l_returnflag"]
+    )
+    assert n_after >= 1
+    # Hive partition dirs survived the swap.
+    subdirs = [d for d in os.listdir(path) if d.startswith("l_returnflag=")]
+    assert len(subdirs) >= 2
+    back = spark.read.parquet(path)
+    assert back.count() == expected
+    assert set(back.columns) == {"l_orderkey", "l_quantity", "l_returnflag"}
+    assert not os.path.exists(path + ".__compact_tmp__")
+    assert not os.path.exists(path + ".__compact_old__")

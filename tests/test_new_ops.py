@@ -64,3 +64,33 @@ def test_ann_recall_vs_brute_force(spark, sf_dir):
     # OR-amplification must not lose the single-table candidates' recall
     single = _topk_pairs(spark, sf_dir, "ann_lsh_topk")
     assert len(brute & multi) >= len(brute & single)
+
+
+def test_minhash_lsh_bucket_cap_bounds_hot_bucket(spark):
+    """A boilerplate corpus (many identical docs) lands in one band bucket;
+    the cap must bound the candidate blowup while distinct near-dup pairs
+    outside the hot bucket survive."""
+    from sql_engine_spark.operators.dedup import minhash_lsh_pairs
+
+    boiler = [(i, "lorem ipsum dolor sit amet consectetur adipiscing elit")
+              for i in range(40)]
+    # A genuine near-dup pair with its own (non-hot) signature.
+    distinct = [
+        (100, "the quick brown fox jumps over the lazy dog today"),
+        (101, "the quick brown fox jumps over the lazy dog tonight"),
+    ]
+    df = spark.createDataFrame(boiler + distinct, "doc_id int, text string")
+
+    uncapped = minhash_lsh_pairs(df, "doc_id", "text", threshold=0.2)
+    n_uncapped = uncapped.count()
+    assert n_uncapped >= 40 * 39 / 2  # hot bucket went quadratic
+
+    capped = minhash_lsh_pairs(
+        df, "doc_id", "text", threshold=0.2, max_bucket_size=10
+    )
+    rows = capped.collect()
+    # Hot-bucket (40 identical docs) pairs are dropped; the distinct
+    # near-dup pair survives via its own small bucket.
+    assert (100, 101) in {(r.id_a, r.id_b) for r in rows}
+    assert len(rows) < n_uncapped
+    assert all(not (r.id_a < 40 and r.id_b < 40) for r in rows)
