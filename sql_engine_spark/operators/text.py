@@ -88,6 +88,86 @@ def quality_features(df, text_col: str, id_col: str):
     return out.withColumn("quality", score).drop("__text", "__tokens")
 
 
+def decontaminate_ngrams(
+    corpus,
+    probes,
+    *,
+    id_col: str,
+    text_col: str,
+    ngram_k: int,
+):
+    """Benchmark decontamination: flag corpus docs sharing any word
+    `ngram_k`-gram with the probe (benchmark/eval) set.
+
+    Returns (doc_id, n_shared_ngrams) for flagged docs only — the rows a
+    curation pipeline would quarantine before training.
+
+    Scale shape: the probe set is the eval suite — tiny and bounded — so
+    its distinct n-gram set is BROADCAST; the corpus is one pure map
+    stage (tokenize/shingle/explode) into a broadcast semi-join, then a
+    single hash-aggregate by doc. No shuffle touches the full n-gram
+    stream except the final per-doc count, which is partial+final.
+    """
+    from sql_engine_spark.operators.textprep import shingles, tokens as _tokens
+
+    def ngram_rows(df, keep_id: bool):
+        out = (
+            df.select(
+                F.col(id_col).alias("__doc"),
+                _tokens(text_col).alias("__t"),
+            )
+            .withColumn("__ngs", F.array_distinct(shingles("__t", ngram_k)))
+            .select("__doc", F.explode("__ngs").alias("__ng"))
+        )
+        return out if keep_id else out.select("__ng").distinct()
+
+    probe_ngrams = F.broadcast(ngram_rows(probes, keep_id=False))
+    return (
+        ngram_rows(corpus, keep_id=True)
+        .join(probe_ngrams, "__ng")
+        .groupBy(F.col("__doc").alias("doc_id"))
+        .agg(F.count("*").cast("long").alias("n_shared_ngrams"))
+    )
+
+
+def vocab_topk(df, *, text_col: str, k: int):
+    """Corpus vocabulary: top-k tokens by frequency (ties -> lexicographic).
+
+    One explode + one hash-aggregate (map-side combined) + TakeOrdered —
+    the canonical distributed word count; at 100 TB the only shuffle is
+    the partial-count exchange keyed by token.
+    """
+    return (
+        df.select(F.explode(tokens(text_col)).alias("token"))
+        .where(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(k)
+    )
+
+
+def repetition_features(df, *, id_col: str, text_col: str):
+    """Per-doc repetition signals: distinct-token ratio and the share of
+    the single most frequent token. High top-token share / low distinct
+    ratio marks boilerplate and degenerate generations — a standard
+    pretraining quality filter. Pure per-row map work (no shuffle); the
+    inner distinct×filter scan is quadratic in DOC length only, bounded
+    by the tokenizer, never by corpus size."""
+    top_cnt = F.expr(
+        "array_max(transform(array_distinct(__t), x -> size(filter(__t, y -> y = x))))"
+    )
+    return (
+        df.select(F.col(id_col), tokens(text_col).alias("__t"))
+        .withColumn("n_tokens", F.size("__t").cast("long"))
+        .withColumn(
+            "distinct_ratio", F.size(F.array_distinct("__t")) / F.col("n_tokens")
+        )
+        .withColumn("top_token_share", top_cnt / F.col("n_tokens"))
+        .drop("__t")
+    )
+
+
 def fingerprint(tokens_col: str) -> "F.Column":
     """OpenRefine-style fingerprint: md5 of the sorted distinct token set.
     Robust to word order and duplication — the canonical cheap near-dup key."""

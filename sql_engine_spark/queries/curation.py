@@ -1,0 +1,99 @@
+"""Training-data curation queries: benchmark decontamination, corpus
+vocabulary, repetition-based quality signals.
+
+These extend the reference's surface (which stops at single-table SELECT,
+/root/reference/src/planner/mod.rs:202-207) with the operations an LLM
+pretraining pipeline runs over a 100 TB documents table. Each query is
+exact-checked against a DuckDB oracle computing the identical pipeline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sql_engine_spark.io import load
+from sql_engine_spark.operators.text import (
+    decontaminate_ngrams,
+    repetition_features,
+    vocab_topk,
+)
+from sql_engine_spark.operators.textprep import sql_shingles, sql_tokens
+from sql_engine_spark.registry import register
+
+# The "benchmark" (eval) slice is carved deterministically from documents
+# so the oracle can reproduce it: every 97th doc plays the eval suite.
+_PROBE_MOD = 97
+_DECON_K = 3
+
+
+@register(
+    "text_decontaminate",
+    oracle=f"""
+        WITH ngs AS (
+            SELECT doc_id,
+                   list_distinct({sql_shingles(sql_tokens('text'), _DECON_K)}) AS g
+            FROM documents
+        ),
+        probe AS (
+            SELECT DISTINCT unnest(g) AS ng FROM ngs WHERE doc_id % {_PROBE_MOD} = 0
+        ),
+        corp AS (
+            SELECT doc_id, unnest(g) AS ng FROM ngs WHERE doc_id % {_PROBE_MOD} <> 0
+        )
+        SELECT corp.doc_id AS doc_id, COUNT(*) AS n_shared_ngrams
+        FROM corp JOIN probe USING (ng)
+        GROUP BY corp.doc_id
+    """,
+    doc="Benchmark decontamination: corpus docs sharing any word "
+    f"{_DECON_K}-gram with the (deterministic) eval slice, with the "
+    "shared-gram count. Probe n-grams broadcast; corpus side is one map "
+    "stage + one per-doc hash-aggregate — no corpus-sized shuffle.",
+)
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    probes = docs.where(F.col("doc_id") % _PROBE_MOD == 0)
+    corpus = docs.where(F.col("doc_id") % _PROBE_MOD != 0)
+    return decontaminate_ngrams(
+        corpus, probes, id_col="doc_id", text_col="text", ngram_k=_DECON_K
+    )
+
+
+@register(
+    "text_vocab_topk",
+    oracle=f"""
+        SELECT token, COUNT(*) AS n
+        FROM (SELECT unnest({sql_tokens('text')}) AS token FROM documents)
+        WHERE token <> ''
+        GROUP BY token
+        ORDER BY n DESC, token
+        LIMIT 100
+    """,
+    doc="Corpus vocabulary head: top-100 tokens by frequency (ties break "
+    "lexicographically). Distributed word count: explode -> map-side "
+    "partial counts -> one exchange keyed by token -> TakeOrdered.",
+)
+def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return vocab_topk(load(spark, sf_dir, "documents"), text_col="text", k=100)
+
+
+@register(
+    "text_repetition",
+    oracle=f"""
+        WITH t AS (SELECT doc_id, {sql_tokens('text')} AS tt FROM documents)
+        SELECT doc_id,
+               CAST(len(tt) AS BIGINT) AS n_tokens,
+               len(list_distinct(tt)) / len(tt) AS distinct_ratio,
+               list_max(list_transform(list_distinct(tt),
+                   x -> len(list_filter(tt, y -> y = x)))) / len(tt)
+                 AS top_token_share
+        FROM t
+    """,
+    doc="Repetition quality signals per doc: distinct-token ratio and the "
+    "most-frequent token's share. Pure per-row map work; the inner scan "
+    "is quadratic in document length only, never corpus size.",
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return repetition_features(
+        load(spark, sf_dir, "documents"), id_col="doc_id", text_col="text"
+    )

@@ -34,10 +34,15 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MINHASH_PARAMS = dict(shingle_k=3, num_hashes=8, bands=4, threshold=0.2)
 
 
-def _sql_minhash_lsh(k: int, num_hashes: int, bands: int, threshold: float) -> str:
+def _sql_minhash_lsh(
+    k: int, num_hashes: int, bands: int, threshold: float, cap: int | None = None
+) -> str:
     r = num_hashes // bands
     width = 32 // num_hashes
     toks = sql_tokens("text")
+    qualify = (
+        f"QUALIFY COUNT(*) OVER (PARTITION BY b, key) <= {cap}" if cap else ""
+    )
     return f"""
         WITH docs AS (
             SELECT doc_id AS id, {sql_shingles(toks, k)} AS sh FROM documents
@@ -57,6 +62,7 @@ def _sql_minhash_lsh(k: int, num_hashes: int, bands: int, threshold: float) -> s
             SELECT id, b,
                    md5(array_to_string(sig[b*{r}+1 : b*{r}+{r}], '|')) AS key
             FROM sigs CROSS JOIN range(0, {bands}) t(b)
+            {qualify}
         ),
         candidates AS (
             SELECT DISTINCT a.id AS id_a, b.id AS id_b
@@ -83,6 +89,22 @@ def _sql_minhash_lsh(k: int, num_hashes: int, bands: int, threshold: float) -> s
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return D.minhash_lsh_pairs(docs, "doc_id", "text", **_MINHASH_PARAMS)
+
+
+@register(
+    "dedup_minhash_lsh_capped",
+    oracle=_sql_minhash_lsh(3, 8, 4, 0.2, cap=20),
+    doc="MinHash+LSH with a per-bucket size cap (20): band buckets larger "
+    "than the cap are dropped before the self-join, bounding the "
+    "quadratic blowup a boilerplate-heavy corpus would otherwise cause "
+    "in a hot bucket. The count rides the same (band, key) partitioning "
+    "the join shuffles by — no extra exchange.",
+)
+def dedup_minhash_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return D.minhash_lsh_pairs(
+        docs, "doc_id", "text", max_bucket_size=20, **_MINHASH_PARAMS
+    )
 
 
 @register(
