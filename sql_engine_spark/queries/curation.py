@@ -18,6 +18,7 @@ from sql_engine_spark.operators.text import (
     repetition_features,
     vocab_topk,
 )
+from sql_engine_spark.operators.similarity import sql_lsh_bucket
 from sql_engine_spark.operators.textprep import sql_shingles, sql_tokens
 from sql_engine_spark.registry import register
 
@@ -75,6 +76,44 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab_topk(load(spark, sf_dir, "documents"), text_col="text", k=100)
+
+
+_SEM_PLANES = 6
+
+
+@register(
+    "dedup_semantic_lsh",
+    oracle=f"""
+        WITH v AS (
+            SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+            FROM embeddings
+        )
+        SELECT {sql_lsh_bucket('e', _SEM_PLANES, 64)} AS bucket,
+               MIN(vec_id) AS rep_id,
+               COUNT(*) AS n_members
+        FROM v
+        GROUP BY 1
+    """,
+    doc="Semantic dedup (SemDeDup-style): embeddings hashed into random-"
+    f"hyperplane LSH buckets ({_SEM_PLANES} planes -> 64 cells); each "
+    "bucket keeps one representative (min id) and records its member "
+    "count. ONE hash-aggregate shuffle over the corpus — the cheap first "
+    "pass before exact cosine verification within buckets.",
+)
+def dedup_semantic_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sql_engine_spark.operators.similarity import lsh_bucket
+
+    emb = load(spark, sf_dir, "embeddings")
+    return (
+        emb.select(
+            "vec_id", lsh_bucket("embedding", _SEM_PLANES, 64).alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(
+            F.min("vec_id").alias("rep_id"),
+            F.count("*").cast("long").alias("n_members"),
+        )
+    )
 
 
 @register(
