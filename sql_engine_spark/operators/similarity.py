@@ -229,6 +229,151 @@ def ivf_topk(
     )
 
 
+def kmeans_centroids(
+    corp_norm: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    num_centroids: int,
+    iterations: int,
+) -> DataFrame:
+    """Spherical k-means over pre-normalized vectors, bit-reproducibly.
+
+    Seeding is deterministic (the `num_centroids` lowest-id vectors);
+    each Lloyd iteration is assign (argmax dot, ties to lowest centroid)
+    -> per-dimension mean -> re-normalize. The per-dimension mean uses an
+    ORDERED reduction (collect members sorted by id, sum left-to-right)
+    so the result is identical under any partitioning — that's what lets
+    an external oracle reproduce the centroids exactly. The collect is
+    per (centroid, dim) and holds one double per member: fine for the
+    bounded corpora you train centroids on (sample, then train); swap in
+    plain avg() when reproducibility-under-repartition isn't required.
+
+    Returns (cent_id, __ce) with unit-norm centroid vectors.
+    """
+    from sql_engine_spark.functions.vectors import dot, l2_norm, normalized
+
+    cents = (
+        corp_norm.orderBy(id_col)
+        .limit(num_centroids)
+        .select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("__ce"))
+    )
+    for _ in range(iterations):
+        assigned = (
+            corp_norm.crossJoin(F.broadcast(cents))
+            .withColumn("__ccos", dot(vec_col, "__ce"))
+            .groupBy(id_col)
+            .agg(
+                F.max_by(
+                    "cent_id", F.struct(F.col("__ccos"), -F.col("cent_id"))
+                ).alias("cent_id"),
+                F.first(vec_col).alias("__v"),
+            )
+        )
+        dims = assigned.select(
+            "cent_id", F.col(id_col), F.posexplode("__v").alias("d", "x")
+        )
+        mu = (
+            dims.groupBy("cent_id", "d")
+            .agg(
+                F.expr(
+                    f"aggregate(transform(array_sort(collect_list("
+                    f"struct({id_col} AS i, x AS x))), s -> s.x), "
+                    f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+                ).alias("s"),
+                F.count("*").alias("n"),
+            )
+            .withColumn("mu", F.col("s") / F.col("n"))
+        )
+        vecs = mu.groupBy("cent_id").agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(d AS d, mu AS mu))),"
+                " s -> s.mu)"
+            ).alias("__m")
+        )
+        cents = (
+            vecs.withColumn("__n", l2_norm("__m"))
+            .withColumn("__ce", normalized("__m", "__n"))
+            .select("cent_id", "__ce")
+        )
+    return cents
+
+
+def ivf_kmeans_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    num_centroids: int,
+    nprobe: int = 2,
+    iterations: int = 1,
+) -> DataFrame:
+    """IVF top-k with TRAINED (spherical k-means) centroids.
+
+    Same search plan as `ivf_topk` — corpus shuffles once by cell,
+    queries probe `nprobe` cells — but the coarse quantizer is learned:
+    `iterations` Lloyd rounds refine the deterministic seed centroids,
+    which tightens cells around the data and raises recall at the same
+    nprobe. Training cost is iterations x (one broadcast-join pass +
+    two hash aggregates) over the corpus.
+    """
+    from pyspark import StorageLevel
+
+    from sql_engine_spark.functions.vectors import dot, l2_norm, normalized
+
+    def norm_side(df: DataFrame, out_id: str) -> DataFrame:
+        return (
+            df.select(F.col(id_col).alias(out_id), F.col(vec_col).alias("__v"))
+            .withColumn("__n", l2_norm("__v"))
+            .withColumn("__nv", normalized("__v", "__n"))
+            .select(out_id, "__nv")
+        )
+
+    corp_norm = norm_side(corpus, "neighbor_id").persist(StorageLevel.MEMORY_AND_DISK)
+    cents = F.broadcast(
+        kmeans_centroids(
+            corp_norm,
+            id_col="neighbor_id",
+            vec_col="__nv",
+            num_centroids=num_centroids,
+            iterations=iterations,
+        )
+    )
+    corp = (
+        corp_norm.crossJoin(cents)
+        .withColumn("__ccos", dot("__nv", "__ce"))
+        .groupBy("neighbor_id")
+        .agg(
+            F.max_by("cent_id", F.struct(F.col("__ccos"), -F.col("cent_id"))).alias(
+                "cent_id"
+            ),
+            F.first("__nv").alias("__cv"),
+        )
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("__ccos"), F.asc("cent_id"))
+    probes = (
+        norm_side(queries, "query_id")
+        .crossJoin(cents)
+        .withColumn("__ccos", dot("__nv", "__ce"))
+        .withColumn("__rn", F.row_number().over(wq))
+        .where(F.col("__rn") <= nprobe)
+        .select("query_id", F.col("__nv").alias("__qv"), "cent_id")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        F.broadcast(probes)
+        .join(corp, "cent_id")
+        .withColumn("cosine", dot("__qv", "__cv"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", F.col("cent_id").alias("cell"), "cosine", "rank"
+        )
+    )
+
+
 def embedding_cosine_pairs(
     df: DataFrame,
     *,

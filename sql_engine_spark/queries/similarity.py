@@ -240,3 +240,111 @@ def ann_lsh_multitable_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         tables=4,
         dim=DIM,
     )
+
+
+def _ivf_kmeans_oracle(num_centroids: int, nprobe: int, k: int, iters: int) -> str:
+    """Mirror of operators/similarity.py:ivf_kmeans_topk, including the
+    ordered per-dimension reduction that makes the centroid means exact
+    (list(x ORDER BY vec_id) = Spark's array_sort(collect_list(...));
+    both sum left-to-right from a 0.0 accumulator)."""
+    assert iters == 1, "oracle spelled out for one Lloyd iteration"
+    assign = (
+        "SELECT c.vec_id, c.nv, t.cent_id,"
+        "       row_number() OVER (PARTITION BY c.vec_id"
+        f"                         ORDER BY {_dot('c.nv', 't.ce')} DESC, t.cent_id) AS rn"
+    )
+    return f"""
+        WITH v AS (
+            SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+            FROM embeddings
+        ),
+        nrm AS (
+            SELECT vec_id, list_transform(e, x -> x / n) AS nv
+            FROM (SELECT vec_id, e,
+                         sqrt(list_reduce(list_transform(e, x -> x * x),
+                                          (a, b) -> a + b)) AS n
+                  FROM v)
+        ),
+        c0 AS (
+            SELECT vec_id AS cent_id, nv AS ce FROM nrm
+            WHERE vec_id >= 10 ORDER BY vec_id LIMIT {num_centroids}
+        ),
+        a0 AS (
+            SELECT vec_id, nv, cent_id FROM (
+                {assign.replace('t.ce', 't.ce').replace('cents', 'c0')}
+                FROM nrm c CROSS JOIN c0 t
+                WHERE c.vec_id >= 10
+            ) WHERE rn = 1
+        ),
+        dims AS (
+            SELECT cent_id, vec_id, generate_subscripts(nv, 1) AS d, unnest(nv) AS x
+            FROM a0
+        ),
+        mu AS (
+            SELECT cent_id, d,
+                   list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                            list(x ORDER BY vec_id)),
+                               (a, b) -> a + b) / COUNT(*) AS mu
+            FROM dims GROUP BY cent_id, d
+        ),
+        cm AS (SELECT cent_id, list(mu ORDER BY d) AS m FROM mu GROUP BY cent_id),
+        c1 AS (
+            SELECT cent_id, list_transform(m, x -> x / n) AS ce
+            FROM (SELECT cent_id, m,
+                         sqrt(list_reduce(list_transform(m, x -> x * x),
+                                          (a, b) -> a + b)) AS n
+                  FROM cm)
+        ),
+        corp AS (
+            SELECT vec_id, nv, cent_id FROM (
+                {assign}
+                FROM nrm c CROSS JOIN c1 t
+                WHERE c.vec_id >= 10
+            ) WHERE rn = 1
+        ),
+        probes AS (
+            SELECT vec_id, nv, cent_id FROM (
+                SELECT q.vec_id, q.nv, t.cent_id,
+                       row_number() OVER (PARTITION BY q.vec_id
+                                          ORDER BY {_dot('q.nv', 't.ce')} DESC, t.cent_id) AS rn
+                FROM nrm q CROSS JOIN c1 t
+                WHERE q.vec_id < 10
+            ) WHERE rn <= {nprobe}
+        ),
+        scored AS (
+            SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   c.cent_id AS cell, {_dot('p.nv', 'c.nv')} AS cosine
+            FROM probes p JOIN corp c ON p.cent_id = c.cent_id
+        )
+        SELECT query_id, neighbor_id, cell, cosine,
+               CAST(row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+        FROM scored
+        QUALIFY rank <= {k}
+    """
+
+
+@register(
+    "ann_ivf_kmeans_topk",
+    oracle=_ivf_kmeans_oracle(4, 2, 5, 1),
+    doc="IVF top-5 with TRAINED centroids: one spherical k-means (Lloyd) "
+    "iteration refines the deterministic seeds before the usual "
+    "cell-partition + nprobe probing. The centroid update uses an "
+    "ordered per-dimension reduction so it is bit-reproducible under "
+    "any partitioning — the iterative-algorithm pattern (train -> "
+    "assign -> search) expressed entirely in DataFrame ops.",
+)
+def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sql_engine_spark.operators.similarity import ivf_kmeans_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    return ivf_kmeans_topk(
+        emb.where(F.col("vec_id") < 10),
+        emb.where(F.col("vec_id") >= 10),
+        id_col="vec_id",
+        vec_col="embedding",
+        k=5,
+        num_centroids=4,
+        nprobe=2,
+        iterations=1,
+    )

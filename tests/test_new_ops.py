@@ -64,6 +64,11 @@ def test_ann_recall_vs_brute_force(spark, sf_dir):
     # OR-amplification must not lose the single-table candidates' recall
     single = _topk_pairs(spark, sf_dir, "ann_lsh_topk")
     assert len(brute & multi) >= len(brute & single)
+    # Trained (k-means) centroids must beat the untrained seeds at the
+    # same nprobe (measured 0.70 vs 0.56 at sf0.001).
+    kmeans = _topk_pairs(spark, sf_dir, "ann_ivf_kmeans_topk")
+    assert len(brute & kmeans) / len(brute) >= 0.6
+    assert len(brute & kmeans) >= len(brute & ivf)
 
 
 def test_minhash_lsh_bucket_cap_bounds_hot_bucket(spark):
