@@ -549,3 +549,107 @@ def tpch_q22_like(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("c_acctbal").alias("totacctbal"),
         )
     )
+
+
+@register(
+    "tpch_q2_like",
+    oracle="""
+        WITH ps AS (
+            SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+                   MIN(l_extendedprice) AS ps_cost
+            FROM lineitem GROUP BY 1, 2
+        ),
+        eu AS (
+            SELECT ps_partkey, ps_cost, s_name, s_acctbal, n_name
+            FROM ps
+            JOIN supplier ON s_suppkey = ps_suppkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            JOIN region   ON n_regionkey = r_regionkey
+            WHERE r_name = 'EUROPE'
+        )
+        SELECT s_acctbal, s_name, n_name, p_partkey, p_name, ps_cost
+        FROM eu JOIN part ON p_partkey = ps_partkey
+        WHERE p_size <= 15 AND p_type IN ('STANDARD', 'ECONOMY')
+        QUALIFY ps_cost = MIN(ps_cost) OVER (PARTITION BY p_partkey)
+        ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        LIMIT 100
+    """,
+    doc="TPC-H Q2 (min-cost supplier): for each qualifying part, the "
+    "EUROPE supplier quoting the minimum cost — the correlated-min "
+    "subquery expressed as a window min over the part key (same shuffle "
+    "as the decorrelated aggregate+rejoin, one fewer join). lineitem's "
+    "per-(part,supplier) MIN(extendedprice) stands in for partsupp "
+    "supplycost (no partsupp table); MIN is order-independent so the "
+    "equality filter is engine-exact with no decimal detour. nation and "
+    "region broadcast (bounded); part and the ps aggregate shuffle on "
+    "their join keys and survive any scale-up.",
+)
+def tpch_q2_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load(spark, sf_dir, "lineitem")
+    ps = li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).agg(F.min("l_extendedprice").alias("ps_cost"))
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    p = load(spark, sf_dir, "part").where(
+        (F.col("p_size") <= 15) & F.col("p_type").isin("STANDARD", "ECONOMY")
+    )
+    eu = (
+        ps.join(s, ps.ps_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        eu.join(p, F.col("ps_partkey") == F.col("p_partkey"))
+        .withColumn("__min_cost", F.min("ps_cost").over(w))
+        .where(F.col("ps_cost") == F.col("__min_cost"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "ps_cost")
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@register(
+    "tpch_q15_like",
+    oracle=f"""
+        WITH revenue AS (
+            SELECT l_suppkey AS supplier_no,
+                   {sql_dsum('l_extendedprice * (1 - l_discount)')} AS total_revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate <  TIMESTAMP '1996-04-01'
+            GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, total_revenue
+        FROM supplier JOIN revenue ON s_suppkey = supplier_no
+        WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """,
+    doc="TPC-H Q15 (top supplier): quarterly revenue per supplier (the "
+    "view), then the supplier(s) hitting the maximum — a scalar-subquery "
+    "equality against an aggregate of the same view. The revenue "
+    "aggregate is computed once and reused for both sides (Spark plans "
+    "the 1-row max as a broadcast); revenue sums go through exact "
+    "DECIMAL(27,6) so the max-equality boundary is engine-exact.",
+)
+def tpch_q15_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    revenue = (
+        li.withColumn("volume", F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(dsum("volume").alias("total_revenue"))
+    )
+    max_rev = revenue.agg(F.max("total_revenue").alias("__max_rev"))
+    s = load(spark, sf_dir, "supplier")
+    return (
+        s.join(revenue, s.s_suppkey == F.col("supplier_no"))
+        .join(F.broadcast(max_rev))
+        .where(F.col("total_revenue") == F.col("__max_rev"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
