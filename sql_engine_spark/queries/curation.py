@@ -78,6 +78,54 @@ def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab_topk(load(spark, sf_dir, "documents"), text_col="text", k=100)
 
 
+_BUDGET_TOKENS = 800
+
+
+@register(
+    "curation_token_budget",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, source,
+                   CAST(len({sql_tokens('text')}) AS BIGINT) AS n_tokens,
+                   md5(CAST(doc_id AS VARCHAR)) AS h
+            FROM documents
+        )
+        SELECT doc_id, source, n_tokens,
+               SUM(n_tokens) OVER (PARTITION BY source ORDER BY h
+                                   ROWS UNBOUNDED PRECEDING) AS cum_tokens
+        FROM t
+        QUALIFY cum_tokens <= {_BUDGET_TOKENS}
+    """,
+    doc="Data mixing under a per-source token budget: docs are taken in "
+    "deterministic hash order (md5 of the id — a reproducible shuffle) "
+    "until each source's cumulative token count hits the budget. One "
+    "window per source partition; integer token sums, so the cutoff is "
+    "engine-exact. At scale this is the standard way to hit a target "
+    "mixture (e.g. 30%% web / 30%% code / ...) without a second pass.",
+)
+def curation_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from sql_engine_spark.operators.textprep import tokens
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(tokens("text")).cast("long").alias("n_tokens"),
+        F.md5(F.col("doc_id").cast("string")).alias("__h"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("__h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        docs.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .where(F.col("cum_tokens") <= _BUDGET_TOKENS)
+        .select("doc_id", "source", "n_tokens", "cum_tokens")
+    )
+
+
 _SEM_PLANES = 6
 
 
