@@ -99,3 +99,34 @@ def test_minhash_lsh_bucket_cap_bounds_hot_bucket(spark):
     assert (100, 101) in {(r.id_a, r.id_b) for r in rows}
     assert len(rows) < n_uncapped
     assert all(not (r.id_a < 40 and r.id_b < 40) for r in rows)
+
+
+def test_kmeans_centroids_partitioning_invariant(spark, sf_dir):
+    """The ordered per-dimension reduction must make trained centroids
+    bit-identical regardless of input partitioning — the property that
+    lets an external oracle reproduce them."""
+    from pyspark.sql import functions as SF
+
+    from sql_engine_spark.functions.vectors import l2_norm, normalized
+    from sql_engine_spark.io import load
+    from sql_engine_spark.operators.similarity import kmeans_centroids
+
+    emb = load(spark, sf_dir, "embeddings").where(SF.col("vec_id") >= 10)
+    norm = (
+        emb.select(SF.col("vec_id").alias("neighbor_id"), SF.col("embedding").alias("__v"))
+        .withColumn("__n", l2_norm("__v"))
+        .withColumn("__nv", normalized("__v", "__n"))
+        .select("neighbor_id", "__nv")
+    )
+
+    def train(df):
+        cents = kmeans_centroids(
+            df, id_col="neighbor_id", vec_col="__nv", num_centroids=4, iterations=2
+        )
+        return {r["cent_id"]: tuple(r["__ce"]) for r in cents.collect()}
+
+    a = train(norm.repartition(1))
+    b = train(norm.repartition(13, "neighbor_id"))
+    assert a.keys() == b.keys()
+    for cid in a:
+        assert a[cid] == b[cid], f"centroid {cid} differs across partitionings"
