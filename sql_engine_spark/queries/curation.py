@@ -164,6 +164,56 @@ def dedup_semantic_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PAIR_COS = """
+    list_reduce(list_transform(list_zip(a.e, c.e), p -> p[1] * p[2]), (x, y) -> x + y)
+    / (sqrt(list_reduce(list_transform(a.e, x -> x * x), (x, y) -> x + y))
+       * sqrt(list_reduce(list_transform(c.e, x -> x * x), (x, y) -> x + y)))
+"""
+
+
+@register(
+    "dedup_semantic_verified",
+    oracle=f"""
+        WITH v AS (
+            SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+            FROM embeddings
+        ),
+        b AS (
+            SELECT vec_id, e, {sql_lsh_bucket('e', _SEM_PLANES, 64)} AS bucket
+            FROM v
+        )
+        SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+               {_PAIR_COS} AS cosine
+        FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+        WHERE {_PAIR_COS} >= 0.25
+    """,
+    doc="Semantic dedup stage 2: exact cosine verification WITHIN each "
+    "LSH bucket — pairs above the similarity threshold (0.25 on this synthetic corpus; ~0.9 for real embeddings) are the actual "
+    "near-duplicates to drop. The all-pairs work is confined to bucket "
+    "blocks (corpus/2^planes each), so the join is an equi-join on the "
+    "bucket key with per-block quadratic cost only — the two-stage "
+    "SemDeDup shape: cheap bucketing, then exact math on candidates.",
+)
+def dedup_semantic_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sql_engine_spark.operators.similarity import (
+        embedding_cosine_pairs,
+        lsh_bucket,
+    )
+
+    emb = load(spark, sf_dir, "embeddings").withColumn(
+        "__bucket", lsh_bucket("embedding", _SEM_PLANES, 64)
+    )
+    return embedding_cosine_pairs(
+        emb,
+        id_col="vec_id",
+        vec_col="embedding",
+        block_col="__bucket",
+        threshold=0.25,
+    ).select(
+        F.col("id_a"), F.col("id_b"), F.col("cosine")
+    )
+
+
 @register(
     "text_repetition",
     oracle=f"""
