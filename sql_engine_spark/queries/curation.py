@@ -101,7 +101,7 @@ _BUDGET_TOKENS = 800
     "until each source's cumulative token count hits the budget. One "
     "window per source partition; integer token sums, so the cutoff is "
     "engine-exact. At scale this is the standard way to hit a target "
-    "mixture (e.g. 30%% web / 30%% code / ...) without a second pass.",
+    "mixture (e.g. 30% web / 30% code / ...) without a second pass.",
 )
 def curation_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
