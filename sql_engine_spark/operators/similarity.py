@@ -229,6 +229,47 @@ def ivf_topk(
     )
 
 
+def ordered_mean_vectors(
+    assigned: DataFrame,
+    *,
+    group_col: str,
+    id_col: str,
+    vec_col: str,
+    out_vec: str = "__ce",
+) -> DataFrame:
+    """Per-group element-wise mean of vectors, then L2-normalized —
+    computed with an ORDERED reduction (members sorted by id, summed
+    left-to-right from 0.0) so the result is bit-identical under any
+    partitioning. Returns (group_col, out_vec)."""
+    from sql_engine_spark.functions.vectors import l2_norm, normalized
+
+    dims = assigned.select(
+        group_col, F.col(id_col), F.posexplode(vec_col).alias("d", "x")
+    )
+    mu = (
+        dims.groupBy(group_col, "d")
+        .agg(
+            F.expr(
+                f"aggregate(transform(array_sort(collect_list("
+                f"struct({id_col} AS i, x AS x))), s -> s.x), "
+                f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+            ).alias("s"),
+            F.count("*").alias("n"),
+        )
+        .withColumn("mu", F.col("s") / F.col("n"))
+    )
+    vecs = mu.groupBy(group_col).agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(d AS d, mu AS mu)))," " s -> s.mu)"
+        ).alias("__m")
+    )
+    return (
+        vecs.withColumn("__n", l2_norm("__m"))
+        .withColumn(out_vec, normalized("__m", "__n"))
+        .select(group_col, out_vec)
+    )
+
+
 def kmeans_centroids(
     corp_norm: DataFrame,
     *,
@@ -251,7 +292,7 @@ def kmeans_centroids(
 
     Returns (cent_id, __ce) with unit-norm centroid vectors.
     """
-    from sql_engine_spark.functions.vectors import dot, l2_norm, normalized
+    from sql_engine_spark.functions.vectors import dot
 
     cents = (
         corp_norm.orderBy(id_col)
@@ -270,33 +311,59 @@ def kmeans_centroids(
                 F.first(vec_col).alias("__v"),
             )
         )
-        dims = assigned.select(
-            "cent_id", F.col(id_col), F.posexplode("__v").alias("d", "x")
-        )
-        mu = (
-            dims.groupBy("cent_id", "d")
-            .agg(
-                F.expr(
-                    f"aggregate(transform(array_sort(collect_list("
-                    f"struct({id_col} AS i, x AS x))), s -> s.x), "
-                    f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
-                ).alias("s"),
-                F.count("*").alias("n"),
-            )
-            .withColumn("mu", F.col("s") / F.col("n"))
-        )
-        vecs = mu.groupBy("cent_id").agg(
-            F.expr(
-                "transform(array_sort(collect_list(struct(d AS d, mu AS mu))),"
-                " s -> s.mu)"
-            ).alias("__m")
-        )
-        cents = (
-            vecs.withColumn("__n", l2_norm("__m"))
-            .withColumn("__ce", normalized("__m", "__n"))
-            .select("cent_id", "__ce")
+        cents = ordered_mean_vectors(
+            assigned, group_col="cent_id", id_col=id_col, vec_col="__v"
         )
     return cents
+
+
+def nearest_centroid_classify(
+    df: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Nearest-class-centroid classification (Rocchio): each class's
+    centroid is the normalized mean of its members' normalized vectors;
+    every vector is then assigned the label of the most-cosine-similar
+    centroid (ties to the lowest label).
+
+    Returns (id, label, predicted) — self-classification over the
+    training set, the standard cheap embedding-quality probe (high
+    agreement = embeddings cluster by label). Centroids are computed
+    with the ordered reduction, so the whole op is bit-reproducible.
+    Scale: one pass to build K centroids (K = #labels, broadcast), one
+    map-side argmax pass to classify — no corpus-sized shuffle beyond
+    the centroid aggregate.
+    """
+    from sql_engine_spark.functions.vectors import dot, l2_norm, normalized
+
+    norm = (
+        df.select(F.col(id_col), F.col(label_col), F.col(vec_col).alias("__v"))
+        .withColumn("__n", l2_norm("__v"))
+        .withColumn("__nv", normalized("__v", "__n"))
+        .select(id_col, label_col, "__nv")
+    )
+    cents = F.broadcast(
+        ordered_mean_vectors(
+            norm.withColumnRenamed(label_col, "__lbl"),
+            group_col="__lbl",
+            id_col=id_col,
+            vec_col="__nv",
+        )
+    )
+    return (
+        norm.crossJoin(cents)
+        .withColumn("__ccos", dot("__nv", "__ce"))
+        .groupBy(id_col, label_col)
+        .agg(
+            F.max_by("__lbl", F.struct(F.col("__ccos"), -F.col("__lbl"))).alias(
+                "predicted"
+            )
+        )
+        .select(id_col, label_col, "predicted")
+    )
 
 
 def ivf_kmeans_topk(

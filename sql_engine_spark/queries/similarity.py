@@ -348,3 +348,62 @@ def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         nprobe=2,
         iterations=1,
     )
+
+
+_CLASSIFY_ORACLE = f"""
+    WITH v AS (
+        SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings
+    ),
+    nrm AS (
+        SELECT vec_id, label, list_transform(e, x -> x / n) AS nv
+        FROM (SELECT vec_id, label, e,
+                     sqrt(list_reduce(list_transform(e, x -> x * x),
+                                      (a, b) -> a + b)) AS n
+              FROM v)
+    ),
+    dims AS (
+        SELECT label AS lbl, vec_id, generate_subscripts(nv, 1) AS d, unnest(nv) AS x
+        FROM nrm
+    ),
+    mu AS (
+        SELECT lbl, d,
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                        list(x ORDER BY vec_id)),
+                           (a, b) -> a + b) / COUNT(*) AS mu
+        FROM dims GROUP BY lbl, d
+    ),
+    cm AS (SELECT lbl, list(mu ORDER BY d) AS m FROM mu GROUP BY lbl),
+    cents AS (
+        SELECT lbl, list_transform(m, x -> x / n) AS ce
+        FROM (SELECT lbl, m,
+                     sqrt(list_reduce(list_transform(m, x -> x * x),
+                                      (a, b) -> a + b)) AS n
+              FROM cm)
+    )
+    SELECT vec_id, label, lbl AS predicted FROM (
+        SELECT nrm.vec_id, nrm.label, c.lbl,
+               row_number() OVER (PARTITION BY nrm.vec_id
+                                  ORDER BY {_dot('nrm.nv', 'c.ce')} DESC, c.lbl) AS rn
+        FROM nrm CROSS JOIN cents c
+    ) WHERE rn = 1
+"""
+
+
+@register(
+    "ann_centroid_classify",
+    oracle=_CLASSIFY_ORACLE,
+    doc="Nearest-class-centroid (Rocchio) classification over the "
+    "embeddings table: per-label normalized mean centroids (ordered "
+    "reduction, bit-reproducible), then every vector gets the label of "
+    "its most-cosine-similar centroid. Self-classification agreement is "
+    "the standard cheap probe of whether embeddings cluster by label. "
+    "K centroids broadcast; classification is a map-side argmax.",
+)
+def ann_centroid_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sql_engine_spark.operators.similarity import nearest_centroid_classify
+
+    emb = load(spark, sf_dir, "embeddings")
+    return nearest_centroid_classify(
+        emb, id_col="vec_id", vec_col="embedding", label_col="label"
+    )
