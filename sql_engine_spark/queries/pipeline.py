@@ -59,3 +59,48 @@ def pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) < "8"
     )
     return sampled.select("doc_id", "lang", "n_chars", "quality")
+
+
+def curate_with_metrics(spark: SparkSession, sf_dir: str):
+    """`pipeline_curate` instrumented with Spark Observations: per-stage
+    row counts and token totals collected DURING the single pipeline run
+    (metrics piggyback on the action — no second pass over the data,
+    which is the only acceptable way to count rows at 100 TB).
+
+    Returns (result_df_already_materialized, metrics dict). Library/test
+    surface, not a registered query: the driver gate compares DataFrames,
+    and the metrics are side-band.
+    """
+    from pyspark.sql import Observation
+
+    from sql_engine_spark.operators import text as T
+    from sql_engine_spark.operators.textprep import tokens
+
+    docs = load(spark, sf_dir, "documents")
+    obs_in = Observation("curate_input")
+    obs_kept = Observation("curate_kept")
+    docs = docs.observe(
+        obs_in,
+        F.count(F.lit(1)).alias("rows"),
+        F.sum(F.size(tokens("text"))).alias("tokens"),
+    )
+    feats = T.quality_features(docs, "text", "doc_id").select("doc_id", "quality")
+    kept = (
+        docs.join(feats, "doc_id")
+        .where(F.col("quality") != "low")
+        .observe(obs_kept, F.count(F.lit(1)).alias("rows"))
+    )
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    deduped = kept.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") == 1)
+    sampled = deduped.where(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) < "8"
+    ).select("doc_id", "lang", "n_chars", "quality")
+    out = sampled.cache()
+    n_out = out.count()  # the single action that also populates the observations
+    metrics = {
+        "input_rows": obs_in.get["rows"],
+        "input_tokens": obs_in.get["tokens"],
+        "kept_rows": obs_kept.get["rows"],
+        "output_rows": n_out,
+    }
+    return out, metrics

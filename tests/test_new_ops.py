@@ -130,3 +130,15 @@ def test_kmeans_centroids_partitioning_invariant(spark, sf_dir):
     assert a.keys() == b.keys()
     for cid in a:
         assert a[cid] == b[cid], f"centroid {cid} differs across partitionings"
+
+
+def test_curate_observation_metrics(spark, sf_dir):
+    """Stage metrics must come from the SAME single action (Observation
+    piggyback), and be consistent: input >= kept >= output."""
+    from sql_engine_spark.queries.pipeline import curate_with_metrics
+
+    out, m = curate_with_metrics(spark, sf_dir)
+    assert m["output_rows"] == out.count()
+    assert m["input_rows"] >= m["kept_rows"] >= m["output_rows"] > 0
+    assert m["input_tokens"] > m["input_rows"]  # >1 token per doc on average
+    out.unpersist()
