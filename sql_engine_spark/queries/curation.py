@@ -234,3 +234,106 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_features(
         load(spark, sf_dir, "documents"), id_col="doc_id", text_col="text"
     )
+
+
+_CHUNK = 32
+_STRIDE = 24
+
+
+@register(
+    "text_chunk_windows",
+    oracle=f"""
+        WITH t AS (SELECT doc_id, {sql_tokens('text')} AS tt FROM documents)
+        SELECT doc_id, k AS chunk_id,
+               array_to_string(tt[k * {_STRIDE} + 1 : k * {_STRIDE} + {_CHUNK}], ' ')
+                   AS chunk_text,
+               CAST(len(tt[k * {_STRIDE} + 1 : k * {_STRIDE} + {_CHUNK}]) AS BIGINT)
+                   AS n_tokens
+        FROM t CROSS JOIN LATERAL (
+            SELECT unnest(range(0, CAST(floor((len(tt) - 1) / {_STRIDE}) AS BIGINT) + 1)) AS k
+        ) u
+    """,
+    doc=f"Context-window chunking for training: each doc is split into "
+    f"{_CHUNK}-token windows with stride {_STRIDE} ({_CHUNK - _STRIDE}-token "
+    "overlap so no boundary context is lost). The chunk index explodes "
+    "from a tiny integer sequence and each chunk is a slice of the "
+    "already-tokenized array — per-row map work, chunk count linear in "
+    "document length, no shuffle.",
+)
+def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sql_engine_spark.operators.textprep import tokens
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", tokens("text").alias("__t"))
+    return (
+        docs.select(
+            "doc_id",
+            "__t",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.floor((F.size("__t") - 1) / _STRIDE).cast("int"),
+                )
+            ).alias("k"),
+        )
+        .select(
+            "doc_id",
+            F.col("k").cast("long").alias("chunk_id"),
+            F.array_join(
+                F.slice("__t", F.col("k") * _STRIDE + 1, _CHUNK), " "
+            ).alias("chunk_text"),
+            F.size(F.slice("__t", F.col("k") * _STRIDE + 1, _CHUNK))
+            .cast("long")
+            .alias("n_tokens"),
+        )
+    )
+
+
+@register(
+    "curation_quality_sample",
+    oracle="""
+        WITH feats AS (
+            SELECT doc_id,
+                   CASE WHEN n_tokens < 5 OR avg_token_len > 20 THEN 'low'
+                        WHEN stopword_ratio > 0.05 AND n_tokens >= 20 THEN 'high'
+                        ELSE 'medium' END AS quality,
+                   substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS h
+            FROM (
+                SELECT doc_id,
+                       CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS BIGINT)
+                           AS n_tokens,
+                       len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                           t -> t IN ('the', 'a', 'of', 'to', 'and', 'in', 'is')))
+                           / len(string_split_regex(lower(trim(text)), '\\s+'))
+                           AS stopword_ratio,
+                       list_reduce(list_transform(
+                           string_split_regex(lower(trim(text)), '\\s+'),
+                           t -> length(t)), (a, b) -> a + b)
+                           / len(string_split_regex(lower(trim(text)), '\\s+'))
+                           AS avg_token_len
+                FROM documents
+            )
+        )
+        SELECT doc_id, quality FROM feats
+        WHERE CASE quality WHEN 'high' THEN TRUE
+                           WHEN 'medium' THEN h < '8'
+                           ELSE h < '2' END
+    """,
+    doc="Quality-weighted sampling: keep all high-quality docs, a "
+    "deterministic ~50% hash sample of medium, ~12.5% of low — the "
+    "standard way to upweight quality in a pretraining mixture while "
+    "keeping some tail diversity. Pure scan-side filter (quality "
+    "features + md5 threshold), zero shuffles.",
+)
+def curation_quality_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sql_engine_spark.operators.text import quality_features
+
+    feats = quality_features(
+        load(spark, sf_dir, "documents"), "text", "doc_id"
+    ).select("doc_id", "quality")
+    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    keep = (
+        F.when(F.col("quality") == "high", F.lit(True))
+        .when(F.col("quality") == "medium", h < "8")
+        .otherwise(h < "2")
+    )
+    return feats.where(keep).select("doc_id", "quality")
