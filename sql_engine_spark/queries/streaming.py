@@ -295,3 +295,57 @@ def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "view_ts",
         )
         return run_to_memory(joined, "stream_stream_join", "append")
+
+
+@register(
+    "streaming_decontaminate",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id,
+                   string_split_regex(lower(trim(text)), '\\s+') AS tt
+            FROM documents
+        ),
+        ngs AS (
+            SELECT doc_id,
+                   list_distinct(
+                       CASE WHEN len(tt) < 3 THEN [array_to_string(tt, ' ')]
+                            ELSE list_transform(range(1, len(tt) - 1),
+                                 i -> array_to_string(tt[i:i+2], ' ')) END) AS g
+            FROM toks
+        ),
+        probe AS (SELECT DISTINCT unnest(g) AS ng FROM ngs WHERE doc_id % 97 = 0),
+        corp AS (SELECT doc_id, unnest(g) AS ng FROM ngs WHERE doc_id % 97 <> 0)
+        SELECT corp.doc_id AS doc_id, COUNT(*) AS n_shared_ngrams
+        FROM corp JOIN probe USING (ng)
+        GROUP BY corp.doc_id
+    """,
+    doc="Streaming benchmark decontamination: documents arrive in "
+    "micro-batches (4-chunk replay); each batch tokenizes, shingles and "
+    "joins the BROADCAST static probe n-gram set, feeding a per-doc "
+    "running aggregate. Converges to the batch text_decontaminate result "
+    "exactly — the shape for screening a live ingest feed against a "
+    "frozen eval suite.",
+)
+def streaming_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sql_engine_spark.operators.textprep import shingles, tokens
+    from sql_engine_spark.streaming.source import table_stream
+
+    with _state_partitions(spark):
+        stream = table_stream(spark, sf_dir, "documents", ["doc_id"], N_CHUNKS)
+        probes = load(spark, sf_dir, "documents").where(F.col("doc_id") % 97 == 0)
+        probe_ngrams = F.broadcast(
+            probes.select(tokens("text").alias("__t"))
+            .select(F.explode(F.array_distinct(shingles("__t", 3))).alias("__ng"))
+            .distinct()
+        )
+        corp = (
+            stream.where(F.col("doc_id") % 97 != 0)
+            .select("doc_id", tokens("text").alias("__t"))
+            .select("doc_id", F.explode(F.array_distinct(shingles("__t", 3))).alias("__ng"))
+        )
+        agg = (
+            corp.join(probe_ngrams, "__ng")
+            .groupBy("doc_id")
+            .agg(F.count("*").cast("long").alias("n_shared_ngrams"))
+        )
+        return run_to_memory(agg, "stream_decontaminate", "complete")

@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from sql_engine_spark.io import load
 
 
-_REPLAY_DIRS: dict[tuple[str, int], str] = {}
+_REPLAY_DIRS: dict[tuple[str, str, int], str] = {}
 
 
 def events_stream(spark: SparkSession, sf_dir: str, n_chunks: int = 4) -> DataFrame:
@@ -28,15 +28,27 @@ def events_stream(spark: SparkSession, sf_dir: str, n_chunks: int = 4) -> DataFr
     materialized once per process as `n_chunks` time-ordered files
     (events_replay_chunks) and replayed one file per trigger.
     """
-    key = (sf_dir, n_chunks)
+    return table_stream(spark, sf_dir, "events", ["ts", "event_id"], n_chunks)
+
+
+def table_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str,
+    order_cols: list[str],
+    n_chunks: int = 4,
+) -> DataFrame:
+    """readStream replay of any testdata table, chunked in `order_cols`
+    order, one chunk per micro-batch trigger."""
+    key = (sf_dir, table, n_chunks)
     if key in _REPLAY_DIRS:
-        schema = load(spark, sf_dir, "events").schema
+        schema = load(spark, sf_dir, table).schema
         return (
             spark.readStream.schema(schema)
             .option("maxFilesPerTrigger", "1")
             .parquet(_REPLAY_DIRS[key])
         )
-    out_dir, stream = events_replay_chunks(spark, sf_dir, n_chunks)
+    out_dir, stream = table_replay_chunks(spark, sf_dir, table, order_cols, n_chunks)
     _REPLAY_DIRS[key] = out_dir
     return stream
 
@@ -44,23 +56,36 @@ def events_stream(spark: SparkSession, sf_dir: str, n_chunks: int = 4) -> DataFr
 def events_replay_chunks(
     spark: SparkSession, sf_dir: str, n_chunks: int, out_dir: str | None = None
 ) -> tuple[str, DataFrame]:
-    """Materialize events as `n_chunks` time-ordered parquet files and
-    return (dir, stream reading them one file per trigger) — an ordered
-    replay that exercises cross-batch state like a live source would."""
-    out_dir = out_dir or tempfile.mkdtemp(prefix="events_replay_")
-    ev = load(spark, sf_dir, "events")
-    # Range-partition by time: part-00000 holds the earliest events, and the
-    # file source's (modtime, path) ordering then replays chunks in time
-    # order one trigger apiece.
+    return table_replay_chunks(
+        spark, sf_dir, "events", ["ts", "event_id"], n_chunks, out_dir
+    )
+
+
+def table_replay_chunks(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str,
+    order_cols: list[str],
+    n_chunks: int,
+    out_dir: str | None = None,
+) -> tuple[str, DataFrame]:
+    """Materialize a table as `n_chunks` ordered parquet files and return
+    (dir, stream reading them one file per trigger) — an ordered replay
+    that exercises cross-batch state like a live source would."""
+    out_dir = out_dir or tempfile.mkdtemp(prefix=f"{table}_replay_")
+    src = load(spark, sf_dir, table)
+    # Range-partition by the replay order: part-00000 holds the earliest
+    # rows, and the file source's (modtime, path) ordering then replays
+    # chunks in order one trigger apiece.
     (
-        ev.repartitionByRange(n_chunks, "ts", "event_id")
-        .sortWithinPartitions("ts", "event_id")
+        src.repartitionByRange(n_chunks, *order_cols)
+        .sortWithinPartitions(*order_cols)
         .write.mode("overwrite")
         .parquet(out_dir)
     )
     # FileStreamSource orders files by modification time, and one write job
     # stamps all parts at once — force strictly increasing mtimes in path
-    # (= time-range) order so the replay is deterministic. Backdated so any
+    # (= range) order so the replay is deterministic. Backdated so any
     # later append (e.g. a sentinel file) sorts last.
     parts = sorted(
         f for f in os.listdir(out_dir) if f.startswith("part-") and f.endswith(".parquet")
@@ -69,9 +94,8 @@ def events_replay_chunks(
     for i, fname in enumerate(parts):
         t = base + i * 10
         os.utime(os.path.join(out_dir, fname), (t, t))
-    schema = load(spark, sf_dir, "events").schema
     stream = (
-        spark.readStream.schema(schema)
+        spark.readStream.schema(src.schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(out_dir)
     )
