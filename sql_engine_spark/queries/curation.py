@@ -98,14 +98,18 @@ _BUDGET_TOKENS = 800
     """,
     doc="Data mixing under a per-source token budget: docs are taken in "
     "deterministic hash order (md5 of the id — a reproducible shuffle) "
-    "until each source's cumulative token count hits the budget. One "
-    "window per source partition; integer token sums, so the cutoff is "
-    "engine-exact. At scale this is the standard way to hit a target "
-    "mixture (e.g. 30% web / 30% code / ...) without a second pass.",
+    "until each source's cumulative token count hits the budget. The "
+    "running sum is a two-level (bucketed) prefix scan: the widest "
+    "window is partitioned by (source, range-bucket-of-hash) — parallel "
+    "width sources x buckets, never one task per source — with the "
+    "cross-bucket carry prefix-summed over the tiny per-bucket totals "
+    "and broadcast back. Integer token sums, so the cutoff is "
+    "engine-exact and bucket-count-independent. At scale this is the "
+    "standard way to hit a target mixture (e.g. 30% web / 30% code) "
+    "without a second pass.",
 )
 def curation_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
+    from sql_engine_spark.operators.prefix import bucketed_running_sum, hex_prefix_bucket
     from sql_engine_spark.operators.textprep import tokens
 
     docs = load(spark, sf_dir, "documents").select(
@@ -114,14 +118,17 @@ def curation_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(tokens("text")).cast("long").alias("n_tokens"),
         F.md5(F.col("doc_id").cast("string")).alias("__h"),
     )
-    w = (
-        Window.partitionBy("source")
-        .orderBy("__h")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    n_buckets = max(spark.sparkContext.defaultParallelism, 16)
+    out = bucketed_running_sum(
+        docs,
+        part_cols=["source"],
+        order_col="__h",
+        value_col="n_tokens",
+        bucket=hex_prefix_bucket("__h", n_buckets),
+        out_col="cum_tokens",
     )
     return (
-        docs.withColumn("cum_tokens", F.sum("n_tokens").over(w))
-        .where(F.col("cum_tokens") <= _BUDGET_TOKENS)
+        out.where(F.col("cum_tokens") <= _BUDGET_TOKENS)
         .select("doc_id", "source", "n_tokens", "cum_tokens")
     )
 

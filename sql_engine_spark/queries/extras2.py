@@ -163,24 +163,40 @@ _PACK_BUDGET = 512
     doc="Sequence packing (concat-and-chunk): documents are concatenated "
     "per source in doc_id order and split into fixed token-budget "
     "contexts; each doc lands in the pack where its first token falls — "
-    "the standard pretraining batch-packing layout. One window pass "
-    "(running token total) + one aggregate, both partitioned by source, "
-    "so the plan is two co-partitioned shuffles regardless of corpus "
-    "size; the token count is the same whitespace tokenizer as the "
-    "text_* queries.",
+    "the standard pretraining batch-packing layout. The running token "
+    "total is a two-level (bucketed) prefix scan: per-source doc_id "
+    "bounds (a tiny broadcast aggregate) range-bucket the ids, the "
+    "widest window is partitioned by (source, bucket) — width sources x "
+    "buckets, never one task per source — and the cross-bucket carry is "
+    "prefix-summed over per-bucket totals and broadcast back. The "
+    "result is bucket-count-independent (integer sums); the token count "
+    "is the same whitespace tokenizer as the text_* queries.",
 )
 def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sql_engine_spark.operators.prefix import bucketed_running_sum, range_bucket
+
     docs = load(spark, sf_dir, "documents").select(
         "source", "doc_id", F.size(tokens("text")).cast("long").alias("n_tok")
     )
-    w = (
-        Window.partitionBy("source")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # Per-source id bounds for the range bucketing: a tiny aggregate over
+    # a two-column scan (no tokenize on this branch), broadcast back.
+    bounds = (
+        load(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.min("doc_id").alias("__mn"), F.max("doc_id").alias("__mx"))
     )
+    n_buckets = max(spark.sparkContext.defaultParallelism, 16)
+    docs = docs.join(F.broadcast(bounds), "source")
+    out = bucketed_running_sum(
+        docs,
+        part_cols=["source"],
+        order_col="doc_id",
+        value_col="n_tok",
+        bucket=range_bucket("doc_id", F.col("__mn"), F.col("__mx"), n_buckets),
+        out_col="cum_tok",
+    ).drop("__mn", "__mx")
     return (
-        docs.withColumn("cum_tok", F.sum("n_tok").over(w))
-        .withColumn(
+        out.withColumn(
             "pack_id",
             F.floor((F.col("cum_tok") - F.col("n_tok")) / F.lit(float(_PACK_BUDGET))),
         )
