@@ -230,20 +230,21 @@ def streaming_drop_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events JOIN customer ON user_id = c_custkey
         GROUP BY c_mktsegment
     """,
-    doc="Stream-static join: every micro-batch broadcast-joins the static "
-    "customer dimension (no join state kept on the stream side — the dim "
-    "is re-resolved per batch), feeding a complete-mode aggregate per "
-    "market segment. The scale shape for enriching an event stream with "
-    "a dimension table.",
+    doc="Stream-static join: every micro-batch joins the static customer "
+    "dimension (no join state kept on the stream side — the dim is "
+    "re-resolved per batch), feeding a complete-mode aggregate per "
+    "market segment. The join strategy is left to size-based selection: "
+    "customer is SF-proportional, and a forced per-micro-batch "
+    "re-broadcast of a multi-GB dim would OOM at scale (same rule the "
+    "batch queries follow); Spark still picks broadcast on its own "
+    "whenever the dim fits under the threshold.",
 )
 def streaming_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sql_engine_spark.functions.numeric import dsum
 
     with _state_partitions(spark):
         stream = events_stream(spark, sf_dir, N_CHUNKS)
-        cust = F.broadcast(
-            load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
-        )
+        cust = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
         joined = stream.join(cust, stream.user_id == cust.c_custkey)
         agg = joined.groupBy("c_mktsegment").agg(
             F.count("*").alias("n"), dsum("value").alias("sum_value")
