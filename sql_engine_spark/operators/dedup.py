@@ -25,6 +25,32 @@ from pyspark.sql import functions as F
 
 from sql_engine_spark.operators.textprep import shingles, tokens
 
+# Below this many source bytes, widening a narrow scan costs more (one
+# extra exchange of raw text) than the parallelism it buys. Measured on
+# local[32] at sf0.1 (594 KB, one row group): WITH the widening the
+# query runs ~0.9-1.4s, without it 1.8-3.7s — the shingle/md5 map work
+# is compute-bound far below typical split sizes, and a single-row-group
+# parquet file cannot be split any other way. So the floor only skips
+# truly trivial inputs (unit-test fixtures).
+_MIN_WIDEN_BYTES = 256 << 10
+
+
+def _total_file_bytes(files: list[str]) -> int:
+    """Best-effort on-disk size of a scan's input files (local paths only;
+    unknown schemes count 0 and thus never trigger the widening)."""
+    import os
+    from urllib.parse import urlparse
+
+    total = 0
+    for uri in files:
+        p = urlparse(uri)
+        if p.scheme in ("", "file"):
+            try:
+                total += os.path.getsize(p.path)
+            except OSError:
+                pass
+    return total
+
 
 def exact_dedup_groups(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
     """One row per distinct content key: representative id (min) + copy count."""
@@ -123,8 +149,10 @@ def minhash_lsh_pairs(
     # an RDD conversion boundary into the plan just to read a partition
     # count): inputFiles() is a pure-metadata probe. Non-file sources
     # (VALUES, streams) return [] and keep their upstream parallelism.
-    n_files = len(src.inputFiles())
-    if 0 < n_files < target:
+    # Size floor: skip the widening only for trivially small inputs,
+    # where the exchange costs more than the serialized map work saves.
+    files = src.inputFiles()
+    if 0 < len(files) < target and _total_file_bytes(files) >= _MIN_WIDEN_BYTES:
         src = src.repartition(target)
     docs = (
         src.select("__id", tokens("__text").alias("__tokens"))
