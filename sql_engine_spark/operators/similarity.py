@@ -134,6 +134,80 @@ def lsh_topk(
     )
 
 
+def _norm_side(df: DataFrame, id_col: str, vec_col: str, out_id: str) -> DataFrame:
+    # Normalize ONCE per row; every downstream cosine is then a plain
+    # dot product (1 array reduction per pair instead of 3).
+    from sql_engine_spark.functions.vectors import l2_norm, normalized
+
+    return (
+        df.select(F.col(id_col).alias(out_id), F.col(vec_col).alias("__v"))
+        .withColumn("__n", l2_norm("__v"))
+        .withColumn("__nv", normalized("__v", "__n"))
+        .select(out_id, "__nv")
+    )
+
+
+def _lit_vec(v: list[float]) -> "F.Column":
+    return F.array(*[F.lit(float(x)) for x in v])
+
+
+def _cell_scores(vec_col: str, cents: list[tuple[int, list[float]]]) -> "F.Column":
+    """array<struct<negcos, cent_id>> scoring a row's vector against every
+    LITERAL centroid — a pure per-row expression, no join, no shuffle.
+    Cosines are negated so array_min / array_sort pick the highest cosine
+    first with ties to the lowest cent_id (the same order as
+    max_by(struct(cos, -cent_id)) and the oracle's `ORDER BY dot DESC,
+    cent_id`)."""
+    from sql_engine_spark.functions.vectors import dot
+
+    return F.array(
+        *[
+            F.struct(
+                (-dot(F.col(vec_col), _lit_vec(v))).alias("negcos"),
+                F.lit(int(cid)).cast("long").alias("cent_id"),
+            )
+            for cid, v in cents
+        ]
+    )
+
+
+def _assign_cell(vec_col: str, cents: list[tuple[int, list[float]]]) -> "F.Column":
+    """Nearest-centroid id as a map-side expression (argmax cosine)."""
+    return F.array_min(_cell_scores(vec_col, cents)).getField("cent_id")
+
+
+def _probe_cells(df: DataFrame, out_id: str, cents, nprobe: int) -> DataFrame:
+    """Each row's `nprobe` nearest cells — per-row sort of K scored
+    structs, exploded. (query_id, __qv, cent_id)."""
+    sc = F.array_sort(_cell_scores("__nv", cents))
+    return df.select(
+        out_id,
+        F.col("__nv").alias("__qv"),
+        F.explode(F.slice(sc, 1, nprobe)).alias("__s"),
+    ).select(out_id, "__qv", F.col("__s.cent_id").alias("cent_id"))
+
+
+def _ivf_search(
+    probes: DataFrame, corp: DataFrame, k: int
+) -> DataFrame:
+    """Broadcast the (tiny) probe set against the cell-assigned corpus and
+    exact-rank within each query — the single corpus-sized shuffle of the
+    whole IVF search (the rank window by query_id)."""
+    from sql_engine_spark.functions.vectors import dot
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        F.broadcast(probes)
+        .join(corp, "cent_id")
+        .withColumn("cosine", dot("__qv", "__cv"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", F.col("cent_id").alias("cell"), "cosine", "rank"
+        )
+    )
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -149,84 +223,33 @@ def ivf_topk(
     Coarse quantizer: every corpus vector is assigned to its nearest
     centroid (one cell each); each query probes its `nprobe` nearest
     cells and exact cosine re-ranks only those cells' members — the
-    candidate set is ~nprobe/num_centroids of the corpus, and the corpus
-    shuffles ONCE by cell id. Centroids here are the lowest-id corpus
-    vectors (deterministic, oracle-reproducible); in production swap in
-    k-means centroids — the plan shape is identical, only the centroid
-    table changes.
+    candidate set is ~nprobe/num_centroids of the corpus. Centroids here
+    are the lowest-id corpus vectors (deterministic, oracle-reproducible);
+    `ivf_kmeans_topk` swaps in trained centroids with the same search.
+
+    The K centroids are COLLECTED to the driver (K x dim doubles — the
+    same thing MLlib's KMeansModel does) and embedded as literals, so
+    cell assignment and query probing are pure map-side expressions: the
+    only corpus-sized shuffle in the whole query is the final per-query
+    rank window, and nothing is persisted (the corpus is scanned once
+    for the seed pick and once for the search — no cache to leak).
 
     Returns (query_id, neighbor_id, cell, cosine, rank).
     """
-    from pyspark import StorageLevel
-
-    from sql_engine_spark.functions.vectors import dot, l2_norm, normalized
-
-    def norm_side(df: DataFrame, out_id: str) -> DataFrame:
-        # Normalize ONCE per row; every downstream cosine is then a plain
-        # dot product (1 array reduction per pair instead of 3).
-        return (
-            df.select(F.col(id_col).alias(out_id), F.col(vec_col).alias("__v"))
-            .withColumn("__n", l2_norm("__v"))
-            .withColumn("__nv", normalized("__v", "__n"))
-            .select(out_id, "__nv")
-        )
-
-    # Normalize the corpus ONCE and persist: it feeds the centroid pick,
-    # the cell assignment, and (via `corp`) the probe join — without the
-    # persist the corpus parquet is scanned and re-normalized 3-4x
-    # (PLANS.md r1 showed 4 scans). MEMORY_AND_DISK spills on big corpora.
-    corp_norm = norm_side(corpus, "neighbor_id").persist(StorageLevel.MEMORY_AND_DISK)
-
-    cents = F.broadcast(
-        corp_norm.orderBy("neighbor_id")
-        .limit(num_centroids)
-        .select(F.col("neighbor_id").alias("cent_id"), F.col("__nv").alias("__ce"))
+    corp_norm = _norm_side(corpus, id_col, vec_col, "neighbor_id")
+    seed_rows = (
+        corp_norm.orderBy("neighbor_id").limit(num_centroids).collect()
     )
-
-    def scored_cells(df: DataFrame, out_id: str) -> DataFrame:
-        return (
-            norm_side(df, out_id)
-            .crossJoin(cents)
-            .withColumn("__ccos", dot("__nv", "__ce"))
-        )
-
-    # Corpus assignment (nearest cell only) is an argmax — max_by over a
-    # hash aggregate (partial+final, map-side combinable) instead of a
-    # window, which would sort-shuffle the whole corpus at scale. Ties
-    # break to the lowest cent_id, same as the window ordering.
-    corp = (
-        corp_norm.crossJoin(cents)
-        .withColumn("__ccos", dot("__nv", "__ce"))
-        .groupBy("neighbor_id")
-        .agg(
-            F.max_by("cent_id", F.struct(F.col("__ccos"), -F.col("cent_id"))).alias(
-                "cent_id"
-            ),
-            F.first("__nv").alias("__cv"),
-        )
+    cents = [(r["neighbor_id"], list(r["__nv"])) for r in seed_rows]
+    corp = corp_norm.select(
+        "neighbor_id",
+        F.col("__nv").alias("__cv"),
+        _assign_cell("__nv", cents).alias("cent_id"),
     )
-
-    def nearest_cells(df: DataFrame, out_id: str, n: int) -> DataFrame:
-        w = Window.partitionBy(out_id).orderBy(F.desc("__ccos"), F.asc("cent_id"))
-        return (
-            scored_cells(df, out_id)
-            .withColumn("__rn", F.row_number().over(w))
-            .where(F.col("__rn") <= n)
-            .select(out_id, "__nv", "cent_id")
-        )
-
-    probes = nearest_cells(queries, "query_id", nprobe).withColumnRenamed("__nv", "__qv")
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
-        F.broadcast(probes)
-        .join(corp, "cent_id")
-        .withColumn("cosine", dot("__qv", "__cv"))
-        .withColumn("rank", F.row_number().over(w).cast("long"))
-        .where(F.col("rank") <= k)
-        .select(
-            "query_id", "neighbor_id", F.col("cent_id").alias("cell"), "cosine", "rank"
-        )
+    probes = _probe_cells(
+        _norm_side(queries, id_col, vec_col, "query_id"), "query_id", cents, nprobe
     )
+    return _ivf_search(probes, corp, k)
 
 
 def ordered_mean_vectors(
@@ -366,6 +389,74 @@ def nearest_centroid_classify(
     )
 
 
+def train_kmeans_literal(
+    corp_norm: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    num_centroids: int,
+    iterations: int,
+    sample_pred: "F.Column | None" = None,
+) -> list[tuple[int, list[float]]]:
+    """Spherical k-means trained ON A SAMPLE with driver-side centroid
+    iteration — the 'sample, then train' posture made executable.
+
+    `sample_pred` (e.g. an md5-prefix predicate, deterministic and
+    oracle-reproducible) bounds the training set; seeds are its
+    `num_centroids` lowest-id vectors. Each Lloyd round is ONE
+    distributed job: assignment is a per-row argmax against the current
+    LITERAL centroids (no join, no shuffle), followed by a single hash
+    aggregate whose per-centroid ordered vector sum (members sorted by
+    id, zip_with-added left-to-right from a zero vector) keeps the
+    result bit-identical under any partitioning; the K updated
+    centroids (K x dim doubles) come back to the driver exactly as
+    MLlib's KMeans does it. Returns [(cent_id, unit_vec)] sorted by id.
+    """
+    from sql_engine_spark.functions.vectors import l2_norm, normalized
+
+    train = corp_norm.where(sample_pred) if sample_pred is not None else corp_norm
+    if iterations > 0:
+        train = train.persist()
+    seed_rows = train.orderBy(id_col).limit(num_centroids).collect()
+    cents = [(r[id_col], list(r[vec_col])) for r in seed_rows]
+    if not cents:
+        raise ValueError("training sample is empty")
+    dim = len(cents[0][1])
+    zero = F.expr(f"transform(sequence(1, {dim}), x -> CAST(0.0 AS DOUBLE))")
+    for _ in range(iterations):
+        assigned = train.select(
+            F.col(id_col), F.col(vec_col), _assign_cell(vec_col, cents).alias("cent_id")
+        )
+        summed = assigned.groupBy("cent_id").agg(
+            F.aggregate(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
+                        )
+                    ),
+                    lambda s: s["v"],
+                ),
+                zero,
+                lambda acc, v: F.zip_with(acc, v, lambda a, b: a + b),
+            ).alias("__s"),
+            F.count("*").alias("__cn"),
+        )
+        mu = summed.select(
+            "cent_id", F.transform("__s", lambda x: x / F.col("__cn")).alias("__m")
+        )
+        normed = (
+            mu.withColumn("__nn", l2_norm("__m"))
+            .select("cent_id", normalized("__m", "__nn").alias("__ce"))
+        )
+        cents = sorted(
+            (r["cent_id"], list(r["__ce"])) for r in normed.collect()
+        )
+    if iterations > 0:
+        train.unpersist()
+    return cents
+
+
 def ivf_kmeans_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -376,69 +467,45 @@ def ivf_kmeans_topk(
     num_centroids: int,
     nprobe: int = 2,
     iterations: int = 1,
+    train_sample_hex: str | None = "8",
 ) -> DataFrame:
     """IVF top-k with TRAINED (spherical k-means) centroids.
 
-    Same search plan as `ivf_topk` — corpus shuffles once by cell,
-    queries probe `nprobe` cells — but the coarse quantizer is learned:
-    `iterations` Lloyd rounds refine the deterministic seed centroids,
-    which tightens cells around the data and raises recall at the same
-    nprobe. Training cost is iterations x (one broadcast-join pass +
-    two hash aggregates) over the corpus.
+    Same search plan as `ivf_topk` — literal centroids, map-side cell
+    assignment and probing, one rank-window shuffle — but the coarse
+    quantizer is learned: `iterations` Lloyd rounds (driver-iterated,
+    see `train_kmeans_literal`) refine seeds drawn from a DETERMINISTIC
+    md5-prefix sample of the corpus (`train_sample_hex`='8' keeps ids
+    whose md5 first hex digit < '8', ~50%; None trains on everything).
+    Training a quantizer on a sample is the standard at-scale posture
+    (FAISS trains IVF on ~1-10% of vectors): the full corpus is only
+    ever touched by map-side assignment + the final rank shuffle, and
+    the training jobs run over the bounded sample.
     """
-    from pyspark import StorageLevel
-
-    from sql_engine_spark.functions.vectors import dot, l2_norm, normalized
-
-    def norm_side(df: DataFrame, out_id: str) -> DataFrame:
-        return (
-            df.select(F.col(id_col).alias(out_id), F.col(vec_col).alias("__v"))
-            .withColumn("__n", l2_norm("__v"))
-            .withColumn("__nv", normalized("__v", "__n"))
-            .select(out_id, "__nv")
-        )
-
-    corp_norm = norm_side(corpus, "neighbor_id").persist(StorageLevel.MEMORY_AND_DISK)
-    cents = F.broadcast(
-        kmeans_centroids(
-            corp_norm,
-            id_col="neighbor_id",
-            vec_col="__nv",
-            num_centroids=num_centroids,
-            iterations=iterations,
-        )
+    sample = (
+        F.substring(F.md5(F.col("neighbor_id").cast("string")), 1, 1)
+        < train_sample_hex
+        if train_sample_hex is not None
+        else None
     )
-    corp = (
-        corp_norm.crossJoin(cents)
-        .withColumn("__ccos", dot("__nv", "__ce"))
-        .groupBy("neighbor_id")
-        .agg(
-            F.max_by("cent_id", F.struct(F.col("__ccos"), -F.col("cent_id"))).alias(
-                "cent_id"
-            ),
-            F.first("__nv").alias("__cv"),
-        )
+    corp_norm = _norm_side(corpus, id_col, vec_col, "neighbor_id")
+    cents = train_kmeans_literal(
+        corp_norm,
+        id_col="neighbor_id",
+        vec_col="__nv",
+        num_centroids=num_centroids,
+        iterations=iterations,
+        sample_pred=sample,
     )
-    wq = Window.partitionBy("query_id").orderBy(F.desc("__ccos"), F.asc("cent_id"))
-    probes = (
-        norm_side(queries, "query_id")
-        .crossJoin(cents)
-        .withColumn("__ccos", dot("__nv", "__ce"))
-        .withColumn("__rn", F.row_number().over(wq))
-        .where(F.col("__rn") <= nprobe)
-        .select("query_id", F.col("__nv").alias("__qv"), "cent_id")
+    corp = corp_norm.select(
+        "neighbor_id",
+        F.col("__nv").alias("__cv"),
+        _assign_cell("__nv", cents).alias("cent_id"),
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
-        F.broadcast(probes)
-        .join(corp, "cent_id")
-        .withColumn("cosine", dot("__qv", "__cv"))
-        .withColumn("rank", F.row_number().over(w).cast("long"))
-        .where(F.col("rank") <= k)
-        .select(
-            "query_id", "neighbor_id", F.col("cent_id").alias("cell"), "cosine", "rank"
-        )
+    probes = _probe_cells(
+        _norm_side(queries, id_col, vec_col, "query_id"), "query_id", cents, nprobe
     )
+    return _ivf_search(probes, corp, k)
 
 
 def embedding_cosine_pairs(

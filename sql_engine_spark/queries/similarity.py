@@ -242,12 +242,17 @@ def ann_lsh_multitable_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivf_kmeans_oracle(num_centroids: int, nprobe: int, k: int, iters: int) -> str:
+def _ivf_kmeans_oracle(
+    num_centroids: int, nprobe: int, k: int, iters: int, sample_hex: str = "8"
+) -> str:
     """Mirror of operators/similarity.py:ivf_kmeans_topk, including the
     ordered per-dimension reduction that makes the centroid means exact
     (list(x ORDER BY vec_id) = Spark's array_sort(collect_list(...));
-    both sum left-to-right from a 0.0 accumulator)."""
+    both sum left-to-right from a 0.0 accumulator). Training (seed pick
+    + Lloyd assignment) is restricted to the same deterministic
+    md5-prefix sample the Spark side trains on."""
     assert iters == 1, "oracle spelled out for one Lloyd iteration"
+    sample = f"substring(md5(CAST(c.vec_id AS VARCHAR)), 1, 1) < '{sample_hex}'"
     assign = (
         "SELECT c.vec_id, c.nv, t.cent_id,"
         "       row_number() OVER (PARTITION BY c.vec_id"
@@ -266,14 +271,15 @@ def _ivf_kmeans_oracle(num_centroids: int, nprobe: int, k: int, iters: int) -> s
                   FROM v)
         ),
         c0 AS (
-            SELECT vec_id AS cent_id, nv AS ce FROM nrm
-            WHERE vec_id >= 10 ORDER BY vec_id LIMIT {num_centroids}
+            SELECT c.vec_id AS cent_id, c.nv AS ce FROM nrm c
+            WHERE c.vec_id >= 10 AND {sample}
+            ORDER BY c.vec_id LIMIT {num_centroids}
         ),
         a0 AS (
             SELECT vec_id, nv, cent_id FROM (
-                {assign.replace('t.ce', 't.ce').replace('cents', 'c0')}
+                {assign}
                 FROM nrm c CROSS JOIN c0 t
-                WHERE c.vec_id >= 10
+                WHERE c.vec_id >= 10 AND {sample}
             ) WHERE rn = 1
         ),
         dims AS (
@@ -326,13 +332,15 @@ def _ivf_kmeans_oracle(num_centroids: int, nprobe: int, k: int, iters: int) -> s
 
 @register(
     "ann_ivf_kmeans_topk",
-    oracle=_ivf_kmeans_oracle(4, 2, 5, 1),
+    oracle=_ivf_kmeans_oracle(4, 2, 5, 1, sample_hex="8"),
     doc="IVF top-5 with TRAINED centroids: one spherical k-means (Lloyd) "
-    "iteration refines the deterministic seeds before the usual "
-    "cell-partition + nprobe probing. The centroid update uses an "
-    "ordered per-dimension reduction so it is bit-reproducible under "
-    "any partitioning — the iterative-algorithm pattern (train -> "
-    "assign -> search) expressed entirely in DataFrame ops.",
+    "iteration over a deterministic ~50% md5-prefix SAMPLE refines the "
+    "seeds ('sample, then train' — the FAISS posture), then the usual "
+    "cell-partition + nprobe probing over the FULL corpus. Centroids "
+    "iterate through the driver as literals (the MLlib pattern), so "
+    "assignment and probing are map-side expressions; the ordered "
+    "vector-sum update keeps training bit-reproducible under any "
+    "partitioning. Only corpus-sized shuffle: the final rank window.",
 )
 def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sql_engine_spark.operators.similarity import ivf_kmeans_topk
@@ -347,6 +355,7 @@ def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         num_centroids=4,
         nprobe=2,
         iterations=1,
+        train_sample_hex="8",
     )
 
 
