@@ -538,6 +538,58 @@ def embedding_cosine_pairs(
     )
 
 
+def semantic_dup_pairs_multitable(
+    df: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    planes: int,
+    tables: int,
+    dim: int,
+    threshold: float,
+) -> DataFrame:
+    """OR-amplified semantic near-dup pairs: `tables` independent
+    hyperplane-LSH tables of `planes` planes each; two vectors are
+    CANDIDATES if they share a bucket in ANY table, then exact cosine
+    verifies. Pair recall for vectors at angle θ is 1-(1-p)^tables with
+    p=(1-θ/π)^planes — e.g. 8 tables x 4 planes gives ~0.99 at cosine
+    0.9 and ~0.6 even at cosine 0.25, vs ~0.04 for one 6-plane table.
+    Precision is exact (stage-2 verification). Scale shape: the bucket
+    rows replicate `tables`x (stack, per-row map work), candidates come
+    from an equi-join on (table, bucket), and the quadratic cost stays
+    confined to bucket blocks (~corpus/2^planes each) — no all-pairs
+    stage. Returns (id_a, id_b, cosine)."""
+    cols = [
+        lsh_bucket(vec_col, planes, dim, offset=t * planes).alias(f"__b{t}")
+        for t in range(tables)
+    ]
+    wide = df.select(F.col(id_col).alias("__id"), *cols)
+    stack = (
+        f"stack({tables}, "
+        + ", ".join(f"{t}, __b{t}" for t in range(tables))
+        + ") as (__t, __bk)"
+    )
+    rows = wide.selectExpr("__id", stack)
+    a, b = rows.alias("a"), rows.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.__t") == F.col("b.__t"))
+            & (F.col("a.__bk") == F.col("b.__bk"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .distinct()
+    )
+    vecs = df.select(F.col(id_col).alias("__vid"), F.col(vec_col).alias("__v"))
+    return (
+        cands.join(vecs.alias("va"), F.col("id_a") == F.col("va.__vid"))
+        .join(vecs.alias("vb"), F.col("id_b") == F.col("vb.__vid"))
+        .select("id_a", "id_b", cosine_sim("va.__v", "vb.__v").alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+    )
+
+
 def lsh_multitable_topk(
     queries: DataFrame,
     corpus: DataFrame,

@@ -221,6 +221,61 @@ def dedup_semantic_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SEM_TABLES = 8
+_SEM_TPLANES = 4
+
+
+def _sem_multitable_oracle() -> str:
+    bucket_rows = "\n            UNION ALL ".join(
+        f"SELECT vec_id, {t} AS t, "
+        f"{sql_lsh_bucket('e', _SEM_TPLANES, 64, offset=t * _SEM_TPLANES)} AS bk FROM v"
+        for t in range(_SEM_TABLES)
+    )
+    return f"""
+        WITH v AS (
+            SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+            FROM embeddings
+        ),
+        b AS ({bucket_rows}),
+        cands AS (
+            SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+            FROM b x JOIN b y ON x.t = y.t AND x.bk = y.bk AND x.vec_id < y.vec_id
+        )
+        SELECT id_a, id_b, {_PAIR_COS} AS cosine
+        FROM cands
+        JOIN v a ON a.vec_id = id_a
+        JOIN v c ON c.vec_id = id_b
+        WHERE {_PAIR_COS} >= 0.25
+    """
+
+
+@register(
+    "dedup_semantic_multitable",
+    oracle=_sem_multitable_oracle(),
+    doc="Semantic dedup with OR-amplification: "
+    f"{_SEM_TABLES} independent LSH tables of {_SEM_TPLANES} hyperplanes "
+    "each — a pair is a candidate on ANY shared bucket, then exact "
+    "cosine verifies. Pair recall 1-(1-p)^tables vs p for the "
+    "single-table variant (~0.6 even at cosine 0.25, ~0.99 at 0.9, vs "
+    "~0.04 for one 6-plane table — floors pinned in tests); precision "
+    "exact. The production SemDeDup shape when recall matters: bucket "
+    "rows replicate tables-x, quadratic cost stays confined to bucket "
+    "blocks.",
+)
+def dedup_semantic_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sql_engine_spark.operators.similarity import semantic_dup_pairs_multitable
+
+    return semantic_dup_pairs_multitable(
+        load(spark, sf_dir, "embeddings"),
+        id_col="vec_id",
+        vec_col="embedding",
+        planes=_SEM_TPLANES,
+        tables=_SEM_TABLES,
+        dim=64,
+        threshold=0.25,
+    )
+
+
 @register(
     "text_repetition",
     oracle=f"""

@@ -132,6 +132,80 @@ def test_kmeans_centroids_partitioning_invariant(spark, sf_dir):
         assert a[cid] == b[cid], f"centroid {cid} differs across partitionings"
 
 
+def _exact_cosine_pairs(spark, sf_dir, threshold):
+    from sql_engine_spark.io import load
+    from sql_engine_spark.operators.similarity import embedding_cosine_pairs
+
+    emb = load(spark, sf_dir, "embeddings").withColumn("__b", F.lit(1))
+    exact = embedding_cosine_pairs(
+        emb, id_col="vec_id", vec_col="embedding", block_col="__b", threshold=threshold
+    )
+    return {(r.id_a, r.id_b): r.cosine for r in exact.collect()}
+
+
+def test_semantic_dedup_recall_floors(spark, sf_dir):
+    """LSH bucketing quality graded against exact all-pairs cosine (not
+    just oracle-matched): the OR-amplified multitable variant must hit
+    pinned recall floors (measured 0.65 overall / 0.70 on the >=0.4
+    stratum at sf0.001), beat the single-table variant, and both must
+    have EXACT precision (stage-2 verification admits no false pair)."""
+    exact = _exact_cosine_pairs(spark, sf_dir, 0.25)
+    single = {
+        (r.id_a, r.id_b)
+        for r in all_queries()["dedup_semantic_verified"].build(spark, sf_dir).collect()
+    }
+    multi = {
+        (r.id_a, r.id_b)
+        for r in all_queries()["dedup_semantic_multitable"].build(spark, sf_dir).collect()
+    }
+    assert single <= set(exact)  # precision 1.0
+    assert multi <= set(exact)
+    assert len(multi & set(exact)) / len(exact) >= 0.55
+    stratum = {p for p, c in exact.items() if c >= 0.4}
+    if stratum:
+        assert len(multi & stratum) / len(stratum) >= 0.6
+    assert len(multi) > len(single)  # OR-amplification must actually amplify
+
+
+def test_semantic_dedup_finds_planted_near_dups(spark):
+    """On a corpus WITH true near-duplicates (the synthetic embeddings
+    top out at cosine 0.48), the multitable pipeline must recover nearly
+    all planted pairs at a SemDeDup-realistic threshold."""
+    import hashlib
+    import struct
+
+    from sql_engine_spark.operators.similarity import semantic_dup_pairs_multitable
+
+    def direction(seed: int, dim: int = 16) -> list[float]:
+        out: list[float] = []
+        i = 0
+        while len(out) < dim:
+            d = hashlib.md5(f"{seed}-{i}".encode()).digest()
+            out.extend(
+                struct.unpack("<i", d[j : j + 4])[0] / 2**31 for j in range(0, 16, 4)
+            )
+            i += 1
+        return out[:dim]
+
+    rows = []
+    for k in range(25):
+        base = direction(k)
+        noise = direction(k + 1000)
+        dup = [x + 0.02 * y for x, y in zip(base, noise)]
+        rows.append((k, base))
+        rows.append((k + 500, dup))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    found = {
+        (r.id_a, r.id_b)
+        for r in semantic_dup_pairs_multitable(
+            df, id_col="vec_id", vec_col="embedding",
+            planes=4, tables=8, dim=16, threshold=0.9,
+        ).collect()
+    }
+    planted = {(k, k + 500) for k in range(25)}
+    assert len(found & planted) / len(planted) >= 0.9
+
+
 def test_curate_observation_metrics(spark, sf_dir):
     """Stage metrics must come from the SAME single action (Observation
     piggyback), and be consistent: input >= kept >= output."""
