@@ -56,3 +56,38 @@ def test_frame_sample_stride(spark, sf_dir):
     rows = out.where("doc_id = 1").collect()
     idxs = sorted(r.frame_idx for r in rows)
     assert idxs == list(range(0, 10 * len(idxs), 10))
+
+
+def test_real_codec_feature_detection():
+    """Without the libs, the real kernels must fail loudly (clear install
+    hint), never silently fall back; flags mirror availability."""
+    import pytest
+
+    from sql_engine_spark.operators import multimodal as mm
+
+    if not mm.HAS_PIL:
+        with pytest.raises(NotImplementedError, match="Pillow"):
+            mm._decode_image_real(b"\x89PNG")
+    if not mm.HAS_SOUNDFILE:
+        with pytest.raises(NotImplementedError, match="soundfile"):
+            mm._decode_audio_real(b"RIFF", 16000)
+
+
+def test_real_image_decode_when_pil_present(spark, sf_dir):
+    """Runs only where Pillow is installed: the real path must produce
+    true dimensions through the same Arrow plumbing."""
+    import pytest
+
+    pytest.importorskip("PIL")
+    import io
+
+    from PIL import Image
+
+    from sql_engine_spark.operators.multimodal import decode_images
+
+    buf = io.BytesIO()
+    Image.new("RGB", (20, 10)).save(buf, format="PNG")
+    df = spark.createDataFrame([(1, bytearray(buf.getvalue()))], "doc_id long, payload binary")
+    row = decode_images(df, id_col="doc_id", binary_col="payload", use_fake=False).first()
+    assert (row.width, row.height, row.channels) == (20, 10, 3)
+    assert len(row.features) == 8 and abs(sum(row.features) - 1.0) < 1e-3
