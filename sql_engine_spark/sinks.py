@@ -150,6 +150,20 @@ def compact_dataset(
     """
     import shutil
 
+    # Recover from a prior crashed compaction before writing anything:
+    # a leftover `.__compact_old__` would make this run's os.replace
+    # fail, and (after a crash between the two renames) may hold the
+    # only surviving copy of the dataset.
+    tmp = path.rstrip("/") + ".__compact_tmp__"
+    old = path.rstrip("/") + ".__compact_old__"
+    if os.path.exists(old):
+        if not os.path.exists(path):
+            os.replace(old, path)  # crash landed between the renames
+        else:
+            shutil.rmtree(old)  # crash landed before the old-copy delete
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)  # incomplete write from a dead process
+
     src_bytes = sum(
         os.path.getsize(os.path.join(dirpath, f))
         for dirpath, _, files in os.walk(path)
@@ -161,8 +175,6 @@ def compact_dataset(
     out = df.repartition(n_files)
     if sort_by:
         out = out.sortWithinPartitions(*sort_by)
-    tmp = path.rstrip("/") + ".__compact_tmp__"
-    old = path.rstrip("/") + ".__compact_old__"
     writer = out.write.mode("overwrite").format(format)
     if partition_by:
         writer = writer.partitionBy(*partition_by)

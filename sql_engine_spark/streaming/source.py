@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from sql_engine_spark.io import load
 
 
-_REPLAY_DIRS: dict[tuple[str, str, int], str] = {}
+_REPLAY_DIRS: dict[tuple[str, str, tuple[str, ...], int], str] = {}
 
 
 def events_stream(spark: SparkSession, sf_dir: str, n_chunks: int = 4) -> DataFrame:
@@ -40,7 +40,7 @@ def table_stream(
 ) -> DataFrame:
     """readStream replay of any testdata table, chunked in `order_cols`
     order, one chunk per micro-batch trigger."""
-    key = (sf_dir, table, n_chunks)
+    key = (sf_dir, table, tuple(order_cols), n_chunks)
     if key in _REPLAY_DIRS:
         schema = load(spark, sf_dir, table).schema
         return (

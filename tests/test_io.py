@@ -227,3 +227,31 @@ def test_compact_dataset_partitioned_layout(spark, sf_dir, tmp_path):
     assert set(back.columns) == {"l_orderkey", "l_quantity", "l_returnflag"}
     assert not os.path.exists(path + ".__compact_tmp__")
     assert not os.path.exists(path + ".__compact_old__")
+
+def test_compact_dataset_recovers_stale_swap_dirs(spark, sf_dir, tmp_path):
+    """A compaction that crashed mid-swap leaves `.__compact_old__` /
+    `.__compact_tmp__` behind; the next run must self-heal instead of
+    failing its own os.replace — including the worst case where the crash
+    landed between the two renames and `old` holds the only copy."""
+    import shutil
+    from sql_engine_spark.sinks import compact_dataset
+
+    src = load(spark, sf_dir, "region")
+    path = str(tmp_path / "crashy")
+    src.write.mode("overwrite").parquet(path)
+    expected = src.count()
+
+    # Case 1: crash after the swap but before deleting the old copy.
+    shutil.copytree(path, path + ".__compact_old__")
+    os.makedirs(path + ".__compact_tmp__/junk")
+    compact_dataset(spark, path, target_file_bytes=64 * 1024 * 1024)
+    assert spark.read.parquet(path).count() == expected
+    assert not os.path.exists(path + ".__compact_old__")
+    assert not os.path.exists(path + ".__compact_tmp__")
+
+    # Case 2: crash between the renames — dataset exists only at `old`.
+    os.replace(path, path + ".__compact_old__")
+    compact_dataset(spark, path, target_file_bytes=64 * 1024 * 1024)
+    assert spark.read.parquet(path).count() == expected
+    assert not os.path.exists(path + ".__compact_old__")
+    assert not os.path.exists(path + ".__compact_tmp__")
