@@ -67,3 +67,13 @@ def sql_dot(a: str, b: str) -> str:
 
 def sql_cosine(a: str, b: str) -> str:
     return f"({sql_dot(a, b)} / (sqrt({SQL_SQNORM.format(a=a)}) * sqrt({SQL_SQNORM.format(a=b)})))"
+
+
+
+# NOTE on unrolling: expanding these reductions into per-element
+# getItem/multiply/add chains (to stay in whole-stage codegen) was tried
+# and measured 3-5x SLOWER at dim=64 — the expression blow-up trips
+# codegen's method-size limits and the whole stage falls back to
+# interpreted Volcano execution. One HOF invocation per reduction is the
+# fast spelling; the thing to avoid is *nesting* a reduction inside
+# another lambda (see `normalized`'s docstring).

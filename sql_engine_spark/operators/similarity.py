@@ -12,8 +12,12 @@
 - `embedding_cosine_pairs`: near-dup pairs by cosine within a blocking
   column (for dedup of embedded corpora).
 
-All vector math is JVM-side (zip_with/aggregate); sums reduce left-to-right
-over doubles, bit-identical to the DuckDB oracle's list_reduce.
+All vector math is JVM-side (zip_with/aggregate); sums reduce
+left-to-right over doubles, bit-identical to the DuckDB oracle's
+list_reduce. HOFs run interpreted in Spark, so the operators are
+written to evaluate each reduction ONCE per use: raw vectors +
+materialized norm columns, never a normalized array column whose
+inlined norm reduction would re-run per element (see _ivf_search).
 """
 
 from __future__ import annotations
@@ -151,24 +155,57 @@ def _lit_vec(v: list[float]) -> "F.Column":
     return F.array(*[F.lit(float(x)) for x in v])
 
 
+def _sql_lit_vec(v: list[float]) -> str:
+    """Literal double-array as ONE SQL string. Building literal vectors
+    through the Column API costs a Py4J round trip per element — with
+    K centroids x dim elements that is ~1s of driver time per plan
+    (measured); a single parsed expression string is ~free. repr() is
+    shortest-round-trip, so the parsed doubles are bit-identical."""
+    return "array(" + ", ".join(f"CAST({float(x)!r} AS DOUBLE)" for x in v) + ")"
+
+
+def _sql_dot_lit(vec_col: str, v: list[float]) -> str:
+    """SQL dot(vec_col, literal) — same op order as functions.vectors.dot."""
+    return (
+        f"aggregate(zip_with({vec_col}, {_sql_lit_vec(v)}, "
+        f"(x, p) -> CAST(x AS DOUBLE) * CAST(p AS DOUBLE)), "
+        f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def _py_unit(v) -> list[float]:
+    """Driver-side L2 normalization: the same IEEE double ops in the same
+    left-to-right fold order as the engine (0.0 + x0*x0 + x1*x1 + ...;
+    correctly-rounded sqrt; per-element division), so the result is
+    bit-identical to normalizing in Spark or DuckDB."""
+    import math
+
+    vals = [float(x) for x in v]
+    acc = 0.0
+    for x in vals:
+        acc += x * x
+    n = math.sqrt(acc)
+    return [x / n for x in vals]
+
+
 def _cell_scores(vec_col: str, cents: list[tuple[int, list[float]]]) -> "F.Column":
     """array<struct<negcos, cent_id>> scoring a row's vector against every
     LITERAL centroid — a pure per-row expression, no join, no shuffle.
     Cosines are negated so array_min / array_sort pick the highest cosine
     first with ties to the lowest cent_id (the same order as
     max_by(struct(cos, -cent_id)) and the oracle's `ORDER BY dot DESC,
-    cent_id`)."""
-    from sql_engine_spark.functions.vectors import dot
+    cent_id`). Assembled as ONE SQL string (see _sql_lit_vec) so plan
+    construction is a single parse, not thousands of Py4J calls."""
+    return F.expr(_cell_scores_sql(vec_col, cents))
 
-    return F.array(
-        *[
-            F.struct(
-                (-dot(F.col(vec_col), _lit_vec(v))).alias("negcos"),
-                F.lit(int(cid)).cast("long").alias("cent_id"),
-            )
-            for cid, v in cents
-        ]
-    )
+
+def _cell_scores_sql(vec_col: str, cents: list[tuple[int, list[float]]]) -> str:
+    parts = [
+        f"struct(-({_sql_dot_lit(vec_col, v)}) AS negcos, "
+        f"CAST({int(cid)} AS BIGINT) AS cent_id)"
+        for cid, v in cents
+    ]
+    return "array(" + ", ".join(parts) + ")"
 
 
 def _assign_cell(vec_col: str, cents: list[tuple[int, list[float]]]) -> "F.Column":
@@ -192,14 +229,22 @@ def _ivf_search(
 ) -> DataFrame:
     """Broadcast the (tiny) probe set against the cell-assigned corpus and
     exact-rank within each query — the single corpus-sized shuffle of the
-    whole IVF search (the rank window by query_id)."""
+    whole IVF search (the rank window by query_id).
+
+    `corp` carries the RAW vector `__cv` plus its materialized norm
+    `__cn`; cosine is dot(q_norm, raw)/norm. Keeping the corpus raw (and
+    dividing by a plain column) matters because higher-order functions
+    run interpreted with no subexpression elimination: a normalized
+    corpus column inlines its whole norm reduction into the transform
+    lambda and re-evaluates it PER ELEMENT per use — measured 4x wall on
+    this query at sf0.1."""
     from sql_engine_spark.functions.vectors import dot
 
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         F.broadcast(probes)
         .join(corp, "cent_id")
-        .withColumn("cosine", dot("__qv", "__cv"))
+        .withColumn("cosine", dot("__qv", "__cv") / F.col("__cn"))
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= k)
         .select(
@@ -234,17 +279,29 @@ def ivf_topk(
     rank window, and nothing is persisted (the corpus is scanned once
     for the seed pick and once for the search — no cache to leak).
 
+    The corpus is never normalized engine-side: argmax_j dot(x, c_j)
+    over unit centroids is invariant to x's (positive) scale, so cell
+    assignment runs on the RAW vectors, and the final cosine divides
+    one raw dot product by the row's materialized norm. This avoids
+    the interpreted-HOF trap where a normalized array column re-runs
+    its norm reduction per element per use (see _ivf_search).
+
     Returns (query_id, neighbor_id, cell, cosine, rank).
     """
-    corp_norm = _norm_side(corpus, id_col, vec_col, "neighbor_id")
-    seed_rows = (
-        corp_norm.orderBy("neighbor_id").limit(num_centroids).collect()
-    )
-    cents = [(r["neighbor_id"], list(r["__nv"])) for r in seed_rows]
-    corp = corp_norm.select(
+    from sql_engine_spark.functions.vectors import l2_norm
+
+    raw = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__v"))
+    seed_rows = raw.orderBy("neighbor_id").limit(num_centroids).collect()
+    # Normalize the K seeds on the driver (Python doubles are the same
+    # IEEE ops in the same left-to-right order as the engine/oracle, so
+    # this is bit-identical to the oracle's e/n) — the seed scan then
+    # carries no vector math at all.
+    cents = [(r["neighbor_id"], _py_unit(r["__v"])) for r in seed_rows]
+    corp = raw.select(
         "neighbor_id",
-        F.col("__nv").alias("__cv"),
-        _assign_cell("__nv", cents).alias("cent_id"),
+        F.col("__v").alias("__cv"),
+        l2_norm("__v").alias("__cn"),
+        _assign_cell("__v", cents).alias("cent_id"),
     )
     probes = _probe_cells(
         _norm_side(queries, id_col, vec_col, "query_id"), "query_id", cents, nprobe
@@ -258,17 +315,27 @@ def ordered_mean_vectors(
     group_col: str,
     id_col: str,
     vec_col: str,
+    norm_col: str | None = None,
     out_vec: str = "__ce",
 ) -> DataFrame:
     """Per-group element-wise mean of vectors, then L2-normalized —
     computed with an ORDERED reduction (members sorted by id, summed
     left-to-right from 0.0) so the result is bit-identical under any
-    partitioning. Returns (group_col, out_vec)."""
+    partitioning. Returns (group_col, out_vec).
+
+    When `norm_col` names a materialized per-row L2 norm, `vec_col` is
+    taken RAW and each exploded element is divided by that norm — the
+    mean is then over unit vectors without ever constructing a
+    normalized array column (whose inlined norm reduction re-runs per
+    element in the interpreted HOF evaluator)."""
     from sql_engine_spark.functions.vectors import l2_norm, normalized
 
-    dims = assigned.select(
-        group_col, F.col(id_col), F.posexplode(vec_col).alias("d", "x")
+    extra = [F.col(norm_col)] if norm_col else []
+    gen = assigned.select(
+        group_col, F.col(id_col), *extra, F.posexplode(vec_col).alias("d", "x")
     )
+    x = (F.col("x").cast("double") / F.col(norm_col)) if norm_col else F.col("x")
+    dims = gen.select(group_col, id_col, "d", x.alias("x"))
     mu = (
         dims.groupBy(group_col, "d")
         .agg(
@@ -359,26 +426,32 @@ def nearest_centroid_classify(
     Scale: one pass to build K centroids (K = #labels, broadcast), one
     map-side argmax pass to classify — no corpus-sized shuffle beyond
     the centroid aggregate.
-    """
-    from sql_engine_spark.functions.vectors import dot, l2_norm, normalized
 
-    norm = (
-        df.select(F.col(id_col), F.col(label_col), F.col(vec_col).alias("__v"))
-        .withColumn("__n", l2_norm("__v"))
-        .withColumn("__nv", normalized("__v", "__n"))
-        .select(id_col, label_col, "__nv")
+    Vectors stay RAW end-to-end: the centroid mean divides by a
+    materialized per-row norm at explode time, and classification's
+    argmax dot against unit centroids is invariant to the row's scale —
+    no normalized array column, no interpreted-HOF norm recompute.
+    """
+    from sql_engine_spark.functions.vectors import dot, l2_norm
+
+    base = df.select(
+        F.col(id_col),
+        F.col(label_col),
+        F.col(vec_col).alias("__v"),
+        l2_norm(vec_col).alias("__n"),
     )
     cents = F.broadcast(
         ordered_mean_vectors(
-            norm.withColumnRenamed(label_col, "__lbl"),
+            base.withColumnRenamed(label_col, "__lbl"),
             group_col="__lbl",
             id_col=id_col,
-            vec_col="__nv",
+            vec_col="__v",
+            norm_col="__n",
         )
     )
     return (
-        norm.crossJoin(cents)
-        .withColumn("__ccos", dot("__nv", "__ce"))
+        base.crossJoin(cents)
+        .withColumn("__ccos", dot("__v", "__ce"))
         .groupBy(id_col, label_col)
         .agg(
             F.max_by("__lbl", F.struct(F.col("__ccos"), -F.col("__lbl"))).alias(
@@ -390,7 +463,7 @@ def nearest_centroid_classify(
 
 
 def train_kmeans_literal(
-    corp_norm: DataFrame,
+    corpus_raw: DataFrame,
     *,
     id_col: str,
     vec_col: str,
@@ -400,6 +473,14 @@ def train_kmeans_literal(
 ) -> list[tuple[int, list[float]]]:
     """Spherical k-means trained ON A SAMPLE with driver-side centroid
     iteration — the 'sample, then train' posture made executable.
+
+    `corpus_raw` carries RAW (un-normalized) vectors; each row's L2 norm
+    is materialized once as a plain column and the per-member
+    normalization happens INSIDE the ordered vector fold (one division
+    per element per member) — never as a normalized array column, whose
+    inlined norm reduction would re-run per element per use in the
+    interpreted HOF evaluator. Assignment is likewise a raw-vector
+    argmax against the unit literal centroids (scale-invariant).
 
     `sample_pred` (e.g. an md5-prefix predicate, deterministic and
     oracle-reproducible) bounds the training set; seeds are its
@@ -414,31 +495,44 @@ def train_kmeans_literal(
     """
     from sql_engine_spark.functions.vectors import l2_norm, normalized
 
-    train = corp_norm.where(sample_pred) if sample_pred is not None else corp_norm
+    train = corpus_raw.where(sample_pred) if sample_pred is not None else corpus_raw
+    train = train.select(
+        F.col(id_col), F.col(vec_col).alias("__v"), l2_norm(vec_col).alias("__vn")
+    )
     if iterations > 0:
         train = train.persist()
     seed_rows = train.orderBy(id_col).limit(num_centroids).collect()
-    cents = [(r[id_col], list(r[vec_col])) for r in seed_rows]
+    cents = [
+        (r[id_col], [float(x) / r["__vn"] for x in r["__v"]]) for r in seed_rows
+    ]
     if not cents:
         raise ValueError("training sample is empty")
     dim = len(cents[0][1])
     zero = F.expr(f"transform(sequence(1, {dim}), x -> CAST(0.0 AS DOUBLE))")
     for _ in range(iterations):
         assigned = train.select(
-            F.col(id_col), F.col(vec_col), _assign_cell(vec_col, cents).alias("cent_id")
+            F.col(id_col),
+            F.col("__v"),
+            F.col("__vn"),
+            _assign_cell("__v", cents).alias("cent_id"),
         )
         summed = assigned.groupBy("cent_id").agg(
             F.aggregate(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(
-                            F.struct(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col(id_col).alias("i"),
+                            F.col("__v").alias("v"),
+                            F.col("__vn").alias("n"),
                         )
-                    ),
-                    lambda s: s["v"],
+                    )
                 ),
                 zero,
-                lambda acc, v: F.zip_with(acc, v, lambda a, b: a + b),
+                # Element-wise sum of the member's UNIT vector: divide by
+                # the member's materialized norm inside the fold.
+                lambda acc, s: F.zip_with(
+                    acc, s["v"], lambda a, b: a + b.cast("double") / s["n"]
+                ),
             ).alias("__s"),
             F.count("*").alias("__cn"),
         )
@@ -482,25 +576,30 @@ def ivf_kmeans_topk(
     ever touched by map-side assignment + the final rank shuffle, and
     the training jobs run over the bounded sample.
     """
+    from sql_engine_spark.functions.vectors import l2_norm
+
     sample = (
         F.substring(F.md5(F.col("neighbor_id").cast("string")), 1, 1)
         < train_sample_hex
         if train_sample_hex is not None
         else None
     )
-    corp_norm = _norm_side(corpus, id_col, vec_col, "neighbor_id")
+    raw = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__v"))
     cents = train_kmeans_literal(
-        corp_norm,
+        raw,
         id_col="neighbor_id",
-        vec_col="__nv",
+        vec_col="__v",
         num_centroids=num_centroids,
         iterations=iterations,
         sample_pred=sample,
     )
-    corp = corp_norm.select(
+    # Full-corpus pass: raw-vector assignment (scale-invariant argmax),
+    # norm materialized once for the final cosine — see ivf_topk.
+    corp = raw.select(
         "neighbor_id",
-        F.col("__nv").alias("__cv"),
-        _assign_cell("__nv", cents).alias("cent_id"),
+        F.col("__v").alias("__cv"),
+        l2_norm("__v").alias("__cn"),
+        _assign_cell("__v", cents).alias("cent_id"),
     )
     probes = _probe_cells(
         _norm_side(queries, id_col, vec_col, "query_id"), "query_id", cents, nprobe
@@ -636,6 +735,154 @@ def lsh_multitable_topk(
         .join(F.broadcast(q), "query_id")
         .withColumn("cosine", cosine_sim("__qv", "__cv"))
         .withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def pq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    subspaces: int,
+    sub_centroids: int,
+    dim: int,
+    rerank: int = 0,
+) -> DataFrame:
+    """Product-quantization (PQ) approximate top-k with asymmetric distance
+    computation (ADC) — the memory-bounded ANN path (Jégou et al., "Product
+    Quantization for Nearest Neighbor Search", TPAMI 2011).
+
+    With `rerank` > 0, the ADC scores only build a per-query shortlist of
+    that size and exact cosine re-orders it (returns `cosine` instead of
+    `approx_dot`) — the standard two-stage recall fix.
+
+    The normalized vector is split into `subspaces` blocks of dim/subspaces
+    dims; each block is quantized to its nearest (max-dot) sub-centroid, so
+    a corpus row is represented by `subspaces` small codes (1 byte each at
+    K<=256) instead of `dim` floats — at 100 TB that is the difference
+    between an index that fits in cluster memory and one that doesn't.
+    Search (ADC): each query precomputes its dot product against every
+    sub-centroid (a subspaces x K lookup table, tiny); the approximate
+    score of a corpus row is the sum of table lookups selected by its
+    codes — zero float math per candidate beyond `subspaces` adds.
+
+    Scale shape: sub-centroids are seeded from the lowest-id corpus
+    vectors (deterministic, oracle-reproducible — the same stand-in-for-
+    trained-codebooks posture as ivf_topk); query tables are computed on
+    the (tiny, broadcast) query side; the only corpus-sized shuffle in
+    the whole query is the final per-query rank window.
+
+    Encoding is the one hot spot the built-in functions can't express
+    efficiently: subspaces x sub_centroids tiny dot products per row,
+    which as per-centroid HOF expressions run interpreted (measured
+    8.7s at sf0.1) and as unrolled scalar chains blow the codegen
+    method-size limit. It is therefore an Arrow-batched Pandas UDF —
+    one numpy einsum per batch, argmax per (row, subspace), first-max
+    ties = lowest code, matching the oracle's `ORDER BY dot DESC, j`.
+    (numpy sums in SIMD order rather than strictly left-to-right, so a
+    near-tie within reordering error ~1e-16 could in principle assign a
+    different code than the sequential oracle; sub-centroid dots on
+    real data are separated by many orders of magnitude more.)
+
+    Returns (query_id, neighbor_id, approx_dot, rank).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from sql_engine_spark.functions.vectors import dot
+
+    dsub = dim // subspaces
+    raw = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__v"))
+    q_norm = _norm_side(queries, id_col, vec_col, "query_id")
+
+    # Codebook: sub-slices of the `sub_centroids` lowest-id corpus vectors,
+    # normalized on the driver (bit-identical to engine normalization, see
+    # _py_unit; K x dim doubles collected — same footprint as a trained
+    # KMeansModel).
+    seed_rows = raw.orderBy("neighbor_id").limit(sub_centroids).collect()
+    units = [_py_unit(r["__v"]) for r in seed_rows]
+    cents: list[list[tuple[int, list[float]]]] = [
+        [(j, u[m * dsub : (m + 1) * dsub]) for j, u in enumerate(units)]
+        for m in range(subspaces)
+    ]
+    # (subspaces, K, dsub) codebook tensor shipped in the UDF closure.
+    cb = np.array([[v for _, v in cents[m]] for m in range(subspaces)])
+
+    def _encode(batch):
+        x = np.asarray(
+            [np.asarray(v, dtype=np.float64) for v in batch], dtype=np.float64
+        ).reshape(-1, subspaces, dsub)
+        scores = np.einsum("nmd,mkd->nmk", x, cb)
+        codes = scores.argmax(axis=2).astype(np.int32)
+        return pd.Series(list(codes))
+
+    # Annotations set as objects (module uses postponed annotations, and
+    # pd is function-local, so inline hints would not resolve).
+    _encode.__annotations__ = {"batch": pd.Series, "return": pd.Series}
+    encode = pandas_udf(_encode, "array<integer>")
+
+    coded = raw.select("neighbor_id", encode("__v").alias("__codes"))
+    # Query lookup table as ONE parsed SQL expression (see _sql_lit_vec):
+    # subspaces x K dots of the normalized query's sub-slices against the
+    # literal codebook.
+    qt_sql = (
+        "array("
+        + ", ".join(
+            "array("
+            + ", ".join(
+                _sql_dot_lit(f"slice(__nv, {m * dsub + 1}, {dsub})", v)
+                for _, v in cents[m]
+            )
+            + ")"
+            for m in range(subspaces)
+        )
+        + ")"
+    )
+    qt = q_norm.select("query_id", F.expr(qt_sql).alias("__T"))
+    # ADC: left-to-right sum (from 0.0) of the code-selected table entries —
+    # the same fold order as the oracle's list_reduce(list_prepend(0.0, ...)).
+    # (An unrolled element_at spelling was measured SLOWER than this single
+    # fold — one HOF invocation per pair beats 8 nested element_at trees.)
+    approx = F.aggregate(
+        F.zip_with("__codes", "__T", lambda c, t: F.element_at(t, c + 1)),
+        F.lit(0.0),
+        lambda a, b: a + b,
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("approx_dot"), F.asc("neighbor_id"))
+    scored = (
+        F.broadcast(qt)
+        .crossJoin(coded)
+        .withColumn("approx_dot", approx)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+    )
+    if rerank <= 0:
+        return scored.where(F.col("rank") <= k).select(
+            "query_id", "neighbor_id", "approx_dot", "rank"
+        )
+    # Exact re-rank of the ADC shortlist (the FAISS posture: PQ codes
+    # generate candidates, true distances order them). The shortlist is
+    # tiny (queries x rerank), so the exact pass is one broadcast join
+    # against the raw corpus + a small window — recall becomes that of
+    # exact search over the shortlist instead of raw ADC ordering.
+    from sql_engine_spark.functions.vectors import dot, l2_norm
+
+    short = scored.where(F.col("rank") <= rerank).select("query_id", "neighbor_id")
+    corp_vec = raw.select(
+        "neighbor_id", F.col("__v").alias("__cv"), l2_norm("__v").alias("__cn")
+    )
+    qv = q_norm.select("query_id", F.col("__nv").alias("__qv"))
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        F.broadcast(short)
+        .join(corp_vec, "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .withColumn("cosine", dot("__qv", "__cv") / F.col("__cn"))
+        .withColumn("rank", F.row_number().over(w2).cast("long"))
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )

@@ -108,16 +108,17 @@ def _dot(a: str, b: str) -> str:
 
 
 def _ivf_oracle(num_centroids: int, nprobe: int, k: int) -> str:
-    # Vectors are normalized ONCE (e / l2norm) and every cosine is then a
-    # plain dot product — mirrors operators/similarity.py:ivf_topk exactly
-    # (same op order, so bit-identical).
+    # Mirrors operators/similarity.py:ivf_topk exactly (same op order, so
+    # bit-identical): unit-norm centroids, RAW-vector cell assignment
+    # (argmax dot is invariant to the row's positive scale), and cosine =
+    # dot(q_norm, raw) / norm with the norm computed once per row.
     return f"""
         WITH v AS (
             SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
             FROM embeddings
         ),
         nrm AS (
-            SELECT vec_id, list_transform(e, x -> x / n) AS nv
+            SELECT vec_id, e, n, list_transform(e, x -> x / n) AS nv
             FROM (SELECT vec_id, e,
                          sqrt(list_reduce(list_transform(e, x -> x * x),
                                           (a, b) -> a + b)) AS n
@@ -128,10 +129,10 @@ def _ivf_oracle(num_centroids: int, nprobe: int, k: int) -> str:
             WHERE vec_id >= 10 ORDER BY vec_id LIMIT {num_centroids}
         ),
         corp AS (
-            SELECT vec_id, nv, cent_id FROM (
-                SELECT c.vec_id, c.nv, t.cent_id,
+            SELECT vec_id, e, n, cent_id FROM (
+                SELECT c.vec_id, c.e, c.n, t.cent_id,
                        row_number() OVER (PARTITION BY c.vec_id
-                                          ORDER BY {_dot('c.nv', 't.ce')} DESC, t.cent_id) AS rn
+                                          ORDER BY {_dot('c.e', 't.ce')} DESC, t.cent_id) AS rn
                 FROM nrm c CROSS JOIN cents t
                 WHERE c.vec_id >= 10
             ) WHERE rn = 1
@@ -147,7 +148,7 @@ def _ivf_oracle(num_centroids: int, nprobe: int, k: int) -> str:
         ),
         scored AS (
             SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id,
-                   c.cent_id AS cell, {_dot('p.nv', 'c.nv')} AS cosine
+                   c.cent_id AS cell, ({_dot('p.nv', 'c.e')} / c.n) AS cosine
             FROM probes p JOIN corp c ON p.cent_id = c.cent_id
         )
         SELECT query_id, neighbor_id, cell, cosine,
@@ -253,10 +254,13 @@ def _ivf_kmeans_oracle(
     md5-prefix sample the Spark side trains on."""
     assert iters == 1, "oracle spelled out for one Lloyd iteration"
     sample = f"substring(md5(CAST(c.vec_id AS VARCHAR)), 1, 1) < '{sample_hex}'"
+    # Assignment runs on the RAW vector (argmax dot against unit centroids
+    # is invariant to the row's positive scale) — mirrors
+    # operators/similarity.py:train_kmeans_literal / ivf_kmeans_topk.
     assign = (
-        "SELECT c.vec_id, c.nv, t.cent_id,"
+        "SELECT c.vec_id, c.e, c.n, t.cent_id,"
         "       row_number() OVER (PARTITION BY c.vec_id"
-        f"                         ORDER BY {_dot('c.nv', 't.ce')} DESC, t.cent_id) AS rn"
+        f"                         ORDER BY {_dot('c.e', 't.ce')} DESC, t.cent_id) AS rn"
     )
     return f"""
         WITH v AS (
@@ -264,7 +268,7 @@ def _ivf_kmeans_oracle(
             FROM embeddings
         ),
         nrm AS (
-            SELECT vec_id, list_transform(e, x -> x / n) AS nv
+            SELECT vec_id, e, n, list_transform(e, x -> x / n) AS nv
             FROM (SELECT vec_id, e,
                          sqrt(list_reduce(list_transform(e, x -> x * x),
                                           (a, b) -> a + b)) AS n
@@ -276,14 +280,15 @@ def _ivf_kmeans_oracle(
             ORDER BY c.vec_id LIMIT {num_centroids}
         ),
         a0 AS (
-            SELECT vec_id, nv, cent_id FROM (
+            SELECT vec_id, e, n, cent_id FROM (
                 {assign}
                 FROM nrm c CROSS JOIN c0 t
                 WHERE c.vec_id >= 10 AND {sample}
             ) WHERE rn = 1
         ),
         dims AS (
-            SELECT cent_id, vec_id, generate_subscripts(nv, 1) AS d, unnest(nv) AS x
+            SELECT cent_id, vec_id, generate_subscripts(e, 1) AS d,
+                   unnest(list_transform(e, x -> x / n)) AS x
             FROM a0
         ),
         mu AS (
@@ -302,7 +307,7 @@ def _ivf_kmeans_oracle(
                   FROM cm)
         ),
         corp AS (
-            SELECT vec_id, nv, cent_id FROM (
+            SELECT vec_id, e, n, cent_id FROM (
                 {assign}
                 FROM nrm c CROSS JOIN c1 t
                 WHERE c.vec_id >= 10
@@ -319,7 +324,7 @@ def _ivf_kmeans_oracle(
         ),
         scored AS (
             SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id,
-                   c.cent_id AS cell, {_dot('p.nv', 'c.nv')} AS cosine
+                   c.cent_id AS cell, ({_dot('p.nv', 'c.e')} / c.n) AS cosine
             FROM probes p JOIN corp c ON p.cent_id = c.cent_id
         )
         SELECT query_id, neighbor_id, cell, cosine,
@@ -365,14 +370,15 @@ _CLASSIFY_ORACLE = f"""
         FROM embeddings
     ),
     nrm AS (
-        SELECT vec_id, label, list_transform(e, x -> x / n) AS nv
+        SELECT vec_id, label, e, n
         FROM (SELECT vec_id, label, e,
                      sqrt(list_reduce(list_transform(e, x -> x * x),
                                       (a, b) -> a + b)) AS n
               FROM v)
     ),
     dims AS (
-        SELECT label AS lbl, vec_id, generate_subscripts(nv, 1) AS d, unnest(nv) AS x
+        SELECT label AS lbl, vec_id, generate_subscripts(e, 1) AS d,
+               unnest(list_transform(e, x -> x / n)) AS x
         FROM nrm
     ),
     mu AS (
@@ -393,7 +399,7 @@ _CLASSIFY_ORACLE = f"""
     SELECT vec_id, label, lbl AS predicted FROM (
         SELECT nrm.vec_id, nrm.label, c.lbl,
                row_number() OVER (PARTITION BY nrm.vec_id
-                                  ORDER BY {_dot('nrm.nv', 'c.ce')} DESC, c.lbl) AS rn
+                                  ORDER BY {_dot('nrm.e', 'c.ce')} DESC, c.lbl) AS rn
         FROM nrm CROSS JOIN cents c
     ) WHERE rn = 1
 """
@@ -415,4 +421,107 @@ def ann_centroid_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     return nearest_centroid_classify(
         emb, id_col="vec_id", vec_col="embedding", label_col="label"
+    )
+
+
+def _pq_oracle(subspaces: int, sub_centroids: int, k: int, rerank: int) -> str:
+    """Mirror of operators/similarity.py:pq_topk: unit sub-centroids from
+    the lowest-id corpus vectors, RAW-slice code assignment (scale-
+    invariant argmax), ADC score = ordered sum (from 0.0) of the
+    code-selected query-table entries building a per-query shortlist of
+    `rerank`, then exact cosine (dot(q_norm, raw)/norm) re-orders it."""
+    dsub = DIM // subspaces
+    sl = f"[t.m * {dsub} + 1 : t.m * {dsub} + {dsub}]"
+    return f"""
+        WITH v AS (
+            SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+            FROM embeddings
+        ),
+        nn AS (
+            SELECT vec_id, e,
+                   sqrt(list_reduce(list_transform(e, x -> x * x),
+                                    (a, b) -> a + b)) AS n
+            FROM v
+        ),
+        seeds AS (
+            SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS j,
+                   list_transform(e, x -> x / n) AS nv
+            FROM (SELECT vec_id, e, n FROM nn WHERE vec_id >= 10
+                  ORDER BY vec_id LIMIT {sub_centroids})
+        ),
+        ms AS (SELECT unnest(range(0, {subspaces})) AS m),
+        cent AS (
+            SELECT ms.m, s.j, s.nv[ms.m * {dsub} + 1 : ms.m * {dsub} + {dsub}] AS ce
+            FROM seeds s CROSS JOIN ms
+        ),
+        codes AS (
+            SELECT vec_id, list(j ORDER BY m) AS codes FROM (
+                SELECT c.vec_id, t.m, t.j,
+                       row_number() OVER (PARTITION BY c.vec_id, t.m
+                                          ORDER BY {_dot(f'c.e{sl}', 't.ce')} DESC, t.j) AS rn
+                FROM nn c CROSS JOIN cent t WHERE c.vec_id >= 10
+            ) WHERE rn = 1 GROUP BY vec_id
+        ),
+        qt AS (
+            SELECT q.vec_id AS query_id, t.m, t.j,
+                   {_dot(f'list_transform(q.e, x -> x / q.n){sl}', 't.ce')} AS tv
+            FROM nn q CROSS JOIN cent t WHERE q.vec_id < 10
+        ),
+        scored AS (
+            SELECT q.query_id, c.vec_id AS neighbor_id,
+                   list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                            list(q.tv ORDER BY q.m)),
+                               (a, b) -> a + b) AS approx_dot
+            FROM codes c JOIN qt q ON q.j = c.codes[q.m + 1]
+            GROUP BY q.query_id, c.vec_id
+        ),
+        short AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT query_id, neighbor_id,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY approx_dot DESC, neighbor_id) AS ra
+                FROM scored
+            ) WHERE ra <= {rerank}
+        )
+        SELECT query_id, neighbor_id,
+               ({_dot('list_transform(q.e, x -> x / q.n)', 'c.e')} / c.n) AS cosine,
+               CAST(row_number() OVER (PARTITION BY query_id
+                                       ORDER BY ({_dot('list_transform(q.e, x -> x / q.n)', 'c.e')} / c.n) DESC,
+                                                neighbor_id) AS BIGINT) AS rank
+        FROM short
+        JOIN nn q ON q.vec_id = query_id
+        JOIN nn c ON c.vec_id = neighbor_id
+        QUALIFY rank <= {k}
+    """
+
+
+@register(
+    "ann_pq_topk",
+    oracle=_pq_oracle(8, 16, 5, 50),
+    doc="Product-quantization (ADC) approximate top-5 with exact re-rank: "
+    "corpus vectors compressed to 8 one-byte codes (one per 8-dim "
+    "subspace, nearest of 16 unit sub-centroids), queries precompute an "
+    "8x16 dot-product table, a candidate's ADC score is 8 table lookups "
+    "+ adds, and exact cosine re-orders each query's top-50 shortlist. "
+    "The memory-bounded ANN path at 100 TB: the PQ index is ~1% the "
+    "size of the raw vectors, encoding is one Arrow-batched numpy pass, "
+    "the only corpus-sized shuffle is the ADC rank window, and the "
+    "exact math touches only queries x 50 rows. Sub-centroids seed "
+    "from the lowest-id vectors (deterministic stand-in for trained "
+    "codebooks, as in ann_ivf_topk).",
+)
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sql_engine_spark.operators.similarity import pq_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    return pq_topk(
+        emb.where(F.col("vec_id") < 10),
+        emb.where(F.col("vec_id") >= 10),
+        id_col="vec_id",
+        vec_col="embedding",
+        k=5,
+        subspaces=8,
+        sub_centroids=16,
+        dim=DIM,
+        rerank=50,
     )

@@ -69,6 +69,11 @@ def test_ann_recall_vs_brute_force(spark, sf_dir):
     kmeans = _topk_pairs(spark, sf_dir, "ann_ivf_kmeans_topk")
     assert len(brute & kmeans) / len(brute) >= 0.6
     assert len(brute & kmeans) >= len(brute & ivf)
+    # PQ + exact re-rank (measured 0.48 at sf0.001 — synthetic uniform
+    # vectors are near-worst-case for product quantization; raw ADC
+    # ordering alone measured 0.18, so the re-rank stage carries it).
+    pq = _topk_pairs(spark, sf_dir, "ann_pq_topk")
+    assert len(brute & pq) / len(brute) >= 0.4
 
 
 def test_minhash_lsh_bucket_cap_bounds_hot_bucket(spark):
