@@ -178,3 +178,118 @@ def fingerprint(tokens_col: str) -> "F.Column":
 
 def sql_fingerprint(tokens_expr: str) -> str:
     return f"md5(array_to_string(list_sort(list_distinct({tokens_expr})), ' '))"
+
+
+# PII patterns, restricted (like WORD_RE above) to constructs with
+# identical semantics in Java regex (Spark) and RE2 (DuckDB): literal
+# char classes, +, explicit [.] instead of escapes.
+EMAIL_RE = "[a-z0-9._]+@[a-z0-9.]+[a-z]"
+IPV4_RE = "[0-9]+[.][0-9]+[.][0-9]+[.][0-9]+"
+
+
+def pii_redact(df, text_col: str, id_col: str):
+    """PII redaction: replace email addresses and IPv4 literals with
+    placeholder tags and count the occurrences per document — the
+    compliance pass every pretraining pipeline runs before training.
+
+    Pure per-row regex map work (JVM regexp_replace/regexp_extract_all,
+    no Python), so it scales linearly with zero shuffles. Emails are
+    redacted before IPs so a numeric mail host can't be double-counted.
+    Returns (id, n_emails, n_ips, clean_text).
+    """
+    out = df.select(F.col(id_col), F.col(text_col).alias("__text"))
+    n_emails = F.size(
+        F.regexp_extract_all("__text", F.lit(EMAIL_RE), F.lit(0))
+    ).cast("long")
+    n_ips = F.size(F.regexp_extract_all("__text", F.lit(IPV4_RE), F.lit(0))).cast(
+        "long"
+    )
+    clean = F.regexp_replace(
+        F.regexp_replace(F.col("__text"), EMAIL_RE, "<EMAIL>"), IPV4_RE, "<IP>"
+    )
+    return out.select(
+        id_col,
+        n_emails.alias("n_emails"),
+        n_ips.alias("n_ips"),
+        clean.alias("clean_text"),
+    )
+
+
+def sql_pii_redact_exprs(text_expr: str) -> dict[str, str]:
+    """DuckDB spellings of the pii_redact output columns (DuckDB's
+    regexp_replace needs the 'g' flag to replace ALL matches; Spark
+    always does)."""
+    return {
+        "n_emails": f"CAST(len(regexp_extract_all({text_expr}, '{EMAIL_RE}')) AS BIGINT)",
+        "n_ips": f"CAST(len(regexp_extract_all({text_expr}, '{IPV4_RE}')) AS BIGINT)",
+        "clean_text": (
+            f"regexp_replace(regexp_replace({text_expr}, '{EMAIL_RE}', '<EMAIL>', 'g'),"
+            f" '{IPV4_RE}', '<IP>', 'g')"
+        ),
+    }
+
+
+def gopher_quality(df, text_col: str, id_col: str):
+    """Gopher-style rule-based quality flags (Rae et al., "Scaling
+    Language Models: ... Gopher", 2021, §A1.1): word-count bounds, mean
+    word length bounds, a minimum stopword presence, and a distinct-token
+    floor — each as its own boolean so downstream mixing can weight rules
+    differently, plus the conjunction. Thresholds here are tuned to the
+    synthetic corpus's ~56-token docs; production values are the paper's.
+    Pure per-row map work, zero shuffles."""
+    out = (
+        df.select(F.col(id_col), tokens(text_col).alias("__t"))
+        .withColumn("n_tokens", F.size("__t").cast("long"))
+        .withColumn(
+            "__sumlen", F.expr("aggregate(__t, 0L, (acc, t) -> acc + length(t))")
+        )
+    )
+    avg_len = F.col("__sumlen") / F.col("n_tokens")
+    wc_ok = (F.col("n_tokens") >= 30) & (F.col("n_tokens") <= 80)
+    wl_ok = (avg_len >= 3.0) & (avg_len <= 10.0)
+    stop_ok = _count_in("__t", STOPWORDS) >= 2
+    uniq_ok = (F.size(F.array_distinct("__t")) / F.col("n_tokens")) > 0.3
+    return out.select(
+        id_col,
+        "n_tokens",
+        wc_ok.alias("wc_ok"),
+        wl_ok.alias("wl_ok"),
+        stop_ok.alias("stop_ok"),
+        uniq_ok.alias("uniq_ok"),
+        (wc_ok & wl_ok & stop_ok & uniq_ok).alias("pass_gopher"),
+    )
+
+
+def tfidf_keywords(df, *, id_col: str, text_col: str, k: int):
+    """Per-document top-k keywords by tf-idf with a LINEAR idf (N/df
+    instead of ln(N/df)): the ranking is monotone-equivalent per token
+    and every operation (integer counts, one double division, one
+    multiply) is exactly rounded and engine-portable — ln() is only
+    faithfully rounded, so a log idf could flip a near-tie between
+    engines. Ties break lexicographically.
+
+    Scale shape: one explode + per-(doc, token) hash count (map-side
+    combined), document frequencies from a second hash aggregate over
+    the distinct (doc, token) pairs (same exchange), N broadcast as a
+    1-row literal join, and a per-doc top-k window over the doc's own
+    (small) keyword candidates — no corpus-sized sort.
+    """
+    from pyspark.sql import Window
+
+    terms = df.select(
+        F.col(id_col).alias("__doc"), F.explode(tokens(text_col)).alias("token")
+    ).where(F.col("token") != "")
+    tf = terms.groupBy("__doc", "token").agg(F.count("*").cast("long").alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count("*").cast("double").alias("df"))
+    n_docs = df.select(
+        F.countDistinct(F.col(id_col)).cast("double").alias("n_docs")
+    )
+    w = Window.partitionBy("__doc").orderBy(F.desc("score"), F.asc("token"))
+    return (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("score", F.col("tf").cast("double") * (F.col("n_docs") / F.col("df")))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select(F.col("__doc").alias("doc_id"), "token", "tf", "score", "rank")
+    )

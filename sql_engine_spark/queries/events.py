@@ -332,3 +332,55 @@ def events_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.countDistinct("user_id").alias("active_users"))
     )
+
+
+@register(
+    "events_anomaly_zscore",
+    oracle=f"""
+        WITH m0 AS (
+            SELECT event_type,
+                   CAST(COUNT(*) AS DOUBLE) AS n,
+                   {sql_dsum('value')} AS s,
+                   SUM(CAST(value AS DECIMAL(19,6)) * CAST(value AS DECIMAL(13,6))) AS s2d
+            FROM events GROUP BY event_type
+        ),
+        m AS (SELECT event_type, n, s,
+                     CAST(CAST((s2d) - ((s2d) % 1) AS DECIMAL(27,0)) AS DOUBLE)
+                         + CAST((s2d) % 1 AS DOUBLE) AS s2
+              FROM m0),
+        st AS (SELECT event_type, (s / n) AS mean,
+                      sqrt((s2 / n) - ((s / n) * (s / n))) AS sd
+               FROM m)
+        SELECT e.event_id, e.event_type, e.value,
+               ((e.value - st.mean) / st.sd) AS z
+        FROM events e JOIN st USING (event_type)
+        WHERE abs((e.value - st.mean) / st.sd) >= 2.5
+    """,
+    doc="Per-type z-score anomaly detection: population mean/std per "
+    "event_type via exact decimal moments (bit-stable under any "
+    "partitioning — functions/numeric.py), broadcast back onto the "
+    "stream, flag |z| >= 2.5. The stats side is bounded by the distinct "
+    "type count, so the corpus sees one map-side-combined aggregate and "
+    "one broadcast join — no corpus-sized shuffle.",
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sql_engine_spark.queries.extras import _DN, _DW, _exact_double
+
+    ev = load(spark, sf_dir, "events")
+    m0 = ev.groupBy("event_type").agg(
+        F.count("*").cast("double").alias("n"),
+        dsum("value").alias("s"),
+        F.sum(F.col("value").cast(_DW) * F.col("value").cast(_DN)).alias("s2d"),
+    )
+    m = m0.selectExpr("event_type", "n", "s", f"{_exact_double('s2d')} AS s2")
+    st = m.selectExpr(
+        "event_type",
+        "(s / n) AS mean",
+        "sqrt((s2 / n) - ((s / n) * (s / n))) AS sd",
+    )
+    z = (F.col("value") - F.col("mean")) / F.col("sd")
+    return (
+        ev.join(F.broadcast(st), "event_type")
+        .where(F.abs(z) >= 2.5)
+        .select("event_id", "event_type", "value", z.alias("z"))
+    )

@@ -138,3 +138,122 @@ def text_regexp_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("text").rlike("[0-9]").alias("has_digit"),
         F.length(F.regexp_replace("text", "[^aeiou]", "")).cast("long").alias("n_vowels"),
     )
+
+
+# Deterministic synthetic PII: the corpus text is word-soup with no real
+# emails/IPs, so the redaction queries graft reproducible PII derived from
+# doc_id onto each doc (every 3rd doc gets a second email) — both engines
+# build the identical string, so the redaction logic is exercised on real
+# matches.
+_PII_SYNTH_SQL = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR)"
+    " || '@mail.example.com or 10.' || CAST(doc_id % 200 AS VARCHAR)"
+    " || '.' || CAST(doc_id % 250 AS VARCHAR)"
+    " || '.' || CAST(doc_id % 97 AS VARCHAR)"
+    " || CASE WHEN doc_id % 3 = 0 THEN ' admin@corp.example.net' ELSE '' END"
+)
+
+
+def _pii_synth_col() -> F.Column:
+    return F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com or 10."),
+        (F.col("doc_id") % 200).cast("string"),
+        F.lit("."),
+        (F.col("doc_id") % 250).cast("string"),
+        F.lit("."),
+        (F.col("doc_id") % 97).cast("string"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(" admin@corp.example.net")).otherwise(
+            F.lit("")
+        ),
+    )
+
+
+def _pii_oracle() -> str:
+    exprs = T.sql_pii_redact_exprs("synth")
+    return f"""
+        WITH s AS (SELECT doc_id, {_PII_SYNTH_SQL} AS synth FROM documents)
+        SELECT doc_id,
+               {exprs['n_emails']} AS n_emails,
+               {exprs['n_ips']} AS n_ips,
+               {exprs['clean_text']} AS clean_text
+        FROM s
+    """
+
+
+@register(
+    "text_pii_redact",
+    oracle=_pii_oracle(),
+    doc="PII redaction: emails and IPv4 literals replaced with placeholder "
+    "tags, occurrences counted per doc — the compliance pass before "
+    "training. JVM regex map work, zero shuffles; regex subset chosen "
+    "for identical Java/RE2 semantics.",
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", _pii_synth_col().alias("__synth")
+    )
+    return T.pii_redact(docs, "__synth", "doc_id")
+
+
+@register(
+    "text_gopher_quality",
+    oracle=f"""
+        WITH t AS (SELECT doc_id, {_TOKS} AS tt FROM documents),
+        f AS (SELECT doc_id,
+                     CAST(len(tt) AS BIGINT) AS n_tokens,
+                     list_reduce(list_transform(tt, t -> length(t)), (a, b) -> a + b)
+                         / len(tt) AS avg_len,
+                     {T.sql_count_in('tt', T.STOPWORDS)} AS stop_n,
+                     len(list_distinct(tt)) / len(tt) AS uniq_ratio
+              FROM t)
+        SELECT doc_id, n_tokens,
+               n_tokens >= 30 AND n_tokens <= 80 AS wc_ok,
+               avg_len >= 3.0 AND avg_len <= 10.0 AS wl_ok,
+               stop_n >= 2 AS stop_ok,
+               uniq_ratio > 0.3 AS uniq_ok,
+               n_tokens >= 30 AND n_tokens <= 80
+                   AND avg_len >= 3.0 AND avg_len <= 10.0
+                   AND stop_n >= 2 AND uniq_ratio > 0.3 AS pass_gopher
+        FROM f
+    """,
+    doc="Gopher-style rule-based quality flags (word-count bounds, mean "
+    "word length bounds, stopword presence, distinct-token floor) plus "
+    "their conjunction — per-rule booleans so mixing can weight rules. "
+    "Pure per-row map work, zero shuffles.",
+)
+def text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.gopher_quality(load(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@register(
+    "text_tfidf_keywords",
+    oracle=f"""
+        WITH terms AS (
+            SELECT doc_id, unnest({_TOKS}) AS token FROM documents
+        ),
+        t2 AS (SELECT doc_id, token FROM terms WHERE token <> ''),
+        tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+               FROM t2 GROUP BY doc_id, token),
+        dfq AS (SELECT token, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY token),
+        nd AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n_docs FROM documents)
+        SELECT doc_id, token, tf,
+               (CAST(tf AS DOUBLE) * (n_docs / df)) AS score,
+               CAST(row_number() OVER (
+                   PARTITION BY doc_id
+                   ORDER BY (CAST(tf AS DOUBLE) * (n_docs / df)) DESC, token
+               ) AS BIGINT) AS rank
+        FROM tf JOIN dfq USING (token) CROSS JOIN nd
+        QUALIFY rank <= 3
+    """,
+    doc="Per-document top-3 keywords by tf-idf with a LINEAR idf (N/df — "
+    "monotone-equivalent to ln(N/df) per token, and exactly rounded in "
+    "both engines where ln() is not). One explode, two map-side-combined "
+    "hash aggregates, a broadcast 1-row N, and a per-doc top-k window.",
+)
+def text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.tfidf_keywords(
+        load(spark, sf_dir, "documents"), id_col="doc_id", text_col="text", k=3
+    )
