@@ -62,6 +62,11 @@ EXTENSION = [
     "curation_quality_sample",
     "tpch_q2_like",
     "tpch_q15_like",
+    "ann_pq_topk",
+    "text_pii_redact",
+    "text_gopher_quality",
+    "text_tfidf_keywords",
+    "events_anomaly_zscore",
 ]
 
 

@@ -255,3 +255,71 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.containment_pairs(
         docs, "doc_id", "text", ["lang", "source"], ngram_k=2, threshold=0.3
     )
+
+
+@register(
+    "dedup_keep_best",
+    oracle=f"""
+        WITH cc_pairs AS (
+            SELECT id_a, id_b FROM ({_sql_minhash_lsh(3, 8, 4, 0.2)})
+        ),
+        cc_edges AS (
+            SELECT id_a AS src, id_b AS dst FROM cc_pairs
+            UNION ALL
+            SELECT id_b AS src, id_a AS dst FROM cc_pairs
+        ),
+        l0 AS (
+            SELECT DISTINCT src AS node, src AS label FROM cc_edges
+        ),
+        {_sql_cc_iter('l0', 'l1')},
+        {_sql_cc_iter('l1', 'l2')},
+        {_sql_cc_iter('l2', 'l3')},
+        toks AS (
+            SELECT doc_id, CAST(len({sql_tokens('text')}) AS BIGINT) AS n_tokens
+            FROM documents
+        ),
+        labeled AS (
+            SELECT t.doc_id, COALESCE(l.label, t.doc_id) AS cluster_id, t.n_tokens
+            FROM toks t LEFT JOIN l3 l ON l.node = t.doc_id
+        ),
+        best AS (
+            SELECT cluster_id, doc_id AS kept_id FROM (
+                SELECT cluster_id, doc_id,
+                       row_number() OVER (PARTITION BY cluster_id
+                                          ORDER BY n_tokens DESC, doc_id) AS rn
+                FROM labeled
+            ) WHERE rn = 1
+        )
+        SELECT l.doc_id, l.cluster_id, l.n_tokens, l.doc_id = b.kept_id AS keep
+        FROM labeled l JOIN best b USING (cluster_id)
+    """,
+    doc="Canonical-document selection: MinHash-LSH pairs -> connected "
+    "components -> keep the longest doc per duplicate cluster (ties to "
+    "the lowest id); singletons keep themselves. The full "
+    "find-dups/cluster/select pipeline a dedup pass actually ships — "
+    "selection is one hash aggregate (max_by) plus a join keyed on the "
+    "cluster id, nothing corpus-quadratic.",
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(docs, "doc_id", "text", **_MINHASH_PARAMS)
+    cc = D.connected_components_fixed(pairs, "id_a", "id_b", iterations=3)
+    toks = docs.select(
+        "doc_id", F.size(tokens("text")).cast("long").alias("n_tokens")
+    )
+    labeled = toks.join(
+        cc.withColumnRenamed("node", "doc_id"), "doc_id", "left"
+    ).select(
+        "doc_id", F.coalesce("label", "doc_id").alias("cluster_id"), "n_tokens"
+    )
+    best = labeled.groupBy("cluster_id").agg(
+        F.max_by("doc_id", F.struct(F.col("n_tokens"), -F.col("doc_id"))).alias(
+            "kept_id"
+        )
+    )
+    return labeled.join(best, "cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        "n_tokens",
+        (F.col("doc_id") == F.col("kept_id")).alias("keep"),
+    )

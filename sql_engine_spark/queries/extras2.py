@@ -208,3 +208,38 @@ def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("last_doc"),
         )
     )
+
+
+@register(
+    "scd2_intervals",
+    oracle="""
+        SELECT o_custkey, o_orderkey,
+               o_totalprice AS attr_price,
+               o_orderdate AS valid_from,
+               lead(o_orderdate) OVER (PARTITION BY o_custkey
+                                       ORDER BY o_orderdate, o_orderkey) AS valid_to,
+               lead(o_orderdate) OVER (PARTITION BY o_custkey
+                                       ORDER BY o_orderdate, o_orderkey) IS NULL
+                   AS is_current
+        FROM orders
+    """,
+    doc="Slowly-changing-dimension type-2 history build: each customer's "
+    "orders become validity intervals ([valid_from, valid_to), NULL-open "
+    "and flagged current for the latest) via lead() over a TOTAL "
+    "per-customer order — the standard warehouse pattern for turning a "
+    "change log into point-in-time joinable history. One shuffle keyed "
+    "by the dimension's natural key; window width is one customer's "
+    "history, never a global sort.",
+)
+def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    nxt = F.lead("o_orderdate").over(w)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("o_totalprice").alias("attr_price"),
+        F.col("o_orderdate").alias("valid_from"),
+        nxt.alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )
