@@ -67,6 +67,8 @@ EXTENSION = [
     "text_gopher_quality",
     "text_tfidf_keywords",
     "events_anomaly_zscore",
+    "dedup_keep_best",
+    "scd2_intervals",
 ]
 
 

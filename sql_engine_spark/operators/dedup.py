@@ -317,6 +317,13 @@ def connected_components_fixed(
             .groupBy("node", "label")
             .agg(F.min("nbr_label").alias("min_nbr"))
             .select("node", F.least(F.col("label"), F.col("min_nbr")).alias("label"))
+            # Each round references the previous labels TWICE (self +
+            # neighbor side), so without a cache mark the lineage doubles
+            # per iteration — 2^k recompute of the early rounds inside
+            # one action. Persisting per round (blocks shared even within
+            # a single job) keeps it linear; Spark evicts LRU after the
+            # query, same posture as the minhash shingle projection.
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
     return labels
 

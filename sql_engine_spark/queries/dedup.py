@@ -281,26 +281,22 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         labeled AS (
             SELECT t.doc_id, COALESCE(l.label, t.doc_id) AS cluster_id, t.n_tokens
             FROM toks t LEFT JOIN l3 l ON l.node = t.doc_id
-        ),
-        best AS (
-            SELECT cluster_id, doc_id AS kept_id FROM (
-                SELECT cluster_id, doc_id,
-                       row_number() OVER (PARTITION BY cluster_id
-                                          ORDER BY n_tokens DESC, doc_id) AS rn
-                FROM labeled
-            ) WHERE rn = 1
         )
-        SELECT l.doc_id, l.cluster_id, l.n_tokens, l.doc_id = b.kept_id AS keep
-        FROM labeled l JOIN best b USING (cluster_id)
+        SELECT doc_id, cluster_id, n_tokens,
+               row_number() OVER (PARTITION BY cluster_id
+                                  ORDER BY n_tokens DESC, doc_id) = 1 AS keep
+        FROM labeled
     """,
     doc="Canonical-document selection: MinHash-LSH pairs -> connected "
     "components -> keep the longest doc per duplicate cluster (ties to "
     "the lowest id); singletons keep themselves. The full "
     "find-dups/cluster/select pipeline a dedup pass actually ships — "
-    "selection is one hash aggregate (max_by) plus a join keyed on the "
-    "cluster id, nothing corpus-quadratic.",
+    "selection is one rank window over the cluster key (labeled rows "
+    "consumed once, no self-join), nothing corpus-quadratic.",
 )
 def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
     docs = load(spark, sf_dir, "documents")
     pairs = D.minhash_lsh_pairs(docs, "doc_id", "text", **_MINHASH_PARAMS)
     cc = D.connected_components_fixed(pairs, "id_a", "id_b", iterations=3)
@@ -312,14 +308,10 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "doc_id", F.coalesce("label", "doc_id").alias("cluster_id"), "n_tokens"
     )
-    best = labeled.groupBy("cluster_id").agg(
-        F.max_by("doc_id", F.struct(F.col("n_tokens"), -F.col("doc_id"))).alias(
-            "kept_id"
-        )
-    )
-    return labeled.join(best, "cluster_id").select(
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("n_tokens"), F.asc("doc_id"))
+    return labeled.select(
         "doc_id",
         "cluster_id",
         "n_tokens",
-        (F.col("doc_id") == F.col("kept_id")).alias("keep"),
+        (F.row_number().over(w) == 1).alias("keep"),
     )
