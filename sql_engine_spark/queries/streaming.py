@@ -350,3 +350,61 @@ def streaming_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").cast("long").alias("n_shared_ngrams"))
         )
         return run_to_memory(agg, "stream_decontaminate", "complete")
+
+
+@register(
+    "streaming_anomaly_zscore",
+    oracle="""
+        WITH m0 AS (
+            SELECT event_type,
+                   CAST(COUNT(*) AS DOUBLE) AS n,
+                   CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS s,
+                   SUM(CAST(value AS DECIMAL(19,6)) * CAST(value AS DECIMAL(13,6))) AS s2d
+            FROM events GROUP BY event_type
+        ),
+        m AS (SELECT event_type, n, s,
+                     CAST(CAST((s2d) - ((s2d) % 1) AS DECIMAL(27,0)) AS DOUBLE)
+                         + CAST((s2d) % 1 AS DOUBLE) AS s2
+              FROM m0),
+        st AS (SELECT event_type, (s / n) AS mean,
+                      sqrt((s2 / n) - ((s / n) * (s / n))) AS sd
+               FROM m)
+        SELECT e.event_id, e.event_type, e.value,
+               ((e.value - st.mean) / st.sd) AS z
+        FROM events e JOIN st USING (event_type)
+        WHERE abs((e.value - st.mean) / st.sd) >= 2.5
+    """,
+    doc="Train/serve anomaly detection on a stream: per-type mean/std are "
+    "computed in BATCH (the training pass, exact decimal moments), then "
+    "every micro-batch of the event stream joins the tiny stats side and "
+    "emits |z| >= 2.5 rows in append mode — stateless serving, no "
+    "aggregation state on the stream. The replay converges to the batch "
+    "oracle exactly. At scale the stats side is bounded by the distinct "
+    "type count (broadcast-size by construction), the standard "
+    "offline-train / online-score split.",
+)
+def streaming_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sql_engine_spark.functions.numeric import dsum
+    from sql_engine_spark.queries.extras import _DN, _DW, _exact_double
+
+    with _state_partitions(spark):
+        ev = load(spark, sf_dir, "events")
+        m0 = ev.groupBy("event_type").agg(
+            F.count("*").cast("double").alias("n"),
+            dsum("value").alias("s"),
+            F.sum(F.col("value").cast(_DW) * F.col("value").cast(_DN)).alias("s2d"),
+        )
+        m = m0.selectExpr("event_type", "n", "s", f"{_exact_double('s2d')} AS s2")
+        st = m.selectExpr(
+            "event_type",
+            "(s / n) AS mean",
+            "sqrt((s2 / n) - ((s / n) * (s / n))) AS sd",
+        )
+        stream = events_stream(spark, sf_dir, N_CHUNKS)
+        z = (F.col("value") - F.col("mean")) / F.col("sd")
+        flagged = (
+            stream.join(st, "event_type")
+            .where(F.abs(z) >= 2.5)
+            .select("event_id", "event_type", "value", z.alias("z"))
+        )
+        return run_to_memory(flagged, "stream_anomaly_zscore", "append")
