@@ -399,3 +399,57 @@ def curation_quality_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(h < "2")
     )
     return feats.where(keep).select("doc_id", "quality")
+
+
+@register(
+    "curation_dataset_card",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, lang, source, md5(text) AS h,
+                   CAST(len({sql_tokens('text')}) AS BIGINT) AS n_tokens
+            FROM documents
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+               CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+               SUM(n_tokens) AS total_tokens,
+               CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*) AS avg_tokens,
+               CAST(MAX(n_tokens) AS BIGINT) AS max_tokens,
+               CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE)
+                   / COUNT(*) AS en_share,
+               CAST(COUNT(DISTINCT h) AS BIGINT) AS n_unique_texts,
+               1.0 - (CAST(COUNT(DISTINCT h) AS DOUBLE) / COUNT(*)) AS exact_dup_rate
+        FROM t
+    """,
+    doc="Dataset-card summary in ONE pass over the corpus: doc/source/"
+    "lang counts, token totals and shape, English share, and the exact-"
+    "duplicate rate via distinct content digests — the topline numbers a "
+    "dataset card or ingest health check reports. All aggregates are "
+    "map-side combinable (distincts are Spark's standard expand-rewrite) "
+    "and token sums are integers, so the card is engine-exact.",
+)
+def curation_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sql_engine_spark.operators.textprep import tokens
+
+    t = load(spark, sf_dir, "documents").select(
+        "lang",
+        "source",
+        F.md5("text").alias("h"),
+        F.size(tokens("text")).cast("long").alias("n_tokens"),
+    )
+    return t.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        (F.sum("n_tokens").cast("double") / F.count("*")).alias("avg_tokens"),
+        F.max("n_tokens").cast("long").alias("max_tokens"),
+        (
+            F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).cast("double")
+            / F.count("*")
+        ).alias("en_share"),
+        F.countDistinct("h").cast("long").alias("n_unique_texts"),
+        (
+            F.lit(1.0) - (F.countDistinct("h").cast("double") / F.count("*"))
+        ).alias("exact_dup_rate"),
+    )
