@@ -318,12 +318,15 @@ def connected_components_fixed(
             .agg(F.min("nbr_label").alias("min_nbr"))
             .select("node", F.least(F.col("label"), F.col("min_nbr")).alias("label"))
             # Each round references the previous labels TWICE (self +
-            # neighbor side), so without a cache mark the lineage doubles
-            # per iteration — 2^k recompute of the early rounds inside
-            # one action. Persisting per round (blocks shared even within
-            # a single job) keeps it linear; Spark evicts LRU after the
-            # query, same posture as the minhash shingle projection.
-            .persist(StorageLevel.MEMORY_AND_DISK)
+            # neighbor side), so the lineage doubles per iteration — 2^k
+            # plan size and recompute of the early rounds inside one
+            # action. An EAGER localCheckpoint truncates the lineage per
+            # round (the standard iterative-graph practice — GraphFrames
+            # checkpoints its CC loop the same way): each round is one
+            # small job and downstream plans see a flat scan. On a real
+            # cluster swap in checkpoint() to reliable storage so the
+            # loop survives executor loss.
+            .localCheckpoint(eager=True)
         )
     return labels
 
