@@ -221,3 +221,16 @@ def test_curate_observation_metrics(spark, sf_dir):
     assert m["input_rows"] >= m["kept_rows"] >= m["output_rows"] > 0
     assert m["input_tokens"] > m["input_rows"]  # >1 token per doc on average
     out.unpersist()
+
+
+def test_cc_loop_plan_stays_flat(spark, sf_dir):
+    """The connected-components loop references the previous round's
+    labels twice per iteration; without per-round lineage truncation the
+    physical plan doubles per round (r3 measured a 181-Exchange plan).
+    The eager localCheckpoint must keep the final plan small."""
+    import re
+
+    df = all_queries()["dedup_keep_best"].build(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n_exchanges = len(re.findall(r"\bExchange\b", plan))
+    assert n_exchanges <= 10, f"CC lineage blew up again: {n_exchanges} exchanges"
