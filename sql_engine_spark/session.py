@@ -51,6 +51,18 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # Arrow for every pandas UDF / toPandas boundary.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # InferFiltersFromGenerate clones a generator's child expression
+        # into a `size(e) > 0` Filter below the Generate; for our
+        # explode-over-HOF pipelines (shingles, minhash, n-grams) that
+        # re-evaluates the whole tokenize/shingle expression a second
+        # time per row OUTSIDE whole-stage codegen — measured 5.5x wall
+        # on text_decontaminate (6.7s -> 1.2s at sf0.1). The rule only
+        # pays off when generator inputs are frequently empty/null,
+        # which none of ours are.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
         # Scan efficiency: pushdown + pruning reach the parquet reader.
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
