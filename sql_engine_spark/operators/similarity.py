@@ -25,15 +25,27 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from sql_engine_spark.functions.vectors import cosine_sim
+
+def plane_vals(plane: int, dim: int) -> list[float]:
+    """Deterministic +-1.0 hyperplane #`plane` computed ONCE in Python —
+    the same md5-derived signs the oracle derives in SQL."""
+    import hashlib
+
+    out = []
+    for d in range(dim):
+        h = hashlib.md5(f"{plane}-{d}".encode()).hexdigest()[0]
+        out.append(1.0 if h in "89abcdef" else -1.0)
+    return out
 
 
 def plane_pattern_expr(plane: int, dim: int) -> str:
-    """Spark expr: deterministic +-1.0 hyperplane vector #`plane`."""
+    """Spark expr: deterministic +-1.0 hyperplane vector #`plane`,
+    emitted as a LITERAL array. The old spelling derived each sign from
+    md5 inside a transform lambda — HOF lambdas are not constant-folded,
+    so every row of every side recomputed dim x planes md5 hashes
+    (measured ~3x wall on the semantic-dedup self-joins)."""
     return (
-        f"transform(sequence(0, {dim - 1}), d -> "
-        f"CASE WHEN substring(md5(concat('{plane}', '-', cast(d AS string))), 1, 1) "
-        f"IN ('8','9','a','b','c','d','e','f') THEN 1.0 ELSE -1.0 END)"
+        "array(" + ", ".join("1.0D" if v > 0 else "-1.0D" for v in plane_vals(plane, dim)) + ")"
     )
 
 
@@ -81,18 +93,29 @@ def brute_force_topk(
     vec_col: str,
     k: int,
 ) -> DataFrame:
-    """Exact cosine top-k: (query_id, neighbor_id, cosine, rank)."""
+    """Exact cosine top-k: (query_id, neighbor_id, cosine, rank).
+
+    Norms are materialized once per ROW (a corpus row's norm would
+    otherwise be re-reduced for every query it pairs with); the per-pair
+    work is one dot product and one divide — identical ops and order to
+    cosine_sim, so values are bit-unchanged."""
+    from sql_engine_spark.functions.vectors import dot, l2_norm
+
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        l2_norm(vec_col).alias("__qn"),
     )
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        l2_norm(vec_col).alias("__cn"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         F.broadcast(q)
         .crossJoin(c)
-        .withColumn("cosine", cosine_sim("__qv", "__cv"))
+        .withColumn("cosine", dot("__qv", "__cv") / (F.col("__qn") * F.col("__cn")))
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
@@ -114,22 +137,26 @@ def lsh_topk(
     At scale the bucket join replaces the cross join: corpus is shuffled
     once by bucket, queries broadcast, candidates ~ corpus/2^planes.
     """
+    from sql_engine_spark.functions.vectors import dot, l2_norm
+
     bucket = lsh_bucket(vec_col, planes, dim)
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qv"),
+        l2_norm(vec_col).alias("__qn"),
         bucket.alias("__bucket"),
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cv"),
+        l2_norm(vec_col).alias("__cn"),
         bucket.alias("__bucket"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         F.broadcast(q)
         .join(c, "__bucket")
-        .withColumn("cosine", cosine_sim("__qv", "__cv"))
+        .withColumn("cosine", dot("__qv", "__cv") / (F.col("__qn") * F.col("__cn")))
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= k)
         .select(
@@ -616,10 +643,13 @@ def embedding_cosine_pairs(
     threshold: float,
 ) -> DataFrame:
     """Near-dup pairs (id_a < id_b, cosine >= threshold) within blocks."""
+    from sql_engine_spark.functions.vectors import dot, l2_norm
+
     sel = df.select(
         F.col(id_col).alias("__id"),
         F.col(block_col).alias("__block"),
         F.col(vec_col).alias("__v"),
+        l2_norm(vec_col).alias("__n"),
     )
     a, b = sel.alias("a"), sel.alias("b")
     return (
@@ -631,7 +661,9 @@ def embedding_cosine_pairs(
         .select(
             F.col("a.__id").alias("id_a"),
             F.col("b.__id").alias("id_b"),
-            cosine_sim("a.__v", "b.__v").alias("cosine"),
+            (dot("a.__v", "b.__v") / (F.col("a.__n") * F.col("b.__n"))).alias(
+                "cosine"
+            ),
         )
         .where(F.col("cosine") >= threshold)
     )
@@ -680,11 +712,23 @@ def semantic_dup_pairs_multitable(
         .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
         .distinct()
     )
-    vecs = df.select(F.col(id_col).alias("__vid"), F.col(vec_col).alias("__v"))
+    from sql_engine_spark.functions.vectors import dot, l2_norm
+
+    vecs = df.select(
+        F.col(id_col).alias("__vid"),
+        F.col(vec_col).alias("__v"),
+        l2_norm(vec_col).alias("__n"),
+    )
     return (
         cands.join(vecs.alias("va"), F.col("id_a") == F.col("va.__vid"))
         .join(vecs.alias("vb"), F.col("id_b") == F.col("vb.__vid"))
-        .select("id_a", "id_b", cosine_sim("va.__v", "vb.__v").alias("cosine"))
+        .select(
+            "id_a",
+            "id_b",
+            (dot("va.__v", "vb.__v") / (F.col("va.__n") * F.col("vb.__n"))).alias(
+                "cosine"
+            ),
+        )
         .where(F.col("cosine") >= threshold)
     )
 
@@ -727,13 +771,23 @@ def lsh_multitable_topk(
         .select("query_id", "neighbor_id")
         .distinct()
     )
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
+    from sql_engine_spark.functions.vectors import dot, l2_norm
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        l2_norm(vec_col).alias("__qn"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        l2_norm(vec_col).alias("__cn"),
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         cands.join(c, "neighbor_id")
         .join(F.broadcast(q), "query_id")
-        .withColumn("cosine", cosine_sim("__qv", "__cv"))
+        .withColumn("cosine", dot("__qv", "__cv") / (F.col("__qn") * F.col("__cn")))
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
