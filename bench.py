@@ -69,6 +69,9 @@ EXTENSION = [
     "events_anomaly_zscore",
     "dedup_keep_best",
     "scd2_intervals",
+    "streaming_anomaly_zscore",
+    "curation_dataset_card",
+    "text_winnow_fingerprints",
 ]
 
 

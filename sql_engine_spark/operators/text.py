@@ -293,3 +293,35 @@ def tfidf_keywords(df, *, id_col: str, text_col: str, k: int):
         .where(F.col("rank") <= k)
         .select(F.col("__doc").alias("doc_id"), "token", "tf", "score", "rank")
     )
+
+
+def winnow_fingerprints(df, *, id_col: str, text_col: str, k: int, w: int):
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
+    "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD
+    2003 — the MOSS scheme): hash every ORDERED k-gram, slide a window
+    of `w` consecutive gram hashes, keep each window's minimum, dedupe.
+    Guarantees any shared run of >= w+k-1 tokens between two docs shares
+    at least one fingerprint — the rolling-hash substring-dedup primitive
+    that set-based fingerprints (see `fingerprint`) can't provide.
+
+    Hashes are md5 hex strings: lexicographic min is a total order
+    available identically in Spark and DuckDB, so no integer rolling-hash
+    portability games are needed. Pure per-row map work + explode; zero
+    shuffles at any corpus size.
+
+    Returns (id, fp) — one row per distinct fingerprint per doc.
+    """
+    from sql_engine_spark.operators.textprep import shingles_expr, tokens as _tokens
+
+    fps = F.expr(
+        f"array_distinct(transform("
+        f"  sequence(1, greatest(size(__hs) - {w - 1}, 1)),"
+        f"  i -> array_min(slice(__hs, i, {w}))))"
+    )
+    return (
+        df.select(F.col(id_col), _tokens(text_col).alias("__t"))
+        .withColumn(
+            "__hs", F.expr(f"transform({shingles_expr('__t', k)}, g -> md5(g))")
+        )
+        .select(id_col, F.explode(fps).alias("fp"))
+    )

@@ -17,17 +17,22 @@ def tokens(text_col: str) -> Column:
     return F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
 
 
+def shingles_expr(tokens_col: str, k: int) -> str:
+    """Spark-SQL string form of `shingles` (for embedding in larger exprs)."""
+    return (
+        f"CASE WHEN size({tokens_col}) < {k} THEN array(array_join({tokens_col}, ' ')) "
+        f"ELSE transform(sequence(1, size({tokens_col}) - {k - 1}), "
+        f"     i -> array_join(slice({tokens_col}, i, {k}), ' ')) END"
+    )
+
+
 def shingles(tokens_col: str, k: int) -> Column:
     """k-gram word shingles joined by single spaces.
 
     Guarded for short docs: Spark's `sequence(1, n)` happily produces a
     DESCENDING sequence when n < 1, so the size guard is load-bearing.
     """
-    return F.expr(
-        f"CASE WHEN size({tokens_col}) < {k} THEN array(array_join({tokens_col}, ' ')) "
-        f"ELSE transform(sequence(1, size({tokens_col}) - {k - 1}), "
-        f"     i -> array_join(slice({tokens_col}, i, {k}), ' ')) END"
-    )
+    return F.expr(shingles_expr(tokens_col, k))
 
 
 def with_shingles(df: DataFrame, text_col: str, k: int, out: str = "shingles") -> DataFrame:

@@ -8,7 +8,7 @@ from pyspark.sql import functions as F
 
 from sql_engine_spark.io import load
 from sql_engine_spark.operators import text as T
-from sql_engine_spark.operators.textprep import sql_tokens, tokens
+from sql_engine_spark.operators.textprep import sql_shingles, sql_tokens, tokens
 from sql_engine_spark.registry import register
 
 _TOKS = sql_tokens("text")
@@ -256,4 +256,44 @@ def text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.tfidf_keywords(
         load(spark, sf_dir, "documents"), id_col="doc_id", text_col="text", k=3
+    )
+
+
+_WINNOW_K = 3
+_WINNOW_W = 4
+
+
+@register(
+    "text_winnow_fingerprints",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id,
+                   list_transform({sql_shingles(_TOKS, _WINNOW_K)}, g -> md5(g)) AS hs
+            FROM documents
+        ),
+        fps AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(
+                       range(1, greatest(len(hs) - {_WINNOW_W - 1}, 1) + 1),
+                       i -> list_aggregate(hs[i : i + {_WINNOW_W - 1}], 'min'))) AS f
+            FROM t
+        )
+        SELECT doc_id, unnest(f) AS fp FROM fps
+    """,
+    doc=f"Winnowing fingerprints (Schleimer et al., SIGMOD 2003 — the "
+    f"MOSS scheme): md5 every ordered {_WINNOW_K}-gram, keep each "
+    f"{_WINNOW_W}-window's minimum hash, dedupe — any shared run of >= "
+    f"{_WINNOW_W + _WINNOW_K - 1} tokens between two docs is guaranteed "
+    "to share a fingerprint, the rolling-hash substring-dedup primitive "
+    "set-based fingerprints can't give. Hex-string ordering makes the "
+    "min portable across engines. Pure per-row map + explode, zero "
+    "shuffles.",
+)
+def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.winnow_fingerprints(
+        load(spark, sf_dir, "documents"),
+        id_col="doc_id",
+        text_col="text",
+        k=_WINNOW_K,
+        w=_WINNOW_W,
     )

@@ -234,3 +234,27 @@ def test_cc_loop_plan_stays_flat(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     n_exchanges = len(re.findall(r"\bExchange\b", plan))
     assert n_exchanges <= 10, f"CC lineage blew up again: {n_exchanges} exchanges"
+
+
+def test_winnowing_shared_run_guarantee(spark):
+    """Winnowing's defining property: two docs sharing a token run of
+    length >= w + k - 1 (here 4 + 3 - 1 = 6) must share at least one
+    fingerprint; disjoint-vocabulary docs must share none."""
+    from sql_engine_spark.operators.text import winnow_fingerprints
+
+    shared = "alpha beta gamma delta epsilon zeta"  # 6-token shared run
+    df = spark.createDataFrame(
+        [
+            (1, f"one two three {shared} four five six"),
+            (2, f"seven eight {shared} nine ten eleven twelve"),
+            (3, "totally different words with no overlap at all here"),
+        ],
+        "doc_id int, text string",
+    )
+    fps = winnow_fingerprints(df, id_col="doc_id", text_col="text", k=3, w=4)
+    by_doc = {}
+    for r in fps.collect():
+        by_doc.setdefault(r.doc_id, set()).add(r.fp)
+    assert by_doc[1] & by_doc[2], "shared 6-token run produced no common fingerprint"
+    assert not (by_doc[1] & by_doc[3])
+    assert not (by_doc[2] & by_doc[3])
