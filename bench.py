@@ -72,6 +72,7 @@ EXTENSION = [
     "streaming_anomaly_zscore",
     "curation_dataset_card",
     "text_winnow_fingerprints",
+    "pipeline_curate_full",
 ]
 
 

@@ -35,7 +35,12 @@ _MINHASH_PARAMS = dict(shingle_k=3, num_hashes=8, bands=4, threshold=0.2)
 
 
 def _sql_minhash_lsh(
-    k: int, num_hashes: int, bands: int, threshold: float, cap: int | None = None
+    k: int,
+    num_hashes: int,
+    bands: int,
+    threshold: float,
+    cap: int | None = None,
+    source: str = "documents",
 ) -> str:
     r = num_hashes // bands
     width = 32 // num_hashes
@@ -45,7 +50,7 @@ def _sql_minhash_lsh(
     )
     return f"""
         WITH docs AS (
-            SELECT doc_id AS id, {sql_shingles(toks, k)} AS sh FROM documents
+            SELECT doc_id AS id, {sql_shingles(toks, k)} AS sh FROM {source}
         ),
         digs AS (
             SELECT id, shset, list_transform(shset, s -> md5(s)) AS dig

@@ -104,3 +104,139 @@ def curate_with_metrics(spark: SparkSession, sf_dir: str):
         "output_rows": n_out,
     }
     return out, metrics
+
+
+_FP_CHUNK = 32
+_FP_STRIDE = 24
+
+
+def _full_pipeline_oracle() -> str:
+    from sql_engine_spark.operators.text import EMAIL_RE, IPV4_RE
+    from sql_engine_spark.queries.dedup import _sql_cc_iter, _sql_minhash_lsh
+
+    gopher = f"""
+        SELECT doc_id, text FROM (
+            SELECT doc_id, text,
+                   CAST(len(tt) AS BIGINT) AS n_tokens,
+                   list_reduce(list_transform(tt, t -> length(t)), (a, b) -> a + b)
+                       / len(tt) AS avg_len,
+                   {T.sql_count_in('tt', T.STOPWORDS)} AS stop_n,
+                   len(list_distinct(tt)) / len(tt) AS uniq_ratio
+            FROM (SELECT doc_id, text, {_TOKS} AS tt FROM documents)
+        )
+        WHERE n_tokens >= 30 AND n_tokens <= 80
+          AND avg_len >= 3.0 AND avg_len <= 10.0
+          AND stop_n >= 2 AND uniq_ratio > 0.3
+    """
+    return f"""
+        WITH gop AS ({gopher}),
+        cc_pairs AS (
+            SELECT id_a, id_b FROM ({_sql_minhash_lsh(3, 8, 4, 0.2, source='gop')})
+        ),
+        cc_edges AS (
+            SELECT id_a AS src, id_b AS dst FROM cc_pairs
+            UNION ALL
+            SELECT id_b AS src, id_a AS dst FROM cc_pairs
+        ),
+        l0 AS (
+            SELECT DISTINCT src AS node, src AS label FROM cc_edges
+        ),
+        {_sql_cc_iter('l0', 'l1')},
+        {_sql_cc_iter('l1', 'l2')},
+        {_sql_cc_iter('l2', 'l3')},
+        labeled AS (
+            SELECT g.doc_id, g.text, COALESCE(l.label, g.doc_id) AS cluster_id,
+                   CAST(len({_TOKS}) AS BIGINT) AS n_toks
+            FROM gop g LEFT JOIN l3 l ON l.node = g.doc_id
+        ),
+        kept AS (
+            SELECT doc_id, text FROM labeled
+            QUALIFY row_number() OVER (PARTITION BY cluster_id
+                                       ORDER BY n_toks DESC, doc_id) = 1
+        ),
+        clean AS (
+            SELECT doc_id,
+                   regexp_replace(regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                                  '{IPV4_RE}', '<IP>', 'g') AS ct
+            FROM kept
+        ),
+        t AS (SELECT doc_id, {sql_tokens('ct')} AS tt FROM clean)
+        SELECT doc_id, k AS chunk_id,
+               array_to_string(tt[k * {_FP_STRIDE} + 1 : k * {_FP_STRIDE} + {_FP_CHUNK}], ' ')
+                   AS chunk_text,
+               CAST(len(tt[k * {_FP_STRIDE} + 1 : k * {_FP_STRIDE} + {_FP_CHUNK}]) AS BIGINT)
+                   AS n_tokens
+        FROM t CROSS JOIN LATERAL (
+            SELECT unnest(range(0, CAST(floor((len(tt) - 1) / {_FP_STRIDE}) AS BIGINT) + 1)) AS k
+        ) u
+    """
+
+
+@register(
+    "pipeline_curate_full",
+    oracle=_full_pipeline_oracle(),
+    doc="The full modern pretraining ingest, composed end-to-end: Gopher "
+    "rule filter -> MinHash-LSH near-dup clustering with keep-longest "
+    "canonical selection -> PII redaction -> overlapping context-window "
+    "chunking. Every stage is the independently oracle-checked operator; "
+    "the composition stays one pipeline (scan-side filters, the LSH "
+    "band-join, the CC loop on the tiny edge set, a cluster-keyed rank "
+    "window, then pure map-side redact+chunk) with no extra passes over "
+    "the corpus.",
+)
+def pipeline_curate_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sql_engine_spark.operators import dedup as D
+    from sql_engine_spark.operators.text import EMAIL_RE, IPV4_RE, gopher_quality
+    from sql_engine_spark.operators.textprep import tokens
+    from sql_engine_spark.queries.dedup import _MINHASH_PARAMS
+
+    docs = load(spark, sf_dir, "documents")
+    gop = docs.join(
+        gopher_quality(docs, "text", "doc_id")
+        .where(F.col("pass_gopher"))
+        .select("doc_id"),
+        "doc_id",
+    ).select("doc_id", "text")
+
+    pairs = D.minhash_lsh_pairs(gop, "doc_id", "text", **_MINHASH_PARAMS)
+    cc = D.connected_components_fixed(pairs, "id_a", "id_b", iterations=3)
+    labeled = gop.join(cc.withColumnRenamed("node", "doc_id"), "doc_id", "left").select(
+        "doc_id",
+        "text",
+        F.coalesce("label", "doc_id").alias("cluster_id"),
+        F.size(tokens("text")).cast("long").alias("n_toks"),
+    )
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("n_toks"), F.asc("doc_id"))
+    kept = (
+        labeled.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select("doc_id", "text")
+    )
+    clean = kept.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), EMAIL_RE, "<EMAIL>"), IPV4_RE, "<IP>"
+        ).alias("__ct"),
+    )
+    t = clean.select("doc_id", tokens("__ct").alias("__t"))
+    return (
+        t.select(
+            "doc_id",
+            "__t",
+            F.explode(
+                F.sequence(
+                    F.lit(0), F.floor((F.size("__t") - 1) / _FP_STRIDE).cast("int")
+                )
+            ).alias("k"),
+        )
+        .select(
+            "doc_id",
+            F.col("k").cast("long").alias("chunk_id"),
+            F.array_join(
+                F.slice("__t", F.col("k") * _FP_STRIDE + 1, _FP_CHUNK), " "
+            ).alias("chunk_text"),
+            F.size(F.slice("__t", F.col("k") * _FP_STRIDE + 1, _FP_CHUNK))
+            .cast("long")
+            .alias("n_tokens"),
+        )
+    )
