@@ -143,3 +143,96 @@ def test_random_join_agg_matches_duckdb(spark, con, sf_dir, li_preds, conns, o_p
 
     res = compare_query(spark, con, Query(name="prop_join", build=build, oracle=sql), sf_dir)
     assert res.ok, f"{sql}\n{res.problems}"
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    chunk=st.integers(4, 48),
+    stride_frac=st.floats(0.25, 1.0, allow_nan=False),
+)
+def test_random_chunk_stride_matches_duckdb(spark, con, sf_dir, chunk, stride_frac):
+    """Context-window chunking must match DuckDB for ANY (chunk, stride)
+    with stride <= chunk — slicing off-by-ones between Spark's
+    slice(start, len) and DuckDB's inclusive [a:b] only surface at odd
+    parameter combos the hand-written query never pins."""
+    from sql_engine_spark.operators.textprep import sql_tokens, tokens
+
+    stride = max(1, int(chunk * stride_frac))
+
+    def build(s, d):
+        docs = load(s, d, "documents").select("doc_id", tokens("text").alias("__t"))
+        return (
+            docs.select(
+                "doc_id",
+                "__t",
+                F.explode(
+                    F.sequence(
+                        F.lit(0), F.floor((F.size("__t") - 1) / stride).cast("int")
+                    )
+                ).alias("k"),
+            )
+            .select(
+                "doc_id",
+                F.col("k").cast("long").alias("chunk_id"),
+                F.array_join(
+                    F.slice("__t", F.col("k") * stride + 1, chunk), " "
+                ).alias("chunk_text"),
+            )
+        )
+
+    toks = sql_tokens("text")
+    oracle = f"""
+        WITH t AS (SELECT doc_id, {toks} AS tt FROM documents)
+        SELECT doc_id, k AS chunk_id,
+               array_to_string(tt[k * {stride} + 1 : k * {stride} + {chunk}], ' ')
+                   AS chunk_text
+        FROM t CROSS JOIN LATERAL (
+            SELECT unnest(range(0, CAST(floor((len(tt) - 1) / {stride}) AS BIGINT) + 1)) AS k
+        ) u
+    """
+    q = Query(name=f"prop_chunk_{chunk}_{stride}", build=build, oracle=oracle)
+    res = compare_query(spark, con, q, sf_dir)
+    assert res.ok, f"chunk={chunk} stride={stride}: {res.problems}"
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(k=st.integers(2, 6), w=st.integers(2, 8))
+def test_random_winnow_params_match_duckdb(spark, con, sf_dir, k, w):
+    """Winnowing fingerprints must match DuckDB for any (k-gram, window)
+    combo, including degenerate docs shorter than the gram/window size."""
+    from sql_engine_spark.operators.text import winnow_fingerprints
+    from sql_engine_spark.operators.textprep import sql_shingles, sql_tokens
+
+    def build(s, d):
+        return winnow_fingerprints(
+            load(s, d, "documents"), id_col="doc_id", text_col="text", k=k, w=w
+        )
+
+    oracle = f"""
+        WITH t AS (
+            SELECT doc_id,
+                   list_transform({sql_shingles(sql_tokens('text'), k)}, g -> md5(g)) AS hs
+            FROM documents
+        ),
+        fps AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(
+                       range(1, greatest(len(hs) - {w - 1}, 1) + 1),
+                       i -> list_aggregate(hs[i : i + {w - 1}], 'min'))) AS f
+            FROM t
+        )
+        SELECT doc_id, unnest(f) AS fp FROM fps
+    """
+    q = Query(name=f"prop_winnow_{k}_{w}", build=build, oracle=oracle)
+    res = compare_query(spark, con, q, sf_dir)
+    assert res.ok, f"k={k} w={w}: {res.problems}"
