@@ -181,12 +181,21 @@ def minhash_lsh_pairs(
         .select("__id", F.expr(stack_expr))
     )
     if max_bucket_size is not None:
-        wb = Window.partitionBy("__band", "__key")
-        buckets = (
-            buckets.withColumn("__bn", F.count("*").over(wb))
-            .where(F.col("__bn") <= max_bucket_size)
-            .drop("__bn")
+        # Drop members of over-cap buckets via a broadcast ANTI-join
+        # against the hot-key list (tiny by definition: a mega-bucket is
+        # the exception). The blacklist aggregate is map-side combinable
+        # and the persist stops the signature stream being recomputed
+        # for it; a count window over (band, key) computes the same
+        # thing but sorts the ENTIRE bucket stream within each
+        # partition — equal wall at sf0.1, strictly worse at scale.
+        buckets = buckets.persist(StorageLevel.MEMORY_AND_DISK)
+        hot = (
+            buckets.groupBy("__band", "__key")
+            .agg(F.count("*").alias("__bn"))
+            .where(F.col("__bn") > max_bucket_size)
+            .select("__band", "__key")
         )
+        buckets = buckets.join(F.broadcast(hot), ["__band", "__key"], "left_anti")
     a, b = buckets.alias("a"), buckets.alias("b")
     candidates = (
         a.join(

@@ -102,8 +102,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="MinHash+LSH with a per-bucket size cap (20): band buckets larger "
     "than the cap are dropped before the self-join, bounding the "
     "quadratic blowup a boilerplate-heavy corpus would otherwise cause "
-    "in a hot bucket. The count rides the same (band, key) partitioning "
-    "the join shuffles by — no extra exchange.",
+    "in a hot bucket. The over-cap keys come from a map-side-combinable "
+    "aggregate and are removed with a broadcast anti-join — no sort of "
+    "the bucket stream.",
 )
 def dedup_minhash_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
