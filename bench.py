@@ -73,6 +73,7 @@ EXTENSION = [
     "curation_dataset_card",
     "text_winnow_fingerprints",
     "pipeline_curate_full",
+    "ann_ivfpq_topk",
 ]
 
 

@@ -940,3 +940,125 @@ def pq_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def ivfpq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    num_centroids: int,
+    nprobe: int,
+    subspaces: int,
+    sub_centroids: int,
+    dim: int,
+    rerank: int = 50,
+) -> DataFrame:
+    """IVF-PQ approximate top-k — the production composition (FAISS's
+    IVFPQ index): an IVF coarse quantizer restricts each query to its
+    `nprobe` nearest cells, candidates in those cells are scored by PQ
+    asymmetric distance (8 table lookups each, no vector math), and
+    exact cosine re-ranks the per-query shortlist. Fixes pq_topk's one
+    scale limit — ADC over the ENTIRE corpus per query — by cutting the
+    candidate set to ~nprobe/num_centroids of the corpus first.
+
+    Same engineering discipline as the component operators: raw vectors
+    corpus-side (scale-invariant argmax for both cell and code
+    assignment), literal centroids/codebooks via parsed SQL strings,
+    Arrow-batched numpy encoding, norms materialized once. The only
+    corpus-sized shuffles are the ADC rank window and nothing else.
+
+    Returns (query_id, neighbor_id, cosine, rank).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from sql_engine_spark.functions.vectors import dot, l2_norm
+
+    dsub = dim // subspaces
+    raw = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__v"))
+    n_seeds = max(num_centroids, sub_centroids)
+    seed_rows = raw.orderBy("neighbor_id").limit(n_seeds).collect()
+    units = [_py_unit(r["__v"]) for r in seed_rows]
+    # IVF cells from the first `num_centroids` unit seeds; PQ codebook
+    # sub-slices from the first `sub_centroids` (same deterministic
+    # lowest-id family as ivf_topk / pq_topk).
+    cents = [
+        (seed_rows[i]["neighbor_id"], units[i]) for i in range(num_centroids)
+    ]
+    cb_lists: list[list[tuple[int, list[float]]]] = [
+        [(j, units[j][m * dsub : (m + 1) * dsub]) for j in range(sub_centroids)]
+        for m in range(subspaces)
+    ]
+    cb = np.array([[v for _, v in cb_lists[m]] for m in range(subspaces)])
+
+    def _encode(batch):
+        x = np.asarray(
+            [np.asarray(v, dtype=np.float64) for v in batch], dtype=np.float64
+        ).reshape(-1, subspaces, dsub)
+        scores = np.einsum("nmd,mkd->nmk", x, cb)
+        return pd.Series(list(scores.argmax(axis=2).astype(np.int32)))
+
+    _encode.__annotations__ = {"batch": pd.Series, "return": pd.Series}
+    encode = pandas_udf(_encode, "array<integer>")
+
+    coded = raw.select(
+        "neighbor_id",
+        _assign_cell("__v", cents).alias("cent_id"),
+        encode("__v").alias("__codes"),
+    )
+
+    q_norm = _norm_side(queries, id_col, vec_col, "query_id")
+    qt_sql = (
+        "array("
+        + ", ".join(
+            "array("
+            + ", ".join(
+                _sql_dot_lit(f"slice(__nv, {m * dsub + 1}, {dsub})", v)
+                for _, v in cb_lists[m]
+            )
+            + ")"
+            for m in range(subspaces)
+        )
+        + ")"
+    )
+    qp = q_norm.select("query_id", "__nv", F.expr(qt_sql).alias("__T"))
+    probes = qp.select(
+        "query_id",
+        "__T",
+        F.explode(
+            F.slice(F.array_sort(_cell_scores("__nv", cents)), 1, nprobe)
+        ).alias("__s"),
+    ).select("query_id", "__T", F.col("__s.cent_id").alias("cent_id"))
+
+    approx = F.aggregate(
+        F.zip_with("__codes", "__T", lambda c, t: F.element_at(t, c + 1)),
+        F.lit(0.0),
+        lambda a, b: a + b,
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("approx_dot"), F.asc("neighbor_id"))
+    short = (
+        F.broadcast(probes)
+        .join(coded, "cent_id")
+        .withColumn("approx_dot", approx)
+        .withColumn("__ra", F.row_number().over(w))
+        .where(F.col("__ra") <= rerank)
+        .select("query_id", "neighbor_id")
+    )
+    corp_vec = raw.select(
+        "neighbor_id", F.col("__v").alias("__cv"), l2_norm("__v").alias("__cn")
+    )
+    qv = q_norm.select("query_id", F.col("__nv").alias("__qv"))
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        F.broadcast(short)
+        .join(corp_vec, "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .withColumn("cosine", dot("__qv", "__cv") / F.col("__cn"))
+        .withColumn("rank", F.row_number().over(w2).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

@@ -525,3 +525,132 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         dim=DIM,
         rerank=50,
     )
+
+
+def _ivfpq_oracle(
+    num_centroids: int, nprobe: int, subspaces: int, sub_centroids: int,
+    k: int, rerank: int,
+) -> str:
+    """Mirror of operators/similarity.py:ivfpq_topk — IVF cells + PQ codes
+    + ADC shortlist + exact re-rank, all from the same raw-assignment /
+    ordered-fold spellings as the component oracles."""
+    dsub = DIM // subspaces
+    sl = f"[t.m * {dsub} + 1 : t.m * {dsub} + {dsub}]"
+    return f"""
+        WITH v AS (
+            SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+            FROM embeddings
+        ),
+        nn AS (
+            SELECT vec_id, e,
+                   sqrt(list_reduce(list_transform(e, x -> x * x),
+                                    (a, b) -> a + b)) AS n
+            FROM v
+        ),
+        nrm AS (SELECT vec_id, e, n, list_transform(e, x -> x / n) AS nv FROM nn),
+        cents AS (
+            SELECT vec_id AS cent_id, nv AS ce FROM nrm
+            WHERE vec_id >= 10 ORDER BY vec_id LIMIT {num_centroids}
+        ),
+        cells AS (
+            SELECT vec_id, cent_id FROM (
+                SELECT c.vec_id, t.cent_id,
+                       row_number() OVER (PARTITION BY c.vec_id
+                                          ORDER BY {_dot('c.e', 't.ce')} DESC, t.cent_id) AS rn
+                FROM nrm c CROSS JOIN cents t
+                WHERE c.vec_id >= 10
+            ) WHERE rn = 1
+        ),
+        seeds AS (
+            SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS j, nv
+            FROM (SELECT vec_id, nv FROM nrm WHERE vec_id >= 10
+                  ORDER BY vec_id LIMIT {sub_centroids})
+        ),
+        ms AS (SELECT unnest(range(0, {subspaces})) AS m),
+        cent AS (
+            SELECT ms.m, s.j, s.nv[ms.m * {dsub} + 1 : ms.m * {dsub} + {dsub}] AS ce
+            FROM seeds s CROSS JOIN ms
+        ),
+        codes AS (
+            SELECT vec_id, list(j ORDER BY m) AS codes FROM (
+                SELECT c.vec_id, t.m, t.j,
+                       row_number() OVER (PARTITION BY c.vec_id, t.m
+                                          ORDER BY {_dot(f'c.e{sl}', 't.ce')} DESC, t.j) AS rn
+                FROM nn c CROSS JOIN cent t WHERE c.vec_id >= 10
+            ) WHERE rn = 1 GROUP BY vec_id
+        ),
+        qt AS (
+            SELECT q.vec_id AS query_id, t.m, t.j,
+                   {_dot(f'list_transform(q.e, x -> x / q.n){sl}', 't.ce')} AS tv
+            FROM nn q CROSS JOIN cent t WHERE q.vec_id < 10
+        ),
+        probes AS (
+            SELECT vec_id AS query_id, cent_id FROM (
+                SELECT q.vec_id, t.cent_id,
+                       row_number() OVER (PARTITION BY q.vec_id
+                                          ORDER BY {_dot('q.nv', 't.ce')} DESC, t.cent_id) AS rn
+                FROM nrm q CROSS JOIN cents t
+                WHERE q.vec_id < 10
+            ) WHERE rn <= {nprobe}
+        ),
+        scored AS (
+            SELECT p.query_id, cl.vec_id AS neighbor_id,
+                   list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                            list(q.tv ORDER BY q.m)),
+                               (a, b) -> a + b) AS approx_dot
+            FROM probes p
+            JOIN cells cl ON cl.cent_id = p.cent_id
+            JOIN codes c ON c.vec_id = cl.vec_id
+            JOIN qt q ON q.query_id = p.query_id AND q.j = c.codes[q.m + 1]
+            GROUP BY p.query_id, cl.vec_id
+        ),
+        short AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT query_id, neighbor_id,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY approx_dot DESC, neighbor_id) AS ra
+                FROM scored
+            ) WHERE ra <= {rerank}
+        )
+        SELECT query_id, neighbor_id,
+               ({_dot('list_transform(q.e, x -> x / q.n)', 'c.e')} / c.n) AS cosine,
+               CAST(row_number() OVER (PARTITION BY query_id
+                                       ORDER BY ({_dot('list_transform(q.e, x -> x / q.n)', 'c.e')} / c.n) DESC,
+                                                neighbor_id) AS BIGINT) AS rank
+        FROM short
+        JOIN nn q ON q.vec_id = query_id
+        JOIN nn c ON c.vec_id = neighbor_id
+        QUALIFY rank <= {k}
+    """
+
+
+@register(
+    "ann_ivfpq_topk",
+    oracle=_ivfpq_oracle(4, 2, 8, 16, 5, 50),
+    doc="IVF-PQ approximate top-5 (the FAISS IVFPQ composition): the IVF "
+    "coarse quantizer restricts each query to its 2 nearest of 4 cells, "
+    "candidates there are scored by PQ asymmetric distance (8 one-byte "
+    "codes, 8 table lookups per candidate — no vector math), and exact "
+    "cosine re-ranks each query's top-50 shortlist. Candidates ~ "
+    "nprobe/num_centroids of the corpus (vs pq_topk's full ADC scan) "
+    "AND each candidate costs table lookups instead of a 64-dim dot "
+    "(vs ann_ivf_topk) — the memory- and compute-bounded shape that "
+    "serves billion-vector corpora.",
+)
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sql_engine_spark.operators.similarity import ivfpq_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    return ivfpq_topk(
+        emb.where(F.col("vec_id") < 10),
+        emb.where(F.col("vec_id") >= 10),
+        id_col="vec_id",
+        vec_col="embedding",
+        k=5,
+        num_centroids=4,
+        nprobe=2,
+        subspaces=8,
+        sub_centroids=16,
+        dim=DIM,
+        rerank=50,
+    )

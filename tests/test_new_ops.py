@@ -74,6 +74,10 @@ def test_ann_recall_vs_brute_force(spark, sf_dir):
     # ordering alone measured 0.18, so the re-rank stage carries it).
     pq = _topk_pairs(spark, sf_dir, "ann_pq_topk")
     assert len(brute & pq) / len(brute) >= 0.4
+    # IVF-PQ compounds both approximations (cell recall x ADC-shortlist
+    # recall; measured 0.38 at sf0.001 on these uniform vectors).
+    ivfpq = _topk_pairs(spark, sf_dir, "ann_ivfpq_topk")
+    assert len(brute & ivfpq) / len(brute) >= 0.3
 
 
 def test_minhash_lsh_bucket_cap_bounds_hot_bucket(spark):
