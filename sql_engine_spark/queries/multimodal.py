@@ -180,3 +180,34 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "duration_s",
         *[F.col("mfcc")[i].alias(f"mfcc_{i}") for i in range(4)],
     )
+
+
+@register(
+    "multimodal_dedup_exact",
+    oracle="""
+        SELECT MIN(doc_id) AS rep_id,
+               COUNT(*) AS n_copies,
+               CAST(length(text) AS BIGINT) AS n_bytes
+        FROM documents
+        GROUP BY md5(text), length(text)
+    """,
+    doc="Exact dedup over BINARY payloads: group on (content digest, "
+    "byte length) — the size column makes digest collisions harmless "
+    "and lets the scan skip by size stats — keep the min id per group. "
+    "One map-side-combined hash aggregate computed from the binary "
+    "column directly (md5 accepts binary in both engines); the standard "
+    "first pass over an image/audio lake before any decode work.",
+)
+def multimodal_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = with_binary_payload(load(spark, sf_dir, "documents"), "text")
+    return (
+        docs.groupBy(
+            F.md5("payload").alias("__h"),
+            F.octet_length("payload").cast("long").alias("n_bytes"),
+        )
+        .agg(
+            F.min("doc_id").alias("rep_id"),
+            F.count("*").cast("long").alias("n_copies"),
+        )
+        .select("rep_id", "n_copies", "n_bytes")
+    )
