@@ -74,6 +74,7 @@ EXTENSION = [
     "text_winnow_fingerprints",
     "pipeline_curate_full",
     "ann_ivfpq_topk",
+    "multimodal_dedup_exact",
 ]
 
 
