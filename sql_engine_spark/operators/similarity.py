@@ -2,8 +2,10 @@
 
 - `brute_force_topk`: exact cosine top-k. The query side is broadcast
   (queries are assumed small); the corpus is scanned once and the top-k is
-  computed with a window over (query, -similarity) — at scale this is one
-  map stage + one shuffle by query id. Correct baseline for any corpus.
+  computed with `two_level_topk` (salted partial top-k, then a bounded
+  final rank) — at scale this is one map stage + one salted shuffle plus
+  a tiny survivor shuffle; no task ever sorts a corpus-proportional
+  candidate set. Correct baseline for any corpus.
 - `lsh_topk`: the scale path. Random-hyperplane LSH buckets both sides
   (signs of dot products against deterministic +-1 hyperplanes derived from
   md5), candidates are corpus rows sharing the query's bucket, then exact
@@ -24,6 +26,64 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+#: Salt fan-out for the first level of `two_level_topk`. Each query's
+#: candidate stream is spread over this many tasks before any ranking
+#: happens; raise it on a real cluster (candidates_per_query / buckets
+#: rows must sort comfortably in one task).
+ANN_SALT_BUCKETS = 32
+
+
+def two_level_topk(
+    scored: DataFrame,
+    *,
+    score_col: str,
+    k: int,
+    rank_col: str = "rank",
+    query_col: str = "query_id",
+    id_col: str = "neighbor_id",
+    buckets: int = ANN_SALT_BUCKETS,
+) -> DataFrame:
+    """Per-query top-k WITHOUT a corpus-sized single-task sort.
+
+    A bare ``row_number() over (partition by query_id order by score)``
+    funnels every candidate row for a query through ONE task — with
+    corpus-proportional candidate sets (brute force: the corpus; LSH:
+    ~corpus/2^planes; IVF: ~corpus*nprobe/K) that task sorts TB-scale
+    data at 100 TB, and with few queries the shuffle is skewed onto a
+    handful of keys by construction. This helper ranks in two bounded
+    levels instead:
+
+    1. salt each candidate into ``(query_id, __salt)`` where ``__salt =
+       pmod(xxhash64(id_col), buckets)`` — deterministic per row — and
+       keep the top ``k`` of each salt partition (partition size ~
+       candidates/buckets);
+    2. rank the surviving ``<= buckets * k`` rows per query with the
+       final window — a tiny, bounded sort.
+
+    The result is BIT-IDENTICAL to the single-window spelling: the
+    ordering ``(desc score, asc id)`` is a strict total order (ids are
+    unique per query), and any row in the global top-k is by definition
+    in the top-k of its own salt bucket, so level 1 never drops a
+    winner and level 2 assigns exactly the ranks the single window
+    would. Rows beyond rank ``k`` are filtered.
+
+    Returns ``scored``'s columns plus ``rank_col`` (long), rank <= k.
+    """
+    w1 = Window.partitionBy(query_col, "__salt").orderBy(
+        F.desc(score_col), F.asc(id_col)
+    )
+    w2 = Window.partitionBy(query_col).orderBy(F.desc(score_col), F.asc(id_col))
+    return (
+        scored.withColumn(
+            "__salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(buckets))
+        )
+        .withColumn("__r1", F.row_number().over(w1))
+        .where(F.col("__r1") <= k)
+        .withColumn(rank_col, F.row_number().over(w2).cast("long"))
+        .where(F.col(rank_col) <= k)
+        .drop("__salt", "__r1")
+    )
 
 
 def plane_vals(plane: int, dim: int) -> list[float]:
@@ -111,14 +171,13 @@ def brute_force_topk(
         F.col(vec_col).alias("__cv"),
         l2_norm(vec_col).alias("__cn"),
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
+    scored = (
         F.broadcast(q)
         .crossJoin(c)
         .withColumn("cosine", dot("__qv", "__cv") / (F.col("__qn") * F.col("__cn")))
-        .withColumn("rank", F.row_number().over(w).cast("long"))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+    return two_level_topk(scored, score_col="cosine", k=k).select(
+        "query_id", "neighbor_id", "cosine", "rank"
     )
 
 
@@ -152,16 +211,13 @@ def lsh_topk(
         l2_norm(vec_col).alias("__cn"),
         bucket.alias("__bucket"),
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
+    scored = (
         F.broadcast(q)
         .join(c, "__bucket")
         .withColumn("cosine", dot("__qv", "__cv") / (F.col("__qn") * F.col("__cn")))
-        .withColumn("rank", F.row_number().over(w).cast("long"))
-        .where(F.col("rank") <= k)
-        .select(
-            "query_id", "neighbor_id", F.col("__bucket").alias("bucket"), "cosine", "rank"
-        )
+    )
+    return two_level_topk(scored, score_col="cosine", k=k).select(
+        "query_id", "neighbor_id", F.col("__bucket").alias("bucket"), "cosine", "rank"
     )
 
 
@@ -256,7 +312,8 @@ def _ivf_search(
 ) -> DataFrame:
     """Broadcast the (tiny) probe set against the cell-assigned corpus and
     exact-rank within each query — the single corpus-sized shuffle of the
-    whole IVF search (the rank window by query_id).
+    whole IVF search (the salted level-1 of `two_level_topk`; no task
+    ever sorts more than ~candidates/buckets rows).
 
     `corp` carries the RAW vector `__cv` plus its materialized norm
     `__cn`; cosine is dot(q_norm, raw)/norm. Keeping the corpus raw (and
@@ -267,16 +324,13 @@ def _ivf_search(
     this query at sf0.1."""
     from sql_engine_spark.functions.vectors import dot
 
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
+    scored = (
         F.broadcast(probes)
         .join(corp, "cent_id")
         .withColumn("cosine", dot("__qv", "__cv") / F.col("__cn"))
-        .withColumn("rank", F.row_number().over(w).cast("long"))
-        .where(F.col("rank") <= k)
-        .select(
-            "query_id", "neighbor_id", F.col("cent_id").alias("cell"), "cosine", "rank"
-        )
+    )
+    return two_level_topk(scored, score_col="cosine", k=k).select(
+        "query_id", "neighbor_id", F.col("cent_id").alias("cell"), "cosine", "rank"
     )
 
 
@@ -302,9 +356,10 @@ def ivf_topk(
     The K centroids are COLLECTED to the driver (K x dim doubles — the
     same thing MLlib's KMeansModel does) and embedded as literals, so
     cell assignment and query probing are pure map-side expressions: the
-    only corpus-sized shuffle in the whole query is the final per-query
-    rank window, and nothing is persisted (the corpus is scanned once
-    for the seed pick and once for the search — no cache to leak).
+    only corpus-sized shuffle in the whole query is the salted level-1
+    of the final `two_level_topk` (bounded per-task sorts), and nothing
+    is persisted (the corpus is scanned once for the seed pick and once
+    for the search — no cache to leak).
 
     The corpus is never normalized engine-side: argmax_j dot(x, c_j)
     over unit centroids is invariant to x's (positive) scale, so cell
@@ -593,7 +648,7 @@ def ivf_kmeans_topk(
     """IVF top-k with TRAINED (spherical k-means) centroids.
 
     Same search plan as `ivf_topk` — literal centroids, map-side cell
-    assignment and probing, one rank-window shuffle — but the coarse
+    assignment and probing, one salted two-level top-k shuffle — but the coarse
     quantizer is learned: `iterations` Lloyd rounds (driver-iterated,
     see `train_kmeans_literal`) refine seeds drawn from a DETERMINISTIC
     md5-prefix sample of the corpus (`train_sample_hex`='8' keeps ids
@@ -783,14 +838,13 @@ def lsh_multitable_topk(
         F.col(vec_col).alias("__cv"),
         l2_norm(vec_col).alias("__cn"),
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
+    scored = (
         cands.join(c, "neighbor_id")
         .join(F.broadcast(q), "query_id")
         .withColumn("cosine", dot("__qv", "__cv") / (F.col("__qn") * F.col("__cn")))
-        .withColumn("rank", F.row_number().over(w).cast("long"))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+    return two_level_topk(scored, score_col="cosine", k=k).select(
+        "query_id", "neighbor_id", "cosine", "rank"
     )
 
 
@@ -828,7 +882,7 @@ def pq_topk(
     vectors (deterministic, oracle-reproducible — the same stand-in-for-
     trained-codebooks posture as ivf_topk); query tables are computed on
     the (tiny, broadcast) query side; the only corpus-sized shuffle in
-    the whole query is the final per-query rank window.
+    the whole query is the salted level-1 of the final `two_level_topk`.
 
     Encoding is the one hot spot the built-in functions can't express
     efficiently: subspaces x sub_centroids tiny dot products per row,
@@ -907,12 +961,10 @@ def pq_topk(
         F.lit(0.0),
         lambda a, b: a + b,
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("approx_dot"), F.asc("neighbor_id"))
-    scored = (
-        F.broadcast(qt)
-        .crossJoin(coded)
-        .withColumn("approx_dot", approx)
-        .withColumn("rank", F.row_number().over(w).cast("long"))
+    scored = two_level_topk(
+        F.broadcast(qt).crossJoin(coded).withColumn("approx_dot", approx),
+        score_col="approx_dot",
+        k=max(k, rerank),
     )
     if rerank <= 0:
         return scored.where(F.col("rank") <= k).select(
@@ -968,7 +1020,8 @@ def ivfpq_topk(
     corpus-side (scale-invariant argmax for both cell and code
     assignment), literal centroids/codebooks via parsed SQL strings,
     Arrow-batched numpy encoding, norms materialized once. The only
-    corpus-sized shuffles are the ADC rank window and nothing else.
+    corpus-sized shuffles are the salted level-1 of the ADC
+    `two_level_topk` and nothing else.
 
     Returns (query_id, neighbor_id, cosine, rank).
     """
@@ -1039,15 +1092,12 @@ def ivfpq_topk(
         F.lit(0.0),
         lambda a, b: a + b,
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("approx_dot"), F.asc("neighbor_id"))
-    short = (
-        F.broadcast(probes)
-        .join(coded, "cent_id")
-        .withColumn("approx_dot", approx)
-        .withColumn("__ra", F.row_number().over(w))
-        .where(F.col("__ra") <= rerank)
-        .select("query_id", "neighbor_id")
-    )
+    short = two_level_topk(
+        F.broadcast(probes).join(coded, "cent_id").withColumn("approx_dot", approx),
+        score_col="approx_dot",
+        k=rerank,
+        rank_col="__ra",
+    ).select("query_id", "neighbor_id")
     corp_vec = raw.select(
         "neighbor_id", F.col("__v").alias("__cv"), l2_norm("__v").alias("__cn")
     )
