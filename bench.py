@@ -45,6 +45,17 @@ HEADLINE = [
     "pipeline_curate",
 ]
 
+# Curation flagships: the two most expensive operators a real curation
+# run ships (composed LSH dedup -> CC -> keep-best, and the full
+# Gopher -> dedup -> PII -> chunk ingest pipeline), tracked
+# round-over-round headline-style under their own stable section
+# (VERDICT r3 #8). They STAY in EXTENSION too so extension_total keeps
+# its r2/r3 composition — the ~5s of duplicate timing is deliberate.
+CURATION = [
+    "dedup_keep_best",
+    "pipeline_curate_full",
+]
+
 # Post-freeze extension queries: timed as a SEPARATE section (own total)
 # so the headline round-over-round totals stay comparable, per the
 # round-2 review. scripts/dump_plans.py audits the same list.
@@ -126,6 +137,18 @@ def main() -> int:
             ext_timings[name] = min(ext_timings.get(name, float("inf")), t)
     ext_total = round(sum(ext_timings.values()), 3)
 
+    # Curation flagships: best-of-2, own stable total (r3 comparison
+    # base: extension_queries.dedup_keep_best / pipeline_curate_full).
+    cur_timings: dict[str, float] = {}
+    for _ in range(2):
+        for name in CURATION:
+            spark.catalog.clearCache()
+            t0 = time.time()
+            qs[name].build(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            t = round(time.time() - t0, 3)
+            cur_timings[name] = min(cur_timings.get(name, float("inf")), t)
+    cur_total = round(sum(cur_timings.values()), 3)
+
     # Companion pass at sf0.01: a low-variance second datapoint so
     # round-over-round deltas aren't drowned by sf0.1 run noise. One
     # best-of-2 pass (plans are already codegen-warm from the warmup).
@@ -148,6 +171,8 @@ def main() -> int:
         "sf": sf,
         "extension_total": ext_total,
         "extension_queries": ext_timings,
+        "curation_total": cur_total,
+        "curation_queries": cur_timings,
     }
     if companion:
         out["companion_sf"] = 0.01

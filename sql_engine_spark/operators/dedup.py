@@ -25,6 +25,39 @@ from pyspark.sql import functions as F
 
 from sql_engine_spark.operators.textprep import shingles, tokens
 
+# Intermediates persisted by the operators below. Strong refs on
+# purpose: a child DataFrame does not retain its parent Python-side, so
+# a weak set would drain before the caller could release; the list is
+# bounded by the caller's release cadence (one operator = a handful of
+# frames) and cleared wholesale by `release_cached`.
+_CACHED: list[DataFrame] = []
+
+
+def _persist(df: DataFrame) -> DataFrame:
+    """Persist an intermediate that several downstream joins re-read.
+
+    The operator's (lazy) result references the persisted frame, so it
+    cannot be unpersisted inside the operator without losing the reuse.
+    THE CALLER OWNS THE CACHE LIFETIME: run the consuming action, then
+    call `release_cached()` (or `spark.catalog.clearCache()`, as
+    bench.py does between queries) so blocks don't accumulate across a
+    long-lived session. Until released, eviction is Spark's LRU."""
+    df.persist(StorageLevel.MEMORY_AND_DISK)
+    _CACHED.append(df)
+    return df
+
+
+def release_cached() -> int:
+    """Unpersist every intermediate the dedup operators persisted since
+    the last release (the oracle gate calls this after each query's
+    collect). Returns the number of frames released. Safe to call at
+    any time. blocking=False: executors drop blocks asynchronously."""
+    n = 0
+    while _CACHED:
+        _CACHED.pop().unpersist(blocking=False)
+        n += 1
+    return n
+
 # Below this many source bytes, widening a narrow scan costs more (one
 # extra exchange of raw text) than the parallelism it buys. Measured on
 # local[32] at sf0.1 (594 KB, one row group): WITH the widening the
@@ -154,12 +187,11 @@ def minhash_lsh_pairs(
     files = src.inputFiles()
     if 0 < len(files) < target and _total_file_bytes(files) >= _MIN_WIDEN_BYTES:
         src = src.repartition(target)
-    docs = (
+    docs = _persist(
         src.select("__id", tokens("__text").alias("__tokens"))
         .withColumn("__sh", shingles("__tokens", shingle_k))
         .withColumn("__shset", F.array_distinct("__sh"))
         .select("__id", "__shset")
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     # Band keys as explicit columns + stack, NOT transform+posexplode: a
     # generator over an array expression re-expands the whole minhash
@@ -188,7 +220,7 @@ def minhash_lsh_pairs(
         # for it; a count window over (band, key) computes the same
         # thing but sorts the ENTIRE bucket stream within each
         # partition — equal wall at sf0.1, strictly worse at scale.
-        buckets = buckets.persist(StorageLevel.MEMORY_AND_DISK)
+        buckets = _persist(buckets)
         hot = (
             buckets.groupBy("__band", "__key")
             .agg(F.count("*").alias("__bn"))
@@ -266,7 +298,7 @@ def ngram_jaccard_pairs(
     Returns (id_a, id_b, jaccard) with id_a < id_b.
     """
     # Persisted: both sides of the all-pairs self-join read this projection.
-    docs = (
+    docs = _persist(
         df.select(
             F.col(id_col).alias("__id"),
             *[F.col(c) for c in block_cols],
@@ -275,7 +307,6 @@ def ngram_jaccard_pairs(
         .withColumn("__sh", shingles("__tokens", ngram_k))
         .withColumn("__shset", F.array_distinct("__sh"))
         .drop("__tokens", "__sh")
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     a, b = docs.alias("a"), docs.alias("b")
     cond = F.col("a.__id") < F.col("b.__id")
@@ -296,7 +327,7 @@ def ngram_jaccard_pairs(
 
 
 def connected_components_fixed(
-    pairs: DataFrame, a_col: str, b_col: str, iterations: int = 3
+    pairs: DataFrame, a_col: str, b_col: str, iterations: int = 3, *, eager: bool = True
 ) -> DataFrame:
     """Dup-pair clustering: fixed-iteration min-label propagation.
 
@@ -308,10 +339,9 @@ def connected_components_fixed(
     oracle can unroll the same iterations and hash-match even on graphs
     that haven't fully converged. Returns (node, label).
     """
-    edges = (
+    edges = _persist(
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .unionByName(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
         "label", F.col("node")
@@ -329,13 +359,19 @@ def connected_components_fixed(
             # Each round references the previous labels TWICE (self +
             # neighbor side), so the lineage doubles per iteration — 2^k
             # plan size and recompute of the early rounds inside one
-            # action. An EAGER localCheckpoint truncates the lineage per
-            # round (the standard iterative-graph practice — GraphFrames
-            # checkpoints its CC loop the same way): each round is one
-            # small job and downstream plans see a flat scan. On a real
+            # action. localCheckpoint truncates the lineage per round
+            # (the standard iterative-graph practice — GraphFrames
+            # checkpoints its CC loop the same way): downstream plans
+            # see a flat LogicalRDD scan. eager=False does NOT make
+            # construction lazy under AQE — checkpointing compiles the
+            # plan via toRdd, and AdaptiveSparkPlanExec materializes
+            # its shuffle stages right there (measured: identical job
+            # count either way) — so the default stays eager=True for
+            # transparency; the parameter exists for non-AQE sessions.
+            # Checkpointed partitions live on executors — on a real
             # cluster swap in checkpoint() to reliable storage so the
             # loop survives executor loss.
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=eager)
         )
     return labels
 
@@ -356,7 +392,7 @@ def containment_pairs(
     Jaccard. Same blocked self-join shape as ngram_jaccard_pairs.
     Returns (id_a, id_b, c_ab, c_ba) where c_ab = |A∩B|/|A|.
     """
-    docs = (
+    docs = _persist(
         df.select(
             F.col(id_col).alias("__id"),
             *[F.col(c) for c in block_cols],
@@ -365,7 +401,6 @@ def containment_pairs(
         .withColumn("__shset", F.array_distinct(shingles("__tokens", ngram_k)))
         .where(F.size("__shset") > 0)
         .drop("__tokens")
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     a, b = docs.alias("a"), docs.alias("b")
     cond = F.col("a.__id") < F.col("b.__id")

@@ -65,7 +65,16 @@ def compare_query(
     res = CompareResult(name=q.name, ok=True)
     sdf = q.build(spark, sf_dir)
     s_cols = list(sdf.columns)
-    s_rows = [tuple(_norm(v) for v in row) for row in sdf.collect()]
+    try:
+        s_rows = [tuple(_norm(v) for v in row) for row in sdf.collect()]
+    finally:
+        # The dedup operators persist intermediates whose lifetime the
+        # consumer owns (operators/dedup.py:_persist) — the collect above
+        # is that consuming action, so drop the blocks before the next
+        # query instead of letting them pile up across a 155-query gate.
+        from sql_engine_spark.operators.dedup import release_cached
+
+        release_cached()
 
     if q.oracle is None:
         res.spark_rows = len(s_rows)

@@ -187,9 +187,9 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT MIN(doc_id) AS rep_id,
                COUNT(*) AS n_copies,
-               CAST(length(text) AS BIGINT) AS n_bytes
+               CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes
         FROM documents
-        GROUP BY md5(text), length(text)
+        GROUP BY md5(text), octet_length(CAST(text AS BLOB))
     """,
     doc="Exact dedup over BINARY payloads: group on (content digest, "
     "byte length) — the size column makes digest collisions harmless "

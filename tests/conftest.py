@@ -14,6 +14,12 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 def pytest_configure(config):
     config.addinivalue_line("markers", "streaming: streaming behavior tests")
+    config.addinivalue_line(
+        "markers",
+        "realcodec: real image/audio codec kernels — runs where Pillow/"
+        "soundfile are installed (pip install pillow soundfile; then "
+        "`pytest -m realcodec`), importorskip-skips elsewhere",
+    )
 
 
 @pytest.fixture(scope="session")

@@ -4,6 +4,8 @@ Arrow batching, column pruning to (id, payload) — is real and pinned."""
 
 from __future__ import annotations
 
+import pytest
+
 from sql_engine_spark.io import load
 from sql_engine_spark.operators.multimodal import (
     decode_images,
@@ -73,11 +75,10 @@ def test_real_codec_feature_detection():
             mm._decode_audio_real(b"RIFF", 16000)
 
 
+@pytest.mark.realcodec
 def test_real_image_decode_when_pil_present(spark, sf_dir):
     """Runs only where Pillow is installed: the real path must produce
     true dimensions through the same Arrow plumbing."""
-    import pytest
-
     pytest.importorskip("PIL")
     import io
 
@@ -91,3 +92,41 @@ def test_real_image_decode_when_pil_present(spark, sf_dir):
     row = decode_images(df, id_col="doc_id", binary_col="payload", use_fake=False).first()
     assert (row.width, row.height, row.channels) == (20, 10, 3)
     assert len(row.features) == 8 and abs(sum(row.features) - 1.0) < 1e-3
+
+
+@pytest.mark.realcodec
+def test_real_audio_decode_when_soundfile_present(spark):
+    """Runs only where soundfile is installed: a stdlib-built PCM WAV
+    fixture (no codec needed to WRITE it) must come back with its true
+    sample count and duration through the same mapInPandas plumbing."""
+    pytest.importorskip("soundfile")
+    import io
+    import math
+    import struct
+    import wave
+
+    from sql_engine_spark.operators.multimodal import extract_audio_features
+
+    sr, n = 16_000, 800  # 50 ms of a 440 Hz tone
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(
+            b"".join(
+                struct.pack(
+                    "<h", int(20000 * math.sin(2 * math.pi * 440 * i / sr))
+                )
+                for i in range(n)
+            )
+        )
+    df = spark.createDataFrame(
+        [(1, bytearray(buf.getvalue()))], "doc_id long, payload binary"
+    )
+    row = extract_audio_features(
+        df, id_col="doc_id", binary_col="payload", sample_rate=sr, use_fake=False
+    ).first()
+    assert row.n_samples == n
+    assert abs(row.duration_s - n / sr) < 1e-9
+    assert len(row.mfcc) == 4

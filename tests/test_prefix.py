@@ -7,6 +7,7 @@ from __future__ import annotations
 
 import re
 
+import pytest
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
@@ -53,6 +54,71 @@ def test_bucketed_running_sum_matches_single_window(spark):
         )
         got_map = {(r.src, r.oid): r.cum for r in got.collect()}
         assert got_map == expected, f"mismatch at n_buckets={n_buckets}"
+
+
+@pytest.mark.parametrize("n_buckets", [1, 2, 256, 1024])
+def test_bucketed_running_sum_adversarial(spark, n_buckets):
+    """Bit-equality with the single-window spelling at adversarial bucket
+    counts (1 = degenerate single bucket; 1024 > the 180 distinct order
+    values, so most buckets are empty and many hold one row) over a
+    heavily SKEWED key distribution (one key holds ~90% of rows, two
+    keys are singletons) and negative values (carry must subtract)."""
+    rows = (
+        [(0, i, (i * 13) % 7 - 3) for i in range(180)]  # hot key, negatives
+        + [(1, i * 3 + 1, i + 1) for i in range(15)]     # sparse order values
+        + [(2, 7, 100), (3, 0, -5)]                      # singleton keys
+    )
+    df = spark.createDataFrame(rows, "src int, oid long, v long")
+    w = (
+        Window.partitionBy("src")
+        .orderBy("oid")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    expected = {
+        (r.src, r.oid): r.cum
+        for r in df.withColumn("cum", F.sum("v").over(w)).collect()
+    }
+    got = bucketed_running_sum(
+        df,
+        part_cols=["src"],
+        order_col="oid",
+        value_col="v",
+        bucket=range_bucket("oid", F.lit(0), F.lit(179), n_buckets),
+        out_col="cum",
+    )
+    got_map = {(r.src, r.oid): r.cum for r in got.collect()}
+    assert got_map == expected, f"mismatch at n_buckets={n_buckets}"
+
+
+@pytest.mark.parametrize("n_buckets", [1, 2, 37, 256])
+def test_bucketed_running_sum_hex_order_adversarial(spark, n_buckets):
+    """Same bit-equality sweep over an md5-hash ORDER column (the
+    curation_token_budget shape) via hex_prefix_bucket, including a
+    bucket count that doesn't divide 256."""
+    df = (
+        spark.createDataFrame(
+            [(i % 4, i) for i in range(300)], "src int, i long"
+        )
+        .select("src", F.md5(F.col("i").cast("string")).alias("h"), F.lit(1).alias("v"))
+    )
+    w = (
+        Window.partitionBy("src")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    expected = {
+        (r.src, r.h): r.cum for r in df.withColumn("cum", F.sum("v").over(w)).collect()
+    }
+    got = bucketed_running_sum(
+        df,
+        part_cols=["src"],
+        order_col="h",
+        value_col="v",
+        bucket=hex_prefix_bucket("h", n_buckets),
+        out_col="cum",
+    )
+    got_map = {(r.src, r.h): r.cum for r in got.collect()}
+    assert got_map == expected, f"mismatch at n_buckets={n_buckets}"
 
 
 def test_hex_prefix_bucket_is_order_consistent(spark):
