@@ -89,6 +89,17 @@ EXTENSION = [
 ]
 
 
+# Round-4 additions: their own section so extension_total keeps its
+# r2/r3 composition; future rounds append here or open a new section.
+EXTENSION_R4 = [
+    "dedup_shared_ngrams",
+    "curation_importance_weights",
+    "curation_mixture_sample",
+    "text_pii_luhn",
+    "text_bytes_per_token",
+]
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -103,7 +114,7 @@ def main() -> int:
     qs["scan_project"].build(spark, sf_dir).write.mode("overwrite").format("noop").save()
     warm_dir = "/root/testdata/sf0.001"
     if os.path.isdir(warm_dir):
-        for wq in HEADLINE + EXTENSION:
+        for wq in HEADLINE + EXTENSION + EXTENSION_R4:
             qs[wq].build(spark, warm_dir).write.mode("overwrite").format("noop").save()
 
     # Best-of-2 full passes: one transient stall (GC, page cache miss,
@@ -136,6 +147,16 @@ def main() -> int:
             t = round(time.time() - t0, 3)
             ext_timings[name] = min(ext_timings.get(name, float("inf")), t)
     ext_total = round(sum(ext_timings.values()), 3)
+
+    r4_timings: dict[str, float] = {}
+    for _ in range(2):
+        for name in EXTENSION_R4:
+            spark.catalog.clearCache()
+            t0 = time.time()
+            qs[name].build(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            t = round(time.time() - t0, 3)
+            r4_timings[name] = min(r4_timings.get(name, float("inf")), t)
+    r4_total = round(sum(r4_timings.values()), 3)
 
     # Curation flagships: best-of-2, own stable total (r3 comparison
     # base: extension_queries.dedup_keep_best / pipeline_curate_full).
@@ -173,6 +194,8 @@ def main() -> int:
         "extension_queries": ext_timings,
         "curation_total": cur_total,
         "curation_queries": cur_timings,
+        "extension_r4_total": r4_total,
+        "extension_r4_queries": r4_timings,
     }
     if companion:
         out["companion_sf"] = 0.01

@@ -251,6 +251,52 @@ def minhash_lsh_pairs(
     )
 
 
+def shared_ngram_stats(
+    df: DataFrame, *, id_col: str, text_col: str, ngram_k: int = 5
+) -> DataFrame:
+    """Per-document duplicated-span statistics — the exact-substring
+    dedup posture of Lee et al., "Deduplicating Training Data Makes
+    Language Models Better" (ACL 2022), at k-gram granularity: a span
+    is "duplicated" if its k-gram occurs in >= 2 documents.
+
+    Returns (id_col, n_grams, n_shared_grams, shared_frac) where
+    n_grams counts the doc's DISTINCT k-grams and shared_frac is the
+    fraction of them that appear in at least one other document — the
+    signal used to drop or trim boilerplate-heavy documents.
+
+    Scale shape: one explode of per-doc distinct k-grams (map; grams
+    md5-hashed so the shuffled key is 32 bytes regardless of k), one
+    map-side-combinable count by gram hash, one equi-join back on the
+    SAME key (AQE reuses the exchange), one aggregate by doc id.
+    Nothing quadratic: a gram shared by m docs costs m joined rows,
+    not m^2 pairs. The gram projection is persisted (it feeds the
+    count and the join probe) — caller owns the lifetime via
+    release_cached().
+    """
+    grams = _persist(
+        df.select(F.col(id_col).alias("__id"), tokens(text_col).alias("__tokens"))
+        .withColumn("__g", F.explode(F.array_distinct(shingles("__tokens", ngram_k))))
+        .select("__id", F.md5("__g").alias("__h"))
+    )
+    counts = grams.groupBy("__h").agg(F.count("*").alias("__ndocs"))
+    return (
+        grams.join(counts, "__h")
+        .groupBy("__id")
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.sum(F.when(F.col("__ndocs") >= 2, 1).otherwise(0))
+            .cast("long")
+            .alias("n_shared_grams"),
+        )
+        .select(
+            F.col("__id").alias(id_col),
+            "n_grams",
+            "n_shared_grams",
+            (F.col("n_shared_grams") / F.col("n_grams")).alias("shared_frac"),
+        )
+    )
+
+
 def simhash_bits(tokens_col: str, bits: int = 16) -> "F.Column":
     """SimHash over tokens as a `bits`-char '0'/'1' string (per-row).
 

@@ -215,6 +215,74 @@ def pii_redact(df, text_col: str, id_col: str):
     )
 
 
+#: Payment-card candidate: a bare 13-19 digit run (separator-free form;
+#: identical Java/RE2 semantics).
+CARD_RE = "[0-9]{13,19}"
+
+
+def _luhn_term_spark(cand: str) -> str:
+    # i-th digit from the RIGHT (Luhn positions are right-anchored);
+    # doubled on even positions with the 9-subtraction.
+    d = f"(ascii(substring(reverse({cand}), i, 1)) - 48)"
+    return (
+        f"CASE WHEN i % 2 = 1 THEN {d} "
+        f"ELSE CASE WHEN {d} * 2 > 9 THEN {d} * 2 - 9 ELSE {d} * 2 END END"
+    )
+
+
+def luhn_valid_sparksql(cand: str) -> str:
+    """Spark-SQL boolean: `cand` (a digit string) passes the Luhn
+    checksum. One fold over the digit positions — pure expression."""
+    return (
+        f"aggregate(sequence(1, length({cand})), 0, "
+        f"(acc, i) -> acc + ({_luhn_term_spark(cand)})) % 10 = 0"
+    )
+
+
+def sql_luhn_valid(cand: str) -> str:
+    """DuckDB spelling of `luhn_valid_sparksql` (range is end-exclusive;
+    list_reduce is seedless — the first element is the seed, which is
+    correct for a plain sum)."""
+    d = f"(ascii(substring(reverse({cand}), i, 1)) - 48)"
+    term = (
+        f"CASE WHEN i % 2 = 1 THEN {d} "
+        f"ELSE CASE WHEN {d} * 2 > 9 THEN {d} * 2 - 9 ELSE {d} * 2 END END"
+    )
+    return (
+        f"list_reduce(list_transform(range(1, length({cand}) + 1), i -> {term}), "
+        f"(a, b) -> a + b) % 10 = 0"
+    )
+
+
+def pii_luhn_redact(df, text_col: str, id_col: str):
+    """Payment-card detection with Luhn validation: digit runs of
+    plausible card length are candidates; only runs passing the Luhn
+    checksum are counted and redacted (a bare length-regex redactor
+    destroys order ids, timestamps, and phone numbers — checksum
+    validation is what makes card redaction precise).
+
+    All per-row JVM expression work (regexp_extract_all + a fold per
+    candidate), zero shuffles at any scale. Returns
+    (id, n_candidates, n_valid_cards, clean_text) with valid cards
+    replaced by '<CARD>'.
+    """
+    out = df.select(F.col(id_col), F.col(text_col).alias("__text"))
+    cands = F.regexp_extract_all("__text", F.lit(CARD_RE), F.lit(0))
+    valid = F.expr(f"filter(regexp_extract_all(__text, '{CARD_RE}', 0), "
+                   f"c -> {luhn_valid_sparksql('c')})")
+    clean = F.expr(
+        f"aggregate(filter(regexp_extract_all(__text, '{CARD_RE}', 0), "
+        f"c -> {luhn_valid_sparksql('c')}), __text, "
+        f"(acc, c) -> replace(acc, c, '<CARD>'))"
+    )
+    return out.select(
+        id_col,
+        F.size(cands).cast("long").alias("n_candidates"),
+        F.size(valid).cast("long").alias("n_valid_cards"),
+        clean.alias("clean_text"),
+    )
+
+
 def sql_pii_redact_exprs(text_expr: str) -> dict[str, str]:
     """DuckDB spellings of the pii_redact output columns (DuckDB's
     regexp_replace needs the 'g' flag to replace ALL matches; Spark

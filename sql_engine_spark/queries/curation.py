@@ -453,3 +453,124 @@ def curation_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1.0) - (F.countDistinct("h").cast("double") / F.count("*"))
         ).alias("exact_dup_rate"),
     )
+
+
+# DuckDB spelling of Spark's conv(hex, 16, 10): a left fold over the hex
+# chars (seedless list_reduce — the first digit seeds the accumulator).
+def _sql_hex_to_int(hex_expr: str, n_chars: int) -> str:
+    return (
+        f"list_reduce(list_transform(range(1, {n_chars + 1}), "
+        f"i -> CAST(instr('0123456789abcdef', substring({hex_expr}, i, 1)) - 1 "
+        f"AS BIGINT)), (a, b) -> a * 16 + b)"
+    )
+
+
+@register(
+    "curation_importance_weights",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, lang = 'en' AS is_t,
+                   {_sql_hex_to_int("md5(tok)", 2)} AS b
+            FROM (SELECT doc_id, lang, unnest({sql_tokens('text')}) AS tok
+                  FROM documents)
+        ),
+        s AS (
+            SELECT b, COUNT(*) AS cn,
+                   SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS tn
+            FROM t GROUP BY b
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(SUM(s.tn + 1) AS BIGINT) AS target_mass,
+               CAST(SUM(s.cn + 1) AS BIGINT) AS corpus_mass,
+               CAST(SUM(s.tn + 1) AS BIGINT) / CAST(SUM(s.cn + 1) AS BIGINT)
+                   AS weight
+        FROM t JOIN s USING (b)
+        GROUP BY doc_id
+    """,
+    doc="Hashed-feature importance weights for domain-targeted data "
+    "selection (the DSIR posture, Xie et al. 2023, with exact integer "
+    "masses instead of log-products so the score is bit-reproducible "
+    "across engines): tokens hash into 256 buckets; per-doc weight is "
+    "the ratio of add-one-smoothed target-distribution mass (lang='en' "
+    "here) to corpus mass over the doc's tokens. Shape: one bounded "
+    "256-row stats aggregate, then explode -> broadcast-join stats -> "
+    "per-doc aggregate; no corpus-sized shuffle beyond the doc agg.",
+)
+def curation_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sql_engine_spark.operators.textprep import tokens
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        (F.col("lang") == "en").alias("__is_t"),
+        F.explode(tokens("text")).alias("__t"),
+    ).withColumn(
+        "__b", F.conv(F.substring(F.md5("__t"), 1, 2), 16, 10).cast("long")
+    )
+    stats = toks.groupBy("__b").agg(
+        F.count("*").alias("__cn"),
+        F.sum(F.when(F.col("__is_t"), 1).otherwise(0)).alias("__tn"),
+    )
+    return (
+        toks.join(F.broadcast(stats), "__b")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum(F.col("__tn") + 1).cast("long").alias("target_mass"),
+            F.sum(F.col("__cn") + 1).cast("long").alias("corpus_mass"),
+        )
+        .withColumn(
+            "weight", F.col("target_mass") / F.col("corpus_mass")
+        )
+    )
+
+
+@register(
+    "curation_mixture_sample",
+    oracle=f"""
+        WITH c AS (SELECT source, lang, COUNT(*) AS n
+                   FROM documents GROUP BY source, lang),
+        r AS (
+            SELECT source, lang,
+                   CAST(floor(sqrt(CAST((SELECT MIN(n) FROM c) AS DOUBLE) / n)
+                              * 4294967296.0) AS BIGINT) AS thr
+            FROM c
+        )
+        SELECT d.doc_id, d.source, d.lang
+        FROM documents d
+        JOIN r ON d.source = r.source AND d.lang = r.lang
+        WHERE {_sql_hex_to_int("md5(CAST(d.doc_id AS VARCHAR))", 8)} < r.thr
+    """,
+    doc="Temperature-flattened source mixture (the multilingual-"
+    "pretraining alpha=0.5 rebalance) over (source, lang) strata: each "
+    "stratum keeps a sqrt(min_count/count) fraction of its docs — the "
+    "smallest stratum keeps everything, larger ones are downsampled — "
+    "selected by content hash (reproducible across engines, task "
+    "retries, and reruns; see sampling.py). Shape: one bounded "
+    "per-source count aggregate broadcast back, then a pure scan-side "
+    "filter; no corpus shuffle at any scale.",
+)
+def curation_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    counts = docs.groupBy("source", "lang").agg(F.count("*").alias("__n"))
+    rates = counts.crossJoin(
+        F.broadcast(counts.agg(F.min("__n").alias("__minn")))
+    ).select(
+        "source",
+        "lang",
+        F.floor(
+            F.sqrt(F.col("__minn").cast("double") / F.col("__n"))
+            * F.lit(4294967296.0)
+        )
+        .cast("long")
+        .alias("__thr"),
+    )
+    u = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    return (
+        docs.join(F.broadcast(rates), ["source", "lang"])
+        .where(u < F.col("__thr"))
+        .select("doc_id", "source", "lang")
+    )

@@ -321,3 +321,36 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         (F.row_number().over(w) == 1).alias("keep"),
     )
+
+
+@register(
+    "dedup_shared_ngrams",
+    oracle=f"""
+        WITH g AS (
+            SELECT doc_id, md5(gram) AS h
+            FROM (
+                SELECT doc_id,
+                       unnest(list_distinct({sql_shingles(sql_tokens('text'), 5)})) AS gram
+                FROM documents
+            )
+        ),
+        c AS (SELECT h, COUNT(*) AS ndocs FROM g GROUP BY h)
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_grams,
+               CAST(SUM(CASE WHEN c.ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_shared_grams,
+               CAST(SUM(CASE WHEN c.ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   / CAST(COUNT(*) AS BIGINT) AS shared_frac
+        FROM g JOIN c USING (h)
+        GROUP BY doc_id
+    """,
+    doc="Per-document duplicated-span statistics (Lee et al. ACL 2022 "
+    "exact-substring posture at 5-gram granularity): the fraction of a "
+    "doc's distinct 5-grams occurring in >= 2 documents — the signal "
+    "for dropping or trimming boilerplate-heavy docs. One gram explode "
+    "+ one count-by-gram-hash + a same-key join back + one per-doc "
+    "aggregate; a gram shared by m docs costs m rows, never m^2 pairs.",
+)
+def dedup_shared_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return D.shared_ngram_stats(docs, id_col="doc_id", text_col="text", ngram_k=5)

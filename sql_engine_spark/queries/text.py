@@ -297,3 +297,89 @@ def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=_WINNOW_K,
         w=_WINNOW_W,
     )
+
+
+# Deterministic synthetic card numbers (the corpus has no real PANs):
+# a 15-digit base from doc_id plus a doc_id-derived final digit, so
+# ~10% of docs carry a Luhn-VALID card and the rest carry near-miss
+# digit runs — the validator is exercised on both outcomes. Both
+# engines build the identical string.
+_CARD_SYNTH_SQL = (
+    "text || ' card ' || lpad(CAST((doc_id * 7919 + 123456789) % 1000000000000000 "
+    "AS VARCHAR), 15, '0') || CAST(doc_id % 10 AS VARCHAR)"
+)
+
+
+def _card_synth_col() -> F.Column:
+    return F.concat(
+        F.col("text"),
+        F.lit(" card "),
+        F.lpad(
+            ((F.col("doc_id") * 7919 + 123456789) % 1000000000000000).cast("string"),
+            15,
+            "0",
+        ),
+        (F.col("doc_id") % 10).cast("string"),
+    )
+
+
+@register(
+    "text_pii_luhn",
+    oracle=f"""
+        WITH s AS (SELECT doc_id, {_CARD_SYNTH_SQL} AS synth FROM documents)
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(synth, '{T.CARD_RE}')) AS BIGINT)
+                   AS n_candidates,
+               CAST(len(list_filter(regexp_extract_all(synth, '{T.CARD_RE}'),
+                                    c -> {T.sql_luhn_valid('c')})) AS BIGINT)
+                   AS n_valid_cards,
+               list_reduce(
+                   list_prepend(synth,
+                       list_filter(regexp_extract_all(synth, '{T.CARD_RE}'),
+                                   c -> {T.sql_luhn_valid('c')})),
+                   (acc, c) -> replace(acc, c, '<CARD>')) AS clean_text
+        FROM s
+    """,
+    doc="Payment-card PII with Luhn checksum validation: 13-19 digit "
+    "runs are candidates, only checksum-valid runs are counted and "
+    "redacted — precision a bare length regex can't give (order ids "
+    "and timestamps survive). Per-row JVM regex + one fold per "
+    "candidate, zero shuffles.",
+)
+def text_pii_luhn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", _card_synth_col().alias("__synth")
+    )
+    return T.pii_luhn_redact(docs, "__synth", "doc_id")
+
+
+@register(
+    "text_bytes_per_token",
+    oracle=f"""
+        SELECT source, lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(octet_length(CAST(text AS BLOB))) AS BIGINT) AS total_bytes,
+               CAST(SUM(len({_TOKS})) AS BIGINT) AS total_tokens,
+               CAST(SUM(octet_length(CAST(text AS BLOB))) AS BIGINT)
+                   / CAST(SUM(len({_TOKS})) AS BIGINT) AS bytes_per_token
+        FROM documents
+        GROUP BY source, lang
+    """,
+    doc="Tokenizer fertility audit per (source, lang): bytes per "
+    "whitespace token — the budget planner's conversion factor between "
+    "storage size and token count, and the drift signal when a new "
+    "source's ratio deviates. One map-side-combinable aggregate to a "
+    "bounded (sources x langs) result.",
+)
+def text_bytes_per_token(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = F.size(tokens("text")).cast("long")
+    return docs.groupBy("source", "lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.octet_length("text")).cast("long").alias("total_bytes"),
+        F.sum(toks).cast("long").alias("total_tokens"),
+        (
+            F.sum(F.octet_length("text")).cast("long")
+            / F.sum(toks).cast("long")
+        ).alias("bytes_per_token"),
+    )

@@ -314,3 +314,85 @@ def test_winnowing_shared_run_guarantee(spark):
     assert by_doc[1] & by_doc[2], "shared 6-token run produced no common fingerprint"
     assert not (by_doc[1] & by_doc[3])
     assert not (by_doc[2] & by_doc[3])
+
+
+def test_luhn_validator_known_cards(spark):
+    """Ground-truth Luhn vectors: the canonical test PANs validate, a
+    single-digit perturbation fails."""
+    from sql_engine_spark.operators.text import pii_luhn_redact
+
+    df = spark.createDataFrame(
+        [
+            (1, "pay with 4111111111111111 now"),      # canonical Visa test PAN
+            (2, "pay with 4111111111111112 now"),      # check digit off by one
+            (3, "ref 5500005555555559 and order 1234567890123 done"),
+            (4, "no digits here"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in pii_luhn_redact(df, "text", "doc_id").collect()}
+    assert (rows[1].n_candidates, rows[1].n_valid_cards) == (1, 1)
+    assert "<CARD>" in rows[1].clean_text and "4111" not in rows[1].clean_text
+    assert (rows[2].n_candidates, rows[2].n_valid_cards) == (1, 0)
+    assert "4111111111111112" in rows[2].clean_text  # invalid run untouched
+    assert rows[3].n_candidates == 2  # 16-digit PAN + 13-digit order id
+    assert rows[3].n_valid_cards == 1  # only the Mastercard test PAN passes
+    assert (rows[4].n_candidates, rows[4].n_valid_cards) == (0, 0)
+
+
+def test_shared_ngram_stats_planted_duplicates(spark):
+    """Two docs sharing a long boilerplate span must show shared 5-grams;
+    a vocabulary-disjoint doc must show zero."""
+    from sql_engine_spark.operators.dedup import release_cached, shared_ngram_stats
+
+    boiler = "terms of service apply to all users of this site always"
+    df = spark.createDataFrame(
+        [
+            (1, boiler + " alpha beta"),
+            (2, boiler + " gamma delta"),
+            (3, "completely unrelated words nothing repeats here at all ok"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in shared_ngram_stats(df, id_col="doc_id", text_col="text").collect()}
+    release_cached()
+    assert rows[1].n_shared_grams >= 7  # the 11-token boilerplate run
+    assert rows[2].n_shared_grams >= 7
+    assert rows[3].n_shared_grams == 0 and rows[3].shared_frac == 0.0
+
+
+def test_importance_weights_favor_target_lang(spark, sf_dir):
+    """Docs in the target distribution (lang='en') must average a higher
+    importance weight than the rest — the defining DSIR property."""
+    from pyspark.sql import functions as F
+
+    df = all_queries()["curation_importance_weights"].build(spark, sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "lang")
+    j = df.join(docs, "doc_id")
+    avg_en = j.where(F.col("lang") == "en").agg(F.avg("weight")).first()[0]
+    avg_rest = j.where(F.col("lang") != "en").agg(F.avg("weight")).first()[0]
+    assert avg_en > avg_rest
+
+
+def test_mixture_sample_flattens_strata(spark, sf_dir):
+    """Every stratum's kept count must respect its sqrt(min/n) rate, and
+    at least one singleton stratum must be kept whole (rate 1)."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    kept = all_queries()["curation_mixture_sample"].build(spark, sf_dir)
+    n = {(r.source, r.lang): r.n for r in
+         docs.groupBy("source", "lang").agg(F.count("*").alias("n")).collect()}
+    k = {(r.source, r.lang): r.k for r in
+         kept.groupBy("source", "lang").agg(F.count("*").alias("k")).collect()}
+    import math
+
+    min_n = min(n.values())
+    assert 0 < sum(k.values()) < sum(n.values())  # real downsampling happened
+    singletons = [s for s, cnt in n.items() if cnt == min_n]
+    assert any(k.get(s, 0) == n[s] for s in singletons)  # rate-1 stratum intact
+    for s, cnt in n.items():
+        rate = math.sqrt(min_n / cnt)
+        assert k.get(s, 0) <= cnt
+        # kept/n concentrates around rate; allow binomial slack on tiny strata
+        assert abs(k.get(s, 0) - rate * cnt) <= max(4.0, 3 * math.sqrt(cnt))
