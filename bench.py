@@ -93,10 +93,13 @@ EXTENSION = [
 # r2/r3 composition; future rounds append here or open a new section.
 EXTENSION_R4 = [
     "dedup_shared_ngrams",
+    "dedup_winnow_pairs",
     "curation_importance_weights",
     "curation_mixture_sample",
+    "curation_block_dedup",
     "text_pii_luhn",
     "text_bytes_per_token",
+    "ann_range_search",
 ]
 
 

@@ -689,6 +689,69 @@ def ivf_kmeans_topk(
     return _ivf_search(probes, corp, k)
 
 
+def lsh_range_search(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    planes: int = 3,
+    tables: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Range search: ALL corpus neighbors with cosine >= `threshold` per
+    query (the radius-query API, vs top-k's fixed count) — the primitive
+    behind 'find every near-duplicate of this document' lookups.
+
+    Candidates come from multi-table hyperplane LSH (a corpus row
+    qualifies if it shares a bucket with the query in ANY of `tables`
+    tables — recall 1-(1-p)^tables), then exact cosine verifies, so
+    precision is exact and recall is the LSH dial. No window, no rank,
+    no per-query sort anywhere: one bucket equi-join bounded by
+    ~tables/2^planes of the corpus, one exact-verify join, a filter.
+    Returns (query_id, neighbor_id, cosine).
+    """
+    from sql_engine_spark.functions.vectors import dot, l2_norm
+
+    def bucket_rows(df: DataFrame, out_id: str) -> DataFrame:
+        cols = [
+            lsh_bucket(vec_col, planes, dim, offset=t * planes).alias(f"__b{t}")
+            for t in range(tables)
+        ]
+        wide = df.select(F.col(id_col).alias(out_id), *cols)
+        stack = (
+            f"stack({tables}, "
+            + ", ".join(f"{t}, __b{t}" for t in range(tables))
+            + ") as (__t, __bucket)"
+        )
+        return wide.selectExpr(out_id, stack)
+
+    cands = (
+        bucket_rows(queries, "query_id")
+        .join(bucket_rows(corpus, "neighbor_id"), ["__t", "__bucket"])
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        l2_norm(vec_col).alias("__qn"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        l2_norm(vec_col).alias("__cn"),
+    )
+    return (
+        cands.join(c, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .withColumn("cosine", dot("__qv", "__cv") / (F.col("__qn") * F.col("__cn")))
+        .where(F.col("cosine") >= threshold)
+        .select("query_id", "neighbor_id", "cosine")
+    )
+
+
 def embedding_cosine_pairs(
     df: DataFrame,
     *,

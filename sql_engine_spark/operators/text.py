@@ -363,6 +363,121 @@ def tfidf_keywords(df, *, id_col: str, text_col: str, k: int):
     )
 
 
+def winnow_pairs(
+    df,
+    *,
+    id_col: str,
+    text_col: str,
+    k: int,
+    w: int,
+    min_shared: int = 2,
+    max_fp_docs: int | None = None,
+):
+    """Copied-run candidate pairs from winnowing fingerprints: two docs
+    sharing >= `min_shared` fingerprints share (with the winnowing
+    guarantee) runs of >= w+k-1 identical tokens — the MOSS pairing
+    step on top of `winnow_fingerprints`.
+
+    `max_fp_docs` drops fingerprints carried by more than that many
+    docs before pairing (same rationale as the LSH hot-bucket cap,
+    operators/dedup.py: a fingerprint in thousands of docs is
+    boilerplate carrying no discriminating signal, and its pair block
+    is quadratic). Shape: fingerprint explode (map), hot-fp count +
+    broadcast anti-join, equi-self-join on fp, pair-count aggregate —
+    the quadratic cost stays confined to per-fingerprint blocks of at
+    most `max_fp_docs`. Returns (id_a, id_b, n_shared_fps).
+    """
+    from sql_engine_spark.operators.dedup import _persist
+
+    fps = _persist(
+        winnow_fingerprints(df, id_col=id_col, text_col=text_col, k=k, w=w).select(
+            F.col(id_col).alias("__id"), "fp"
+        )
+    )
+    if max_fp_docs is not None:
+        hot = (
+            fps.groupBy("fp")
+            .agg(F.count("*").alias("__n"))
+            .where(F.col("__n") > max_fp_docs)
+            .select("fp")
+        )
+        fps = fps.join(F.broadcast(hot), "fp", "left_anti")
+    a, b = fps.alias("a"), fps.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp")) & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .groupBy(
+            F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b")
+        )
+        .agg(F.count("*").cast("long").alias("n_shared_fps"))
+        .where(F.col("n_shared_fps") >= min_shared)
+    )
+
+
+def block_dedup(df, *, id_col: str, text_col: str, block_tokens: int = 10):
+    """Span-level corpus dedup with document RECONSTRUCTION (the C4
+    posture, Raffel et al. 2020, which drops repeated three-sentence
+    spans; here the span unit is a fixed `block_tokens`-token block —
+    the corpus has no sentence boundaries): every block whose content
+    occurs more than once ANYWHERE in the corpus (any doc, including
+    its own) is removed, and each document's surviving blocks are
+    re-joined in order. Stricter than keep-one-occurrence C4 — boiler-
+    plate is removed from every document, not left in one survivor —
+    which is the variant that composes with doc-level keep-best dedup.
+
+    Shape: block explode (map), one count-by-block-hash aggregate
+    (map-side combinable), a same-key join back, and one per-doc
+    ordered re-assembly aggregate. The block projection is persisted
+    (counts + join probe); caller owns the lifetime via
+    release_cached(). Returns (id, n_blocks, n_kept_blocks,
+    clean_text) — docs whose every block was duplicated come back with
+    an empty clean_text, ready for a length filter.
+    """
+    from sql_engine_spark.operators.dedup import _persist
+    from sql_engine_spark.operators.textprep import tokens as _tokens
+
+    B = block_tokens
+    base = df.select(F.col(id_col).alias("__id"), _tokens(text_col).alias("__t")).select(
+        "__id", "__t", F.expr(f"(size(__t) + {B - 1}) div {B}").alias("__nb")
+    )
+    # posexplode over a transform() re-evaluates the lambda per emitted
+    # row (no CSE through generators) — O(blocks^2) slices per doc, fine
+    # for per-doc block counts; the heavy work (count + join) is on the
+    # exploded rows.
+    blk = _persist(
+        base.select(
+            "__id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, CAST(__nb AS INT) - 1), "
+                    f"j -> array_join(slice(__t, j * {B} + 1, {B}), ' '))"
+                )
+            ).alias("__pos", "__blk"),
+        ).withColumn("__h", F.md5("__blk"))
+    )
+    counts = blk.groupBy("__h").agg(F.count("*").alias("__n"))
+    rebuilt = (
+        blk.join(counts, "__h")
+        .where(F.col("__n") == 1)
+        .groupBy("__id")
+        .agg(
+            F.count("*").cast("long").alias("n_kept_blocks"),
+            F.expr(
+                "array_join(transform(array_sort(collect_list("
+                "struct(__pos, __blk))), s -> s.__blk), ' ')"
+            ).alias("clean_text"),
+        )
+    )
+    return base.join(rebuilt, "__id", "left").select(
+        F.col("__id").alias(id_col),
+        F.col("__nb").cast("long").alias("n_blocks"),
+        F.coalesce("n_kept_blocks", F.lit(0)).alias("n_kept_blocks"),
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+    )
+
+
 def winnow_fingerprints(df, *, id_col: str, text_col: str, k: int, w: int):
     """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
     "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD

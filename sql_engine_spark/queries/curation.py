@@ -574,3 +574,50 @@ def curation_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(u < F.col("__thr"))
         .select("doc_id", "source", "lang")
     )
+
+
+_BLOCK_B = 10
+
+
+@register(
+    "curation_block_dedup",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, {sql_tokens('text')} AS tk FROM documents
+        ),
+        b AS (
+            SELECT doc_id, j AS pos,
+                   array_to_string(tk[j * {_BLOCK_B} + 1 : j * {_BLOCK_B} + {_BLOCK_B}],
+                                   ' ') AS blk
+            FROM (SELECT doc_id, tk,
+                         unnest(range(0, (len(tk) + {_BLOCK_B - 1}) // {_BLOCK_B})) AS j
+                  FROM t)
+        ),
+        c AS (SELECT md5(blk) AS h, COUNT(*) AS n FROM b GROUP BY md5(blk)),
+        r AS (
+            SELECT doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_kept_blocks,
+                   string_agg(blk, ' ' ORDER BY pos) AS clean_text
+            FROM b JOIN c ON md5(b.blk) = c.h
+            WHERE c.n = 1
+            GROUP BY doc_id
+        )
+        SELECT t.doc_id,
+               CAST((len(tk) + {_BLOCK_B - 1}) // {_BLOCK_B} AS BIGINT) AS n_blocks,
+               COALESCE(r.n_kept_blocks, 0) AS n_kept_blocks,
+               COALESCE(r.clean_text, '') AS clean_text
+        FROM t LEFT JOIN r ON t.doc_id = r.doc_id
+    """,
+    doc=f"Span-level corpus dedup with document reconstruction (C4 "
+    f"posture at {_BLOCK_B}-token block granularity): any block whose "
+    "content occurs more than once anywhere in the corpus is removed "
+    "from every document, and surviving blocks re-join in order — the "
+    "operator that TRANSFORMS the corpus rather than just scoring it. "
+    "One explode + one count-by-hash + same-key join + per-doc ordered "
+    "re-assembly; nothing quadratic.",
+)
+def curation_block_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sql_engine_spark.operators.text import block_dedup
+
+    docs = load(spark, sf_dir, "documents")
+    return block_dedup(docs, id_col="doc_id", text_col="text", block_tokens=_BLOCK_B)

@@ -354,3 +354,55 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_shared_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return D.shared_ngram_stats(docs, id_col="doc_id", text_col="text", ngram_k=5)
+
+
+_WP_K, _WP_W, _WP_MIN, _WP_CAP = 3, 4, 3, 50
+
+
+@register(
+    "dedup_winnow_pairs",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id,
+                   list_transform({sql_shingles(sql_tokens('text'), _WP_K)},
+                                  g -> md5(g)) AS hs
+            FROM documents
+        ),
+        fps AS (
+            SELECT doc_id,
+                   unnest(list_distinct(list_transform(
+                       range(1, greatest(len(hs) - {_WP_W - 1}, 1) + 1),
+                       i -> list_aggregate(hs[i : i + {_WP_W - 1}], 'min')))) AS fp
+            FROM t
+        ),
+        ok AS (
+            SELECT doc_id, fp FROM fps
+            QUALIFY COUNT(*) OVER (PARTITION BY fp) <= {_WP_CAP}
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(COUNT(*) AS BIGINT) AS n_shared_fps
+        FROM ok a JOIN ok b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+        HAVING COUNT(*) >= {_WP_MIN}
+    """,
+    doc=f"Copied-run candidate pairs from winnowing fingerprints (the "
+    f"MOSS pairing step): docs sharing >= {_WP_MIN} fingerprints, with "
+    f"the winnowing guarantee that each shared fingerprint witnesses a "
+    f">= {_WP_W + _WP_K - 1}-token identical run — substring-level "
+    "evidence MinHash's set-Jaccard can't give. Fingerprints carried "
+    f"by > {_WP_CAP} docs are dropped first (boilerplate; same "
+    "rationale as the LSH hot-bucket cap) so pair blocks stay bounded.",
+)
+def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sql_engine_spark.operators.text import winnow_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    return winnow_pairs(
+        docs,
+        id_col="doc_id",
+        text_col="text",
+        k=_WP_K,
+        w=_WP_W,
+        min_shared=_WP_MIN,
+        max_fp_docs=_WP_CAP,
+    )

@@ -654,3 +654,59 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         dim=DIM,
         rerank=50,
     )
+
+
+def _lsh_range_oracle(planes: int, tables: int, threshold: float) -> str:
+    qb = "\n            UNION ALL ".join(
+        f"SELECT vec_id, {t} AS t, {sql_lsh_bucket('e', planes, DIM, offset=t * planes)} AS b "
+        f"FROM v WHERE vec_id < 10"
+        for t in range(tables)
+    )
+    cb = "\n            UNION ALL ".join(
+        f"SELECT vec_id, {t} AS t, {sql_lsh_bucket('e', planes, DIM, offset=t * planes)} AS b "
+        f"FROM v WHERE vec_id >= 10"
+        for t in range(tables)
+    )
+    return f"""
+        WITH v AS (
+            SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+            FROM embeddings
+        ),
+        qb AS ({qb}),
+        cb AS ({cb}),
+        cands AS (
+            SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS neighbor_id
+            FROM qb JOIN cb ON qb.t = cb.t AND qb.b = cb.b
+        )
+        SELECT query_id, neighbor_id, {_COS} AS cosine
+        FROM cands
+        JOIN v q ON q.vec_id = query_id
+        JOIN v c ON c.vec_id = neighbor_id
+        WHERE {_COS} >= {threshold}
+    """
+
+
+@register(
+    "ann_range_search",
+    oracle=_lsh_range_oracle(3, 4, 0.28),
+    doc="Range (radius) search: every corpus neighbor with cosine >= "
+    "0.28 per query — the 'all near-duplicates of this document' API, "
+    "complementing top-k. Multi-table LSH (4x3 planes) generates "
+    "candidates, exact cosine verifies; NO window, rank, or per-query "
+    "sort anywhere in the plan — one bounded bucket equi-join, one "
+    "verify join, a filter. Precision exact, recall the LSH dial.",
+)
+def ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sql_engine_spark.operators.similarity import lsh_range_search
+
+    emb = load(spark, sf_dir, "embeddings")
+    return lsh_range_search(
+        emb.where(F.col("vec_id") < 10),
+        emb.where(F.col("vec_id") >= 10),
+        id_col="vec_id",
+        vec_col="embedding",
+        threshold=0.28,
+        planes=3,
+        tables=4,
+        dim=DIM,
+    )

@@ -396,3 +396,75 @@ def test_mixture_sample_flattens_strata(spark, sf_dir):
         assert k.get(s, 0) <= cnt
         # kept/n concentrates around rate; allow binomial slack on tiny strata
         assert abs(k.get(s, 0) - rate * cnt) <= max(4.0, 3 * math.sqrt(cnt))
+
+
+def test_block_dedup_removes_planted_boilerplate(spark):
+    """A 10-token block planted in two docs must vanish from BOTH; unique
+    blocks survive and re-join in order; an all-duplicate doc empties."""
+    from sql_engine_spark.operators.dedup import release_cached
+    from sql_engine_spark.operators.text import block_dedup
+
+    boiler = "one two three four five six seven eight nine ten"  # 1 block
+    df = spark.createDataFrame(
+        [
+            (1, boiler + " alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+            (2, boiler + " lambda mu nu xi omicron pi rho sigma tau upsilon"),
+            (3, boiler),  # only the duplicated block -> empties
+            (4, "totally unique words that appear nowhere else at all ok"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in
+            block_dedup(df, id_col="doc_id", text_col="text", block_tokens=10).collect()}
+    release_cached()
+    assert rows[1].n_blocks == 2 and rows[1].n_kept_blocks == 1
+    assert rows[1].clean_text == "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    assert rows[2].clean_text.startswith("lambda mu")
+    assert rows[3].n_kept_blocks == 0 and rows[3].clean_text == ""
+    assert rows[4].n_kept_blocks == 1 and rows[4].clean_text == rows[4].clean_text.strip()
+
+
+def test_winnow_pairs_detects_copied_run(spark):
+    """Two docs sharing a >= w+k-1 token run must pair up (winnowing's
+    shared-fingerprint guarantee feeds the pair counter); disjoint docs
+    must not pair."""
+    from sql_engine_spark.operators.dedup import release_cached
+    from sql_engine_spark.operators.text import winnow_pairs
+
+    run = "alpha beta gamma delta epsilon zeta eta theta"  # 8-token run
+    df = spark.createDataFrame(
+        [
+            (1, "intro words here " + run),
+            (2, run + " closing words there"),
+            (3, "completely different vocabulary nothing shared whatsoever here"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {(r.id_a, r.id_b): r.n_shared_fps for r in
+             winnow_pairs(df, id_col="doc_id", text_col="text",
+                          k=3, w=4, min_shared=1).collect()}
+    release_cached()
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 1
+    assert all(3 not in p for p in pairs)
+
+
+def test_range_search_exact_on_verified_pairs(spark, sf_dir):
+    """Every returned (query, neighbor) must truly satisfy the threshold
+    (precision is exact by construction), and the result must be a
+    subset of brute force at the same threshold."""
+    from pyspark.sql import functions as F
+
+    from sql_engine_spark.operators.similarity import brute_force_topk
+
+    out = all_queries()["ann_range_search"].build(spark, sf_dir)
+    rows = out.collect()
+    assert rows and all(r.cosine >= 0.28 for r in rows)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    brute = brute_force_topk(
+        emb.where(F.col("vec_id") < 10), emb.where(F.col("vec_id") >= 10),
+        id_col="vec_id", vec_col="embedding", k=1000,
+    ).where(F.col("cosine") >= 0.28)
+    truth = {(r.query_id, r.neighbor_id) for r in brute.collect()}
+    got = {(r.query_id, r.neighbor_id) for r in rows}
+    assert got <= truth
+    assert len(got) / len(truth) >= 0.5  # LSH recall floor at this dial
