@@ -100,6 +100,7 @@ EXTENSION_R4 = [
     "text_pii_luhn",
     "text_bytes_per_token",
     "ann_range_search",
+    "streaming_mixture_sample",
 ]
 
 

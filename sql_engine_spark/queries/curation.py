@@ -526,9 +526,9 @@ def curation_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "curation_mixture_sample",
-    oracle=f"""
+# Shared with streaming_mixture_sample (queries/streaming.py): the
+# stream must converge to exactly this batch semantics.
+MIXTURE_SAMPLE_ORACLE = f"""
         WITH c AS (SELECT source, lang, COUNT(*) AS n
                    FROM documents GROUP BY source, lang),
         r AS (
@@ -541,20 +541,15 @@ def curation_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents d
         JOIN r ON d.source = r.source AND d.lang = r.lang
         WHERE {_sql_hex_to_int("md5(CAST(d.doc_id AS VARCHAR))", 8)} < r.thr
-    """,
-    doc="Temperature-flattened source mixture (the multilingual-"
-    "pretraining alpha=0.5 rebalance) over (source, lang) strata: each "
-    "stratum keeps a sqrt(min_count/count) fraction of its docs — the "
-    "smallest stratum keeps everything, larger ones are downsampled — "
-    "selected by content hash (reproducible across engines, task "
-    "retries, and reruns; see sampling.py). Shape: one bounded "
-    "per-source count aggregate broadcast back, then a pure scan-side "
-    "filter; no corpus shuffle at any scale.",
-)
-def curation_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
+    """
+
+
+def mixture_rates(docs: DataFrame) -> DataFrame:
+    """(source, lang, __thr): the temperature-flattened keep-threshold
+    per stratum — the bounded 'trained' side shared by the batch and
+    streaming mixture samplers."""
     counts = docs.groupBy("source", "lang").agg(F.count("*").alias("__n"))
-    rates = counts.crossJoin(
+    return counts.crossJoin(
         F.broadcast(counts.agg(F.min("__n").alias("__minn")))
     ).select(
         "source",
@@ -566,12 +561,31 @@ def curation_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("__thr"),
     )
-    u = F.conv(
+
+
+def mixture_hash_u() -> F.Column:
+    return F.conv(
         F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
     ).cast("long")
+
+
+@register(
+    "curation_mixture_sample",
+    oracle=MIXTURE_SAMPLE_ORACLE,
+    doc="Temperature-flattened source mixture (the multilingual-"
+    "pretraining alpha=0.5 rebalance) over (source, lang) strata: each "
+    "stratum keeps a sqrt(min_count/count) fraction of its docs — the "
+    "smallest stratum keeps everything, larger ones are downsampled — "
+    "selected by content hash (reproducible across engines, task "
+    "retries, and reruns; see sampling.py). Shape: one bounded "
+    "per-source count aggregate broadcast back, then a pure scan-side "
+    "filter; no corpus shuffle at any scale.",
+)
+def curation_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
     return (
-        docs.join(F.broadcast(rates), ["source", "lang"])
-        .where(u < F.col("__thr"))
+        docs.join(F.broadcast(mixture_rates(docs)), ["source", "lang"])
+        .where(mixture_hash_u() < F.col("__thr"))
         .select("doc_id", "source", "lang")
     )
 

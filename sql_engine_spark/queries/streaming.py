@@ -408,3 +408,34 @@ def streaming_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("event_id", "event_type", "value", z.alias("z"))
         )
         return run_to_memory(flagged, "stream_anomaly_zscore", "append")
+
+
+from sql_engine_spark.queries.curation import MIXTURE_SAMPLE_ORACLE
+
+
+@register(
+    "streaming_mixture_sample",
+    oracle=MIXTURE_SAMPLE_ORACLE,
+    doc="Curate-as-it-lands: the temperature-flattened (source, lang) "
+    "mixture sampler served on a document stream. Keep-thresholds are "
+    "'trained' in batch (one bounded per-stratum aggregate — the same "
+    "offline-train/online-serve split as streaming_anomaly_zscore); "
+    "each micro-batch joins the broadcast-size rates side and applies "
+    "the content-hash keep filter in append mode — stateless, and "
+    "because the filter is a pure function of each row, the stream "
+    "converges to the batch curation_mixture_sample result exactly.",
+)
+def streaming_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sql_engine_spark.queries.curation import mixture_hash_u, mixture_rates
+    from sql_engine_spark.streaming.source import table_stream
+
+    with _state_partitions(spark):
+        docs = load(spark, sf_dir, "documents")
+        rates = mixture_rates(docs)
+        stream = table_stream(spark, sf_dir, "documents", ["doc_id"], N_CHUNKS)
+        kept = (
+            stream.join(F.broadcast(rates), ["source", "lang"])
+            .where(mixture_hash_u() < F.col("__thr"))
+            .select("doc_id", "source", "lang")
+        )
+        return run_to_memory(kept, "stream_mixture_sample", "append")
