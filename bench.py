@@ -101,6 +101,7 @@ EXTENSION_R4 = [
     "text_bytes_per_token",
     "ann_range_search",
     "streaming_mixture_sample",
+    "multimodal_frame_dedup",
 ]
 
 

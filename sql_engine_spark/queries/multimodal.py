@@ -211,3 +211,43 @@ def multimodal_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("rep_id", "n_copies", "n_bytes")
     )
+
+
+@register(
+    "multimodal_frame_dedup",
+    oracle="""
+        WITH fr AS (
+            SELECT doc_id,
+                   md5(text || '|' || CAST(idx AS VARCHAR)) AS frame_digest
+            FROM (
+                SELECT doc_id, text,
+                       unnest(range(0,
+                           greatest(1, octet_length(CAST(text AS BLOB)) // 16), 10)) AS idx
+                FROM documents
+            )
+        )
+        SELECT frame_digest,
+               CAST(COUNT(*) AS BIGINT) AS n_copies,
+               MIN(doc_id) AS rep_doc_id
+        FROM fr
+        GROUP BY frame_digest
+    """,
+    doc="Frame-level dedup index ACROSS videos: sampled-frame digests "
+    "grouped corpus-wide into one row per distinct frame with its copy "
+    "count and min-id representative — the multimodal analogue of "
+    "exact text dedup (the dedup table a downstream decode pass joins "
+    "to skip repeated stills), composed from the frame-sampling stream "
+    "plus one map-side-combinable hash aggregate. This synthetic "
+    "corpus has no duplicate payloads, so counts are 1 here; the "
+    "collapse behavior is pinned with planted duplicates in "
+    "tests/test_multimodal.py.",
+)
+def multimodal_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sql_engine_spark.operators.multimodal import sample_frames
+
+    docs = with_binary_payload(load(spark, sf_dir, "documents"), "text")
+    frames = sample_frames(docs, id_col="doc_id", binary_col="payload", every_n=10)
+    return frames.groupBy("frame_digest").agg(
+        F.count("*").cast("long").alias("n_copies"),
+        F.min("doc_id").alias("rep_doc_id"),
+    )

@@ -130,3 +130,30 @@ def test_real_audio_decode_when_soundfile_present(spark):
     assert row.n_samples == n
     assert abs(row.duration_s - n / sr) < 1e-9
     assert len(row.mfcc) == 4
+
+
+def test_frame_dedup_collapses_planted_duplicate_payloads(spark):
+    """Identical payloads in different docs must collapse to one frame
+    row per sampled index with n_copies=2 and the min doc id as rep."""
+    from pyspark.sql import functions as F
+
+    from sql_engine_spark.operators.multimodal import sample_frames
+
+    payload = bytearray(b"0123456789abcdef" * 25)  # 400 bytes -> 25 frames, 3 sampled
+    other = bytearray(b"fedcba9876543210" * 25)
+    df = spark.createDataFrame(
+        [(7, payload), (3, payload), (9, other)], "doc_id long, payload binary"
+    )
+    frames = sample_frames(df, id_col="doc_id", binary_col="payload", every_n=10)
+    idx = (
+        frames.groupBy("frame_digest")
+        .agg(
+            F.count("*").cast("long").alias("n_copies"),
+            F.min("doc_id").alias("rep_doc_id"),
+        )
+        .collect()
+    )
+    dups = [r for r in idx if r.n_copies == 2]
+    singles = [r for r in idx if r.n_copies == 1]
+    assert len(dups) == 3 and all(r.rep_doc_id == 3 for r in dups)
+    assert len(singles) == 3 and all(r.rep_doc_id == 9 for r in singles)
