@@ -102,6 +102,10 @@ EXTENSION_R4 = [
     "ann_range_search",
     "streaming_mixture_sample",
     "multimodal_frame_dedup",
+    "dedup_substring_spans",
+    "text_quality_classifier",
+    "text_inverted_index",
+    "text_bm25_topk",
 ]
 
 

@@ -1,0 +1,234 @@
+"""Full-text retrieval primitives: inverted index and BM25 top-k.
+
+A training-data pipeline needs corpus search (find contaminated docs,
+audit what matched a probe, build retrieval baselines). The two
+operators here are the classic IR pair, spelled for Spark scale:
+
+- ``inverted_index``: token -> document frequency + a postings list
+  sorted by doc id. ONE corpus shuffle (hash aggregate on the token);
+  the postings are sorted per-token with ``array_sort`` AFTER
+  ``collect_list`` so the output is deterministic under any partitioning
+  (collect_list order is not). At 100 TB a token's postings can be
+  wide, but each token is one group — the same bound every search
+  engine's posting-list builder lives with; a hot-token cap (stopword
+  drop) is the standard mitigation and is exposed as ``max_df``.
+
+- ``bm25_topk``: Robertson/Sparck-Jones BM25 (k1, b) for a LITERAL
+  query set against the corpus. The query set is tiny and broadcast
+  everywhere; the corpus-side work is one explode + one (doc, term)
+  hash aggregate. Global stats (N, avgdl) are 1-row aggregates joined
+  by broadcast. Per-(query, doc) term scores are folded in SORTED term
+  order via array_sort + aggregate — bit-deterministic double sums —
+  and the final per-query ranking goes through the salted two-level
+  top-k (operators/similarity.two_level_topk) so no single task ever
+  sorts a corpus-proportional score stream.
+
+The reference engine (single-SELECT Rust Volcano executor) has no
+GROUP BY + join pipeline long enough to express either; cited per
+SURVEY.md §2 as engine-beyond-reference coverage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sql_engine_spark.operators.similarity import two_level_topk
+from sql_engine_spark.operators.textprep import sql_tokens, tokens
+
+
+def inverted_index(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    max_df: int | None = None,
+) -> DataFrame:
+    """(token, df, postings) — postings = 'doc:tf,doc:tf,...' sorted by
+    doc id, serialized to a string so downstream hashing/storage treats
+    it as one opaque value. ``max_df`` drops tokens appearing in more
+    than that many documents (stopword/hot-key cap)."""
+    tf = (
+        df.select(F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("token"))
+        .groupBy("token", "doc_id")
+        .agg(F.count("*").alias("tf"))
+    )
+    idx = tf.groupBy("token").agg(
+        F.count("*").cast("long").alias("df"),
+        F.expr(
+            "array_join(transform(array_sort(collect_list(struct(doc_id, tf))), "
+            "s -> concat(s.doc_id, ':', s.tf)), ',')"
+        ).alias("postings"),
+    )
+    if max_df is not None:
+        idx = idx.where(F.col("df") <= max_df)
+    return idx
+
+
+def sql_inverted_index(max_df: int | None = None, source: str = "documents") -> str:
+    having = f"HAVING COUNT(*) <= {max_df}" if max_df is not None else ""
+    return f"""
+        WITH tf AS (
+            SELECT token, doc_id, COUNT(*) AS tf
+            FROM (SELECT doc_id, unnest({sql_tokens('text')}) AS token
+                  FROM {source})
+            GROUP BY token, doc_id
+        )
+        SELECT token,
+               CAST(COUNT(*) AS BIGINT) AS df,
+               array_to_string(
+                   list_transform(
+                       list_sort(list(struct_pack(d := doc_id, t := tf))),
+                       s -> concat(s.d, ':', s.t)), ',') AS postings
+        FROM tf
+        GROUP BY token
+        {having}
+    """
+
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_topk(
+    df: DataFrame,
+    queries: list[tuple[str, str]],
+    *,
+    id_col: str,
+    text_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """BM25 top-k docs per literal query.
+
+    Returns (query_id, doc_id, score, rank). Deterministic: per-doc
+    term contributions fold in sorted term order; ranking tie-breaks
+    (desc score, asc doc_id) through the two-level top-k.
+    """
+    spark = df.sparkSession
+    qterms = (
+        spark.createDataFrame(queries, ["query_id", "qtext"])
+        .select("query_id", F.explode(F.array_distinct(tokens("qtext"))).alias("token"))
+    )
+    base = df.select(
+        F.col(id_col).alias("doc_id"), tokens(text_col).alias("__t")
+    ).select("doc_id", "__t", F.size("__t").cast("double").alias("dl"))
+    # Corpus-global stats: a 1x2 relation, broadcast into every branch.
+    # avgdl is an EXACT integer sum divided once — a double AVG's
+    # summation order varies with partitioning and would wobble the
+    # last ulp of every score.
+    stats = base.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        (
+            F.sum(F.col("dl").cast("long")).cast("double")
+            / F.count("*").cast("double")
+        ).alias("avgdl"),
+    )
+    toks = base.select("doc_id", "dl", F.explode("__t").alias("token"))
+    # Keep only query terms before the (doc, term) aggregate: the term
+    # list is tiny and broadcast, so the corpus explode is filtered
+    # map-side and the shuffle carries query-relevant tokens only.
+    qtok = qterms.select("token").distinct()
+    tf = (
+        toks.join(F.broadcast(qtok), "token")
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").cast("double").alias("tf"), F.first("dl").alias("dl"))
+    )
+    dfreq = tf.groupBy("token").agg(F.count("*").cast("double").alias("dfreq"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "token")
+        .crossJoin(F.broadcast(stats))
+        # Robertson idf WITHOUT the log: libm `ln` differs between the
+        # JVM and glibc in the last ulp (measured on this corpus:
+        # Math.log(0x1.451c3a672dbfcp+0) = ...376 vs glibc ...377), so
+        # the idf stays the raw odds ratio — pure rational arithmetic,
+        # bit-reproducible in any IEEE-754 engine. This rescales term
+        # weights monotonically; plug F.log back in where cross-engine
+        # bit-equality is not a requirement.
+        .withColumn(
+            "idf",
+            (F.col("n_docs") - F.col("dfreq") + F.lit(0.5))
+            / (F.col("dfreq") + F.lit(0.5))
+            + F.lit(1.0),
+        )
+        .withColumn(
+            "tscore",
+            F.col("idf")
+            * (F.col("tf") * F.lit(BM25_K1 + 1.0))
+            / (
+                F.col("tf")
+                + F.lit(BM25_K1)
+                * (F.lit(1.0 - BM25_B) + F.lit(BM25_B) * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+        .join(F.broadcast(qterms), "token")
+        # Fold each (query, doc)'s term scores in sorted-term order so
+        # the double sum is bit-deterministic under any partitioning.
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.expr(
+                "aggregate(array_sort(collect_list(struct(token, tscore))), "
+                "CAST(0.0 AS DOUBLE), (a, s) -> a + s.tscore)"
+            ).alias("score")
+        )
+    )
+    return two_level_topk(
+        scored, score_col="score", k=k, query_col="query_id", id_col="doc_id"
+    ).select("query_id", "doc_id", "score", "rank")
+
+
+def sql_bm25_topk(
+    queries: list[tuple[str, str]], *, k: int = 10, source: str = "documents"
+) -> str:
+    qvals = ", ".join(f"('{qid}', '{qt}')" for qid, qt in queries)
+    toks = sql_tokens("text")
+    return f"""
+        WITH q(query_id, qtext) AS (VALUES {qvals}),
+        qterms AS (
+            SELECT DISTINCT query_id, unnest(list_distinct({sql_tokens('qtext')})) AS token
+            FROM q
+        ),
+        base AS (
+            SELECT doc_id, {toks} AS t,
+                   CAST(len({toks}) AS DOUBLE) AS dl
+            FROM {source}
+        ),
+        stats AS (
+            SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+                   CAST(SUM(CAST(dl AS BIGINT)) AS DOUBLE)
+                       / CAST(COUNT(*) AS DOUBLE) AS avgdl
+            FROM base
+        ),
+        tf AS (
+            SELECT doc_id, token, CAST(COUNT(*) AS DOUBLE) AS tf, ANY_VALUE(dl) AS dl
+            FROM (SELECT doc_id, dl, unnest(t) AS token FROM base)
+            WHERE token IN (SELECT token FROM qterms)
+            GROUP BY doc_id, token
+        ),
+        dfreq AS (
+            SELECT token, CAST(COUNT(*) AS DOUBLE) AS dfreq FROM tf GROUP BY token
+        ),
+        tscores AS (
+            SELECT doc_id, token,
+                   ((n_docs - dfreq + 0.5) / (dfreq + 0.5) + 1.0)
+                   * (tf * ({BM25_K1} + 1.0))
+                   / (tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * dl / avgdl))
+                       AS tscore
+            FROM tf JOIN dfreq USING (token) CROSS JOIN stats
+        ),
+        scored AS (
+            SELECT query_id, doc_id,
+                   list_reduce(
+                       list_prepend(CAST(0.0 AS DOUBLE),
+                           list_transform(list_sort(list(struct_pack(tok := token, ts := tscore))),
+                                          s -> s.ts)),
+                       (a, x) -> a + x) AS score
+            FROM tscores JOIN qterms USING (token)
+            GROUP BY query_id, doc_id
+        )
+        SELECT query_id, doc_id, score, rank FROM (
+            SELECT query_id, doc_id, score,
+                   CAST(row_number() OVER (PARTITION BY query_id
+                        ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank
+            FROM scored
+        ) WHERE rank <= {k}
+    """

@@ -508,3 +508,88 @@ def winnow_fingerprints(df, *, id_col: str, text_col: str, k: int, w: int):
         )
         .select(id_col, F.explode(fps).alias("fp"))
     )
+
+
+# --- Hashed-feature linear quality classifier -------------------------
+#
+# The fastText-style quality filter (Joulin et al. 2017, "Bag of Tricks
+# for Efficient Text Classification") as used by CCNet/GPT-3-era data
+# pipelines: hash each token into a fixed feature space, score with a
+# linear model, threshold. Inference is a pure per-row map — ZERO
+# shuffles at any corpus size — which is exactly why production
+# pipelines run a linear scorer over 100 TB rather than a transformer.
+#
+# The weight vector here is a deterministic function of the bucket id (a
+# Knuth multiplicative hash folded into [-0.5, 0.5)) standing in for
+# trained weights: the Spark plan, feature hashing, and fold order are
+# the real article, and a trained model would drop in as a literal
+# array the same way `plane_pattern_expr` bakes LSH hyperplanes.
+
+CLS_BUCKETS = 256  # 2 hex chars of md5
+CLS_MULT = 2654435761  # Knuth's 2^32 / phi
+CLS_MOD = 997
+
+
+def _weight_expr(tok: str) -> str:
+    """Spark-SQL weight of one token: bucket -> pseudo-weight in
+    [-0.5, 0.5). Integer arithmetic end-to-end until the final
+    division, so the value is bit-identical in any engine."""
+    b = f"CAST(conv(substring(md5({tok}), 1, 2), 16, 10) AS BIGINT)"
+    return (
+        f"(CAST(({b} * {CLS_MULT}) % {CLS_MOD} AS DOUBLE) "
+        f"/ CAST({CLS_MOD} AS DOUBLE) - 0.5D)"
+    )
+
+
+def hashed_linear_score(df, *, id_col: str, text_col: str):
+    """Per-document linear score over hashed token features.
+
+    score = left-to-right fold of per-token weights (deterministic
+    order, so the double sum is bit-identical to the oracle's
+    list_reduce); label thresholds at 0. Returns
+    (id, n_tokens, score, label).
+    """
+    from sql_engine_spark.operators.textprep import tokens as _tokens
+
+    return df.select(
+        F.col(id_col),
+        _tokens(text_col).alias("__t"),
+    ).select(
+        id_col,
+        F.size("__t").cast("long").alias("n_tokens"),
+        F.expr(
+            f"aggregate(transform(__t, t -> {_weight_expr('t')}), "
+            f"CAST(0.0 AS DOUBLE), (a, x) -> a + x)"
+        ).alias("score"),
+    ).withColumn(
+        "label", F.when(F.col("score") > 0, "keep").otherwise("drop")
+    )
+
+
+def sql_hashed_linear_score(source: str = "documents") -> str:
+    """DuckDB oracle: identical hashing, weights, and fold order."""
+    from sql_engine_spark.operators.textprep import sql_tokens
+
+    hex_to_int = (
+        "list_reduce(list_transform(range(1, 3), "
+        "i -> CAST(instr('0123456789abcdef', substring(md5(t), i, 1)) - 1 "
+        "AS BIGINT)), (a, b) -> a * 16 + b)"
+    )
+    w = (
+        f"(CAST(({hex_to_int} * {CLS_MULT}) % {CLS_MOD} AS DOUBLE) "
+        f"/ CAST({CLS_MOD} AS DOUBLE) - CAST(0.5 AS DOUBLE))"
+    )
+    toks = sql_tokens("text")
+    return f"""
+        SELECT doc_id,
+               CAST(len({toks}) AS BIGINT) AS n_tokens,
+               list_reduce(
+                   list_prepend(CAST(0.0 AS DOUBLE),
+                                list_transform({toks}, t -> {w})),
+                   (a, x) -> a + x) AS score,
+               CASE WHEN list_reduce(
+                   list_prepend(CAST(0.0 AS DOUBLE),
+                                list_transform({toks}, t -> {w})),
+                   (a, x) -> a + x) > 0 THEN 'keep' ELSE 'drop' END AS label
+        FROM {source}
+    """

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 from sql_engine_spark.io import load
 from sql_engine_spark.operators import dedup as D
 from sql_engine_spark.operators.similarity import embedding_cosine_pairs
+from sql_engine_spark.operators.spans import duplicated_spans, sql_duplicated_spans
 from sql_engine_spark.operators.textprep import sql_shingles, sql_tokens, tokens
 from sql_engine_spark.registry import register
 
@@ -406,3 +407,22 @@ def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         min_shared=_WP_MIN,
         max_fp_docs=_WP_CAP,
     )
+
+
+_SPAN_K = 8
+
+
+@register(
+    "dedup_substring_spans",
+    oracle=sql_duplicated_spans(_SPAN_K),
+    doc=f"Exact duplicated-substring spans (Lee et al. ACL 2022 "
+    f"ExactSubstr, window k={_SPAN_K}): maximal per-doc token spans "
+    "covered by an 8-token window occurring in another document — the "
+    "boilerplate-trimming signal suffix-array dedup gives, re-expressed "
+    "as one window-hash aggregate + a semi-join + per-doc "
+    "gaps-and-islands. No corpus-wide suffix array, no single-machine "
+    "stage; the only corpus shuffle is the hash aggregate.",
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return duplicated_spans(docs, "doc_id", "text", k=_SPAN_K)

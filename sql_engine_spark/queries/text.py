@@ -383,3 +383,21 @@ def text_bytes_per_token(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum(toks).cast("long")
         ).alias("bytes_per_token"),
     )
+
+
+@register(
+    "text_quality_classifier",
+    oracle=T.sql_hashed_linear_score(),
+    doc="fastText-style hashed-feature linear quality scorer (Joulin et "
+    "al. 2017; the CCNet/GPT-3 filter posture): tokens hash into 256 "
+    "buckets, a linear model scores the bag, threshold at 0. Inference "
+    "is a pure per-row map — zero shuffles at any corpus size — which "
+    "is why production pipelines score 100 TB with a linear model. "
+    "Weights here are a deterministic Knuth-hash function of the bucket "
+    "(a trained vector would drop in as a literal array, like the LSH "
+    "hyperplanes in operators/similarity.py).",
+)
+def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.hashed_linear_score(
+        load(spark, sf_dir, "documents"), id_col="doc_id", text_col="text"
+    )

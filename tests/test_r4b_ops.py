@@ -1,0 +1,95 @@
+"""Plan-shape pins for the second round-4 operator batch: substring-span
+dedup, the hashed linear classifier, and the retrieval pair. Correctness
+is covered by the auto-parametrized oracle gate; these tests pin the
+SCALE claims the docstrings make."""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from sql_engine_spark.plans.audit import audit, explain_str
+from sql_engine_spark.registry import all_queries
+
+
+def _build(spark, sf_dir, name):
+    return all_queries()[name].build(spark, sf_dir)
+
+
+def test_substring_spans_island_window_is_per_doc(spark, sf_dir):
+    """The only window may be partitioned by doc_id (bounded by document
+    length) — never unpartitioned or keyed on a constant."""
+    df = _build(spark, sf_dir, "dedup_substring_spans")
+    plan = explain_str(df, "formatted")
+    for m in re.finditer(r"Window \[([^\]]*)\]", plan):
+        assert "doc_id" in m.group(0)
+    a = audit(df)
+    assert a.reads_only("doc_id", "text")
+
+
+def test_substring_spans_finds_planted_duplicates(spark):
+    """Two docs sharing an 8-token run produce mirrored spans; a unique
+    doc produces none; overlapping hits merge into ONE maximal span."""
+    shared = "a b c d e f g h i j"  # 10 tokens => 3 overlapping 8-windows
+    rows = [
+        (1, f"x1 y1 {shared} z1"),
+        (2, f"{shared} q2 r2 s2"),
+        (3, "entirely unique tokens without any repeated run at all"),
+    ]
+    from sql_engine_spark.operators.spans import duplicated_spans
+
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r.doc_id, r.span_start, r.span_end, r.span_tokens)
+        for r in duplicated_spans(df, "doc_id", "text", k=8).collect()
+    }
+    # doc 1: shared run at tokens 3..12; doc 2: at 1..10. One span each.
+    assert got == {(1, 3, 12, 10), (2, 1, 10, 10)}
+
+
+def test_quality_classifier_is_pure_map(spark, sf_dir):
+    """Zero shuffles: no Exchange of any kind in the classifier plan."""
+    df = _build(spark, sf_dir, "text_quality_classifier")
+    plan = explain_str(df, "formatted")
+    assert "Exchange" not in plan
+    assert audit(df).reads_only("doc_id", "text")
+
+
+def test_bm25_no_bare_query_window_and_broadcasts(spark, sf_dir):
+    """Ranking must go through the salted two-level top-k: any window
+    partitioned by query_id alone would re-open the single-task-sort
+    class VERDICT r3 closed. Query terms / dfreq / stats sides must be
+    broadcast."""
+    df = _build(spark, sf_dir, "text_bm25_topk")
+    plan = explain_str(df, "formatted")
+    for m in re.finditer(r"partitionBy=\[([^\]]*)\]", plan):
+        spec = m.group(1)
+        if "query_id" in spec:
+            assert "__salt" in spec or "doc_id" in spec or spec.count(",") >= 1, plan
+    # the only windows allowed on bare query_id rank <= buckets*k rows;
+    # assert the salted window exists at all
+    assert "__salt" in plan
+    a = audit(df)
+    assert a.broadcast_joins >= 3
+    assert a.sortmerge_joins == 0
+
+
+def test_inverted_index_postings_sorted_and_capped(spark):
+    rows = [(2, "b a b"), (1, "a b"), (3, "a a a")]
+    from sql_engine_spark.operators.retrieval import inverted_index
+
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r.token: (r.df, r.postings)
+        for r in inverted_index(df, id_col="doc_id", text_col="text").collect()
+    }
+    assert got["a"] == (3, "1:1,2:1,3:3")
+    assert got["b"] == (2, "1:1,2:2")
+    capped = {
+        r.token
+        for r in inverted_index(
+            df, id_col="doc_id", text_col="text", max_df=2
+        ).collect()
+    }
+    assert capped == {"b"}
