@@ -106,6 +106,9 @@ EXTENSION_R4 = [
     "text_quality_classifier",
     "text_inverted_index",
     "text_bm25_topk",
+    "dedup_sorted_neighborhood",
+    "join_null_aware_anti",
+    "scan_zonemap_prune",
 ]
 
 

@@ -465,3 +465,120 @@ def containment_pairs(
         )
         .where(F.greatest("c_ab", "c_ba") >= threshold)
     )
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    window: int = 3,
+    key_tokens: int = 5,
+    threshold: float = 0.3,
+    rank_buckets: int = 32,
+) -> DataFrame:
+    """Sorted-neighborhood blocking (Hernandez & Stolfo, SIGMOD 1995):
+    sort the corpus by a blocking key, compare each record only with its
+    `window` successors in sort order — O(n * window) comparisons where
+    naive all-pairs is O(n^2).
+
+    The blocking key is the md5 of the first `key_tokens` tokens (near
+    copies share prefixes, and hashing spreads the sort uniformly). The
+    GLOBAL sort rank — the method's defining total order — is the scale
+    trap: a bare ``row_number() over (order by key)`` funnels the corpus
+    through one task. It is computed here as a bucketed two-level rank
+    (operators/prefix.bucketed_running_sum with value 1 over an
+    order-consistent hex bucket of the key): one corpus shuffle by
+    bucket, a tiny per-bucket offset relation broadcast back. Pairing is
+    then an equi-join of rank -> rank+1..rank+window (each row
+    replicated `window` times — linear, never quadratic), and the exact
+    token-Jaccard verify runs only on those pairs.
+
+    Returns (id_a, id_b, jaccard) with jaccard >= threshold, id_a
+    earlier in sort order.
+    """
+    from sql_engine_spark.operators.prefix import bucketed_running_sum, hex_prefix_bucket
+    from sql_engine_spark.operators.textprep import tokens as _tokens
+
+    base = (
+        df.select(F.col(id_col).alias("__id"), _tokens(text_col).alias("__t"))
+        .withColumn("__key", F.md5(F.array_join(F.slice("__t", 1, key_tokens), " ")))
+        .withColumn("__tset", F.array_distinct("__t"))
+        .drop("__t")
+        # Total order (key, id) spelled as one sortable string so the
+        # two-level rank has a single order column.
+        .withColumn(
+            "__ord",
+            F.concat_ws("|", F.col("__key"), F.lpad(F.col("__id").cast("string"), 12, "0")),
+        )
+    )
+    ranked = bucketed_running_sum(
+        base.withColumn("__one", F.lit(1).cast("long")),
+        part_cols=[],
+        order_col="__ord",
+        value_col="__one",
+        bucket=hex_prefix_bucket("__key", rank_buckets),
+        out_col="__rnk",
+    ).drop("__one", "__ord", "__key")
+    right = ranked.select(
+        F.col("__id").alias("__id_b"),
+        F.col("__tset").alias("__tset_b"),
+        F.col("__rnk").alias("__prnk"),
+    )
+    pairs = (
+        ranked.select(
+            "__id",
+            "__tset",
+            F.explode(
+                F.expr(f"sequence(__rnk + 1, __rnk + {window})")
+            ).alias("__prnk"),
+        )
+        .join(right, "__prnk")
+    )
+    inter = F.size(F.array_intersect("__tset", "__tset_b"))
+    union = F.size(F.array_union("__tset", "__tset_b"))
+    return (
+        pairs.select(
+            F.col("__id").alias("id_a"),
+            F.col("__id_b").alias("id_b"),
+            (inter.cast("double") / union.cast("double")).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def sql_sorted_neighborhood(
+    *,
+    window: int = 3,
+    key_tokens: int = 5,
+    threshold: float = 0.3,
+    source: str = "documents",
+) -> str:
+    """DuckDB oracle: the single-window spelling of the same pipeline —
+    the two-level rank is bit-identical to row_number by construction."""
+    from sql_engine_spark.operators.textprep import sql_tokens
+
+    toks = sql_tokens("text")
+    return f"""
+        WITH base AS (
+            SELECT doc_id AS id,
+                   md5(array_to_string(({toks})[1:{key_tokens}], ' ')) AS key,
+                   list_distinct({toks}) AS tset
+            FROM {source}
+        ),
+        r AS (
+            SELECT id, tset,
+                   CAST(row_number() OVER (
+                       ORDER BY concat_ws('|', key, lpad(CAST(id AS VARCHAR), 12, '0'))
+                   ) AS BIGINT) AS rnk
+            FROM base
+        )
+        SELECT a.id AS id_a, b.id AS id_b,
+               CAST(len(list_intersect(a.tset, b.tset)) AS DOUBLE)
+                   / CAST(len(list_distinct(list_concat(a.tset, b.tset))) AS DOUBLE)
+                   AS jaccard
+        FROM r a JOIN r b ON b.rnk BETWEEN a.rnk + 1 AND a.rnk + {window}
+        WHERE CAST(len(list_intersect(a.tset, b.tset)) AS DOUBLE)
+                  / CAST(len(list_distinct(list_concat(a.tset, b.tset))) AS DOUBLE)
+                  >= {threshold}
+    """

@@ -426,3 +426,20 @@ _SPAN_K = 8
 def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return duplicated_spans(docs, "doc_id", "text", k=_SPAN_K)
+
+
+@register(
+    "dedup_sorted_neighborhood",
+    oracle=D.sql_sorted_neighborhood(window=3, key_tokens=5, threshold=0.3),
+    doc="Sorted-neighborhood blocking (Hernandez & Stolfo SIGMOD 1995): "
+    "sort by an md5 blocking key of the first 5 tokens, compare each "
+    "record with its 3 sort-successors only — O(n*w) pairs. The global "
+    "sort rank is a bucketed two-level rank (operators/prefix.py), "
+    "never a corpus-wide single-task row_number; pairing is a linear "
+    "rank -> rank+1..w equi-join.",
+)
+def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return D.sorted_neighborhood_pairs(
+        docs, id_col="doc_id", text_col="text", window=3, key_tokens=5, threshold=0.3
+    )

@@ -775,3 +775,63 @@ def scalar_conditional_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.greatest("l_quantity", F.col("l_discount") * 100).alias("g"),
         F.least("l_tax", "l_discount").alias("l"),
     )
+
+
+@register(
+    "join_null_aware_anti",
+    oracle="""
+        SELECT c_custkey, c_mktsegment FROM customer
+        WHERE c_custkey NOT IN (
+            SELECT nullif(o_custkey, -1) FROM orders
+            WHERE o_orderstatus = 'F' AND o_totalprice > 200000
+        )
+    """,
+    doc="NOT IN with a NULLABLE probe column — the null-aware anti join. "
+    "Standard 3VL: one NULL in the IN-list empties the result, so the "
+    "planner cannot use a plain hash anti join; Spark plans a "
+    "null-aware anti join (broadcast) for exactly this shape. The "
+    "nullability here comes from nullif (never fires on this data) — "
+    "the point is the PLAN and the semantics contract, pinned against "
+    "the identical standard-SQL oracle. Scale note: Spark requires the "
+    "build side broadcastable for null-aware anti joins; for a "
+    "corpus-sized probe set, rewrite to NOT EXISTS (join_anti) — the "
+    "engine-recommended spelling, which plans as a shuffled anti join.",
+)
+def join_null_aware_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    c.createOrReplaceTempView("__naa_customer")
+    o.createOrReplaceTempView("__naa_orders")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_mktsegment FROM __naa_customer
+        WHERE c_custkey NOT IN (
+            SELECT nullif(o_custkey, -1) FROM __naa_orders
+            WHERE o_orderstatus = 'F' AND o_totalprice > 200000
+        )
+        """
+    )
+
+
+@register(
+    "scan_zonemap_prune",
+    oracle="""
+        SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        WHERE o_totalprice BETWEEN 100000 AND 200000
+    """,
+    doc="Zone-map file skipping (the Delta/Iceberg data-skipping "
+    "posture, operators/zonemap.py): per-file min/max stats prune whole "
+    "files before the scan is planned; the row filter re-applies on the "
+    "survivors, so the result is definitionally the plain filtered "
+    "scan — which is what the oracle checks. The file list collect is "
+    "metadata-bounded (file count), the same thing a table format's "
+    "planner reads from its log. tests/test_r4b_ops.py drives the "
+    "actual multi-file skip.",
+)
+def scan_zonemap_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sql_engine_spark.operators.zonemap import pruned_read
+
+    df, _kept, _total = pruned_read(
+        spark, f"{sf_dir}/orders.parquet", "o_totalprice", 100000, 200000
+    )
+    return df.select("o_orderkey", "o_custkey", "o_totalprice")

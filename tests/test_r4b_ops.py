@@ -93,3 +93,42 @@ def test_inverted_index_postings_sorted_and_capped(spark):
         ).collect()
     }
     assert capped == {"b"}
+
+
+def test_zonemap_actually_skips_files(spark, tmp_path):
+    """Write a range-partitioned multi-file table; a narrow predicate
+    must keep a strict subset of files and still return exact rows."""
+    from sql_engine_spark.operators.zonemap import pruned_read
+
+    src = spark.range(0, 10000).withColumn("v", F.col("id").cast("double"))
+    path = str(tmp_path / "zoned")
+    # repartitionByRange gives disjoint per-file v ranges => real zones
+    src.repartitionByRange(8, "v").write.mode("overwrite").parquet(path)
+    df, kept, total = pruned_read(spark, path, "v", 1000.0, 1999.0)
+    assert total == 8
+    assert kept < total
+    got = df.agg(F.count("*"), F.min("v"), F.max("v")).collect()[0]
+    assert tuple(got) == (1000, 1000.0, 1999.0)
+
+
+def test_sorted_neighborhood_rank_has_no_global_window(spark, sf_dir):
+    """The global sort rank must be the bucketed two-level rank: no
+    window in the plan may have an EMPTY partition spec (that is the
+    corpus-through-one-task shape the operator exists to avoid)."""
+    df = _build(spark, sf_dir, "dedup_sorted_neighborhood")
+    plan = explain_str(df, "formatted")
+    empty_part = []
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+        spec = m.group(1)
+        # a bare "ORDER BY" spec has no partition columns before the
+        # ordering exprs: partition cols appear before any "ASC"/"DESC"
+        first = spec.split(",")[0].strip()
+        if "ASC" in first or "DESC" in first:
+            empty_part.append(first)
+    # The ONLY empty-partition window allowed is the cross-bucket carry
+    # over the per-bucket totals (bucket-count rows, not corpus rows).
+    assert all("__bkt" in s for s in empty_part), plan
+    # And the corpus-ranking window itself must exist, keyed by bucket.
+    assert any("__bkt" in m.group(1).split(",")[0]
+               and "ASC" not in m.group(1).split(",")[0]
+               for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan)), plan
