@@ -109,6 +109,12 @@ EXTENSION_R4 = [
     "dedup_sorted_neighborhood",
     "join_null_aware_anti",
     "scan_zonemap_prune",
+    "asof_point_in_time",
+    "stats_column_profile",
+    "streaming_stream_left_join",
+    "events_countmin_heavy_hitters",
+    "curation_perplexity_buckets",
+    "text_bigram_lm_score",
 ]
 
 

@@ -16,6 +16,7 @@ from sql_engine_spark.io import load
 from sql_engine_spark.operators.text import (
     decontaminate_ngrams,
     repetition_features,
+    sql_hashed_linear_score,
     vocab_topk,
 )
 from sql_engine_spark.operators.similarity import sql_lsh_bucket
@@ -635,3 +636,68 @@ def curation_block_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     return block_dedup(docs, id_col="doc_id", text_col="text", block_tokens=_BLOCK_B)
+
+
+@register(
+    "curation_perplexity_buckets",
+    oracle=f"""
+        WITH scored AS (
+            {sql_hashed_linear_score()}
+        ),
+        withlang AS (
+            SELECT s.doc_id, d.lang, s.score
+            FROM scored s JOIN documents d USING (doc_id)
+        ),
+        stats AS (
+            SELECT lang,
+                   CAST(COUNT(*) AS DOUBLE) AS n,
+                   CAST(SUM(CAST(score AS DECIMAL(27,6))) AS DOUBLE) AS s,
+                   CAST(SUM(CAST(score * score AS DECIMAL(27,6))) AS DOUBLE) AS s2
+            FROM withlang GROUP BY lang
+        )
+        SELECT doc_id, lang, score,
+               (score - s / n) / sqrt((s2 - (s * s) / n) / (n - 1.0)) AS z,
+               CASE WHEN (score - s / n) / sqrt((s2 - (s * s) / n) / (n - 1.0)) < -0.5
+                        THEN 'head'
+                    WHEN (score - s / n) / sqrt((s2 - (s * s) / n) / (n - 1.0)) > 0.5
+                        THEN 'tail'
+                    ELSE 'middle' END AS bucket
+        FROM withlang JOIN stats USING (lang)
+    """,
+    doc="CCNet-style perplexity bucketing (Wenzek et al. 2020): score "
+    "every doc with the cheap LM proxy (the hashed linear scorer, a "
+    "stand-in for a KenLM perplexity), standardize per language with "
+    "exact-decimal moments, and split head/middle/tail at z = ±0.5 — "
+    "the head/tail split CCNet uses to keep fluent text per language. "
+    "Shape: one map pass to score (zero shuffles), a per-lang bounded "
+    "stats aggregate broadcast back; sqrt/division are IEEE "
+    "correctly-rounded so z is bit-identical cross-engine.",
+)
+def curation_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sql_engine_spark.functions.numeric import DEC
+    from sql_engine_spark.operators.text import hashed_linear_score
+
+    docs = load(spark, sf_dir, "documents")
+    scored = hashed_linear_score(docs, id_col="doc_id", text_col="text").select(
+        "doc_id", "score"
+    )
+    withlang = scored.join(docs.select("doc_id", "lang"), "doc_id")
+    stats = withlang.groupBy("lang").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(F.col("score").cast(DEC)).cast("double").alias("s"),
+        F.sum((F.col("score") * F.col("score")).cast(DEC)).cast("double").alias("s2"),
+    )
+    z = (F.col("score") - F.col("s") / F.col("n")) / F.sqrt(
+        (F.col("s2") - (F.col("s") * F.col("s")) / F.col("n")) / (F.col("n") - F.lit(1.0))
+    )
+    return (
+        withlang.join(F.broadcast(stats), "lang")
+        .withColumn("z", z)
+        .withColumn(
+            "bucket",
+            F.when(F.col("z") < -0.5, "head")
+            .when(F.col("z") > 0.5, "tail")
+            .otherwise("middle"),
+        )
+        .select("doc_id", "lang", "score", "z", "bucket")
+    )

@@ -14,6 +14,10 @@ from pyspark.sql import functions as F
 from sql_engine_spark.functions.numeric import dsum, sql_dsum
 from sql_engine_spark.io import load
 from sql_engine_spark.operators.asof import asof_join, range_join_buckets
+from sql_engine_spark.operators.sketch import (
+    countmin_heavy_hitters,
+    sql_countmin_heavy_hitters,
+)
 from sql_engine_spark.registry import register
 
 SESSION_GAP_S = 1800
@@ -384,3 +388,19 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.abs(z) >= 2.5)
         .select("event_id", "event_type", "value", z.alias("z"))
     )
+
+
+@register(
+    "events_countmin_heavy_hitters",
+    oracle=sql_countmin_heavy_hitters("user_id", "events", threshold=12),
+    doc="Count-Min-Sketch heavy hitters (Cormode-Muthukrishnan 2005) "
+    "over event user_ids: a 3x64 counter matrix built as three "
+    "map-side-combinable hash aggregates (the sketch is 192 rows at ANY "
+    "corpus size), broadcast back to estimate per-key counts; the "
+    "overcount-only CMS guarantee is emitted as a checked boolean "
+    "column. md5-derived hashing, all-integer arithmetic — the whole "
+    "sketch hash-matches the DuckDB oracle.",
+)
+def events_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return countmin_heavy_hitters(ev, key_col="user_id", threshold=12)

@@ -647,3 +647,61 @@ def array_set_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         csv(F.sort_array(F.array_union("hi", "disc"))).alias("either_set"),
         csv(F.sort_array(F.array_except("hi", "disc"))).alias("hi_only"),
     )
+
+
+def _profile_branch(df, col, kind):
+    num = F.col(col).cast("double") if kind == "num" else F.lit(None).cast("double")
+    return df.agg(
+        F.lit(col).alias("col_name"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.when(F.col(col).isNull(), 1).otherwise(0)).cast("long").alias("n_nulls"),
+        F.countDistinct(col).cast("long").alias("ndv"),
+        F.min(num).alias("min_num"),
+        F.max(num).alias("max_num"),
+    )
+
+
+@register(
+    "stats_column_profile",
+    oracle="""
+        SELECT 'o_orderkey' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+               CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS ndv,
+               CAST(MIN(o_orderkey) AS DOUBLE) AS min_num,
+               CAST(MAX(o_orderkey) AS DOUBLE) AS max_num
+        FROM orders
+        UNION ALL
+        SELECT 'o_custkey', COUNT(*), SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END),
+               COUNT(DISTINCT o_custkey), CAST(MIN(o_custkey) AS DOUBLE),
+               CAST(MAX(o_custkey) AS DOUBLE)
+        FROM orders
+        UNION ALL
+        SELECT 'o_totalprice', COUNT(*), SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END),
+               COUNT(DISTINCT o_totalprice), CAST(MIN(o_totalprice) AS DOUBLE),
+               CAST(MAX(o_totalprice) AS DOUBLE)
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderstatus', COUNT(*), SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END),
+               COUNT(DISTINCT o_orderstatus), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+        FROM orders
+    """,
+    doc="ANALYZE-style column statistics (n_rows / null count / exact "
+    "NDV / numeric min-max) — the optimizer-stats builder behind CBO "
+    "join ordering and broadcast decisions. One aggregate branch per "
+    "column, each pruned to a single parquet column read (no "
+    "multi-distinct Expand blowup of a combined pass); at production "
+    "scale swap exact COUNT(DISTINCT) for approx_count_distinct — "
+    "exact here so the oracle hash-matches.",
+)
+def stats_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    branches = [
+        _profile_branch(o, "o_orderkey", "num"),
+        _profile_branch(o, "o_custkey", "num"),
+        _profile_branch(o, "o_totalprice", "num"),
+        _profile_branch(o, "o_orderstatus", "str"),
+    ]
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionByName(b)
+    return out

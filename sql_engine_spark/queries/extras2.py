@@ -243,3 +243,60 @@ def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         nxt.alias("valid_to"),
         nxt.isNull().alias("is_current"),
     )
+
+
+@register(
+    "asof_point_in_time",
+    oracle="""
+        SELECT o.o_orderkey, o.o_custkey, o.o_orderdate,
+               prev.k AS prev_orderkey, prev.p AS prev_price,
+               prev.k IS NOT NULL AS has_history
+        FROM orders o LEFT JOIN LATERAL (
+            SELECT i.o_orderkey AS k, i.o_totalprice AS p
+            FROM orders i
+            WHERE i.o_custkey = o.o_custkey AND i.o_orderdate < o.o_orderdate
+            ORDER BY i.o_orderdate DESC, i.o_orderkey DESC
+            LIMIT 1
+        ) prev ON TRUE
+    """,
+    doc="Point-in-time feature join (the feature-store correctness "
+    "primitive): every order labeled with the same customer's latest "
+    "STRICTLY-EARLIER order's attributes — no same-day leakage, exactly "
+    "the 'features as known before the label event' contract a training "
+    "pipeline must honor. Spelled as the union+ordered-window as-of "
+    "join (operators/asof.py: one shuffle on the entity key, per-key "
+    "window) with the strict inequality encoded by shifting the label "
+    "date one day back; ties inside a day break to the greatest "
+    "(orderkey) deterministically. The oracle is the naive LATERAL "
+    "top-1 — quadratic per key, which is exactly why the engine side "
+    "doesn't plan it that way.",
+)
+def asof_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sql_engine_spark.operators.asof import asof_join
+
+    orders = load(spark, sf_dir, "orders")
+    labels = orders.select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    ).withColumn("__asof", F.date_sub("o_orderdate", 1))
+    hist = orders.select(
+        "o_custkey",
+        F.col("o_orderdate").alias("h_date"),
+        F.col("o_orderkey").alias("h_orderkey"),
+        F.col("o_totalprice").alias("h_price"),
+    )
+    res = asof_join(
+        labels,
+        hist,
+        key="o_custkey",
+        left_ts="__asof",
+        right_ts="h_date",
+        right_payload=["h_orderkey", "h_price"],
+    )
+    return res.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.col("asof_h_orderkey").alias("prev_orderkey"),
+        F.col("asof_h_price").alias("prev_price"),
+        F.col("asof_h_orderkey").isNotNull().alias("has_history"),
+    )

@@ -439,3 +439,105 @@ def streaming_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "source", "lang")
         )
         return run_to_memory(kept, "stream_mixture_sample", "append")
+
+
+@register(
+    "streaming_stream_left_join",
+    oracle="""
+        SELECT p.user_id,
+               p.event_id AS purchase_id, v.event_id AS view_id,
+               p.ts AS purchase_ts,      v.ts AS view_ts
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+          ON p.user_id = v.user_id
+         AND v.ts >= p.ts - INTERVAL 1 HOUR AND v.ts <= p.ts
+    """,
+    doc="Stream-stream LEFT OUTER join with watermarks on both sides: "
+    "purchases matched to same-user views from the preceding hour; a "
+    "purchase with NO qualifying view must still emit (with NULLs) — "
+    "which only happens once the view-side watermark passes the "
+    "purchase's match window. Both sides carry 10-minute watermarks "
+    "(bounding join state at scale); a far-future sentinel event in the "
+    "final chunk pushes the watermark past every real row so tail "
+    "unmatched purchases flush, and Spark's no-data batch emits them. "
+    "Converges exactly to the batch LEFT JOIN oracle.",
+)
+def streaming_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    out_dir, _ = events_replay_chunks(spark, sf_dir, N_CHUNKS)
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    # Watermarks are computed AFTER each side's event_type filter, so a
+    # sentinel must SURVIVE the filter to advance that side's clock: one
+    # far-future purchase (user -1) and one far-future view (user -2).
+    # They can never join (no real user is negative, nor each other),
+    # the view sentinel never emits (unmatched right rows don't in a
+    # left join), and the purchase sentinel never flushes because the
+    # watermark — defined by its own timestamp minus the delay — never
+    # passes it; the output filter drops negatives anyway.
+    far = F.lit(max_ts) + F.expr("INTERVAL 3650 DAYS")
+    sentinel = (
+        spark.range(1)
+        .select(
+            F.lit(-1).cast("long").alias("event_id"),
+            far.alias("ts"),
+            F.lit(-1).cast("long").alias("user_id"),
+            F.lit("purchase").alias("event_type"),
+            F.lit(0.0).alias("value"),
+            F.lit(None).cast("string").alias("props"),
+        )
+        .select(ev.columns)
+        .unionByName(
+            spark.range(1).select(
+                F.lit(-2).cast("long").alias("event_id"),
+                far.alias("ts"),
+                F.lit(-2).cast("long").alias("user_id"),
+                F.lit("view").alias("event_type"),
+                F.lit(0.0).alias("value"),
+                F.lit(None).cast("string").alias("props"),
+            ).select(ev.columns)
+        )
+    )
+    sentinel.coalesce(1).write.mode("append").parquet(out_dir)
+
+    with _state_partitions(spark):
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(out_dir)
+        )
+        p = (
+            stream.where(F.col("event_type") == "purchase")
+            .select(
+                F.col("user_id").alias("p_user"),
+                F.col("event_id").alias("purchase_id"),
+                # Watermarks require TIMESTAMP (LTZ); the session TZ is
+                # pinned UTC (session.py) so NTZ<->LTZ is a lossless
+                # wall-clock reinterpretation, undone on output.
+                F.col("ts").cast("timestamp").alias("purchase_ts"),
+            )
+            .withWatermark("purchase_ts", "10 minutes")
+        )
+        v = (
+            stream.where(F.col("event_type") == "view")
+            .select(
+                F.col("user_id").alias("v_user"),
+                F.col("event_id").alias("view_id"),
+                F.col("ts").cast("timestamp").alias("view_ts"),
+            )
+            .withWatermark("view_ts", "10 minutes")
+        )
+        joined = p.join(
+            v,
+            (F.col("p_user") == F.col("v_user"))
+            & (F.col("view_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR"))
+            & (F.col("view_ts") <= F.col("purchase_ts")),
+            "left_outer",
+        ).select(
+            F.col("p_user").alias("user_id"),
+            "purchase_id",
+            "view_id",
+            F.col("purchase_ts").cast("timestamp_ntz").alias("purchase_ts"),
+            F.col("view_ts").cast("timestamp_ntz").alias("view_ts"),
+        )
+        res = run_to_memory(joined, "stream_stream_left_join", "append")
+    return res.where(F.col("user_id") >= 0)

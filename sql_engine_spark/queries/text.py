@@ -401,3 +401,72 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.hashed_linear_score(
         load(spark, sf_dir, "documents"), id_col="doc_id", text_col="text"
     )
+
+
+@register(
+    "text_bigram_lm_score",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, {sql_tokens('text')} AS t FROM documents
+        ),
+        bg AS (
+            SELECT doc_id, CAST(i AS BIGINT) AS pos, t[i] AS w1, t[i + 1] AS w2
+            FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM toks)
+        ),
+        c2 AS (SELECT w1, w2, COUNT(*) AS n2 FROM bg GROUP BY w1, w2),
+        c1 AS (SELECT w1, COUNT(*) AS n1 FROM bg GROUP BY w1),
+        p AS (
+            SELECT doc_id, pos, CAST(n2 AS DOUBLE) / CAST(n1 AS DOUBLE) AS p
+            FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+        )
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               list_reduce(
+                   list_prepend(CAST(0.0 AS DOUBLE),
+                       list_transform(list_sort(list(struct_pack(pos := pos, p := p))),
+                                      s -> s.p)),
+                   (a, x) -> a + x) / COUNT(*) AS mean_prob
+        FROM p GROUP BY doc_id
+    """,
+    doc="Corpus-trained bigram LM plausibility score — the KenLM-style "
+    "fluency filter posture with the model trained and applied in one "
+    "pipeline: P(w2|w1) = count(w1 w2)/count(w1 ·) from the corpus "
+    "itself, per-doc mean conditional probability (arithmetic mean, "
+    "not log-geometric: libm log differs JVM-vs-glibc by an ulp — see "
+    "operators/retrieval.py — while count ratios and the sorted "
+    "position-order fold are bit-exact). Shape: one explode, two "
+    "bounded-vocab count aggregates joined back by equi-join, one "
+    "per-doc fold; no corpus-quadratic stage.",
+)
+def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").withColumn("__t", tokens("text"))
+    bg = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(__t) - 1), "
+                "i -> struct(CAST(i AS BIGINT) AS pos, "
+                "element_at(__t, i) AS w1, element_at(__t, i + 1) AS w2))"
+            )
+        ).alias("s"),
+    ).select("doc_id", "s.pos", "s.w1", "s.w2")
+    c2 = bg.groupBy("w1", "w2").agg(F.count("*").alias("n2"))
+    c1 = bg.groupBy("w1").agg(F.count("*").alias("n1"))
+    p = (
+        bg.join(c2, ["w1", "w2"])
+        .join(c1, "w1")
+        .select(
+            "doc_id",
+            "pos",
+            (F.col("n2").cast("double") / F.col("n1").cast("double")).alias("p"),
+        )
+    )
+    return p.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_bigrams"),
+        (
+            F.expr(
+                "aggregate(array_sort(collect_list(struct(pos, p))), "
+                "CAST(0.0 AS DOUBLE), (a, s) -> a + s.p)"
+            )
+            / F.count("*")
+        ).alias("mean_prob"),
+    )
