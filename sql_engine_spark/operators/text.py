@@ -541,21 +541,24 @@ def _weight_expr(tok: str) -> str:
     )
 
 
-def hashed_linear_score(df, *, id_col: str, text_col: str):
+def hashed_linear_score(df, *, id_col: str, text_col: str, carry_cols: list[str] = ()):
     """Per-document linear score over hashed token features.
 
     score = left-to-right fold of per-token weights (deterministic
     order, so the double sum is bit-identical to the oracle's
     list_reduce); label thresholds at 0. Returns
-    (id, n_tokens, score, label).
+    (id, *carry_cols, n_tokens, score, label) — carry_cols ride along
+    so consumers don't re-scan the corpus to rejoin attributes.
     """
     from sql_engine_spark.operators.textprep import tokens as _tokens
 
     return df.select(
         F.col(id_col),
+        *[F.col(c) for c in carry_cols],
         _tokens(text_col).alias("__t"),
     ).select(
         id_col,
+        *carry_cols,
         F.size("__t").cast("long").alias("n_tokens"),
         F.expr(
             f"aggregate(transform(__t, t -> {_weight_expr('t')}), "

@@ -678,10 +678,9 @@ def curation_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sql_engine_spark.operators.text import hashed_linear_score
 
     docs = load(spark, sf_dir, "documents")
-    scored = hashed_linear_score(docs, id_col="doc_id", text_col="text").select(
-        "doc_id", "score"
-    )
-    withlang = scored.join(docs.select("doc_id", "lang"), "doc_id")
+    withlang = hashed_linear_score(
+        docs, id_col="doc_id", text_col="text", carry_cols=["lang"]
+    ).select("doc_id", "lang", "score")
     stats = withlang.groupBy("lang").agg(
         F.count("*").cast("double").alias("n"),
         F.sum(F.col("score").cast(DEC)).cast("double").alias("s"),

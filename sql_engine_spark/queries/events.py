@@ -404,3 +404,52 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 def events_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     return countmin_heavy_hitters(ev, key_col="user_id", threshold=12)
+
+
+@register(
+    "events_markov_transitions",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, event_type,
+                   lag(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS prev_type
+            FROM events
+        ),
+        c AS (
+            SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+            FROM seq WHERE prev_type IS NOT NULL
+            GROUP BY prev_type, event_type
+        ),
+        tot AS (SELECT prev_type, SUM(n) AS t FROM c GROUP BY prev_type)
+        SELECT prev_type, next_type, CAST(n AS BIGINT) AS n,
+               CAST(n AS DOUBLE) / CAST(t AS DOUBLE) AS p
+        FROM c JOIN tot USING (prev_type)
+    """,
+    doc="First-order Markov transition matrix over per-user event "
+    "sequences (the behavioral-sequence miner): lag() within each "
+    "user's total-ordered stream, then a bounded (types x types) count "
+    "aggregate normalized to probabilities. The only corpus-wide work "
+    "is one shuffle keyed by user_id (window width = one user's "
+    "history) and one map-side-combinable pair count; the transition "
+    "matrix itself is event-type-cardinality sized at any scale. Count "
+    "ratios are exact-integer divisions, bit-identical cross-engine.",
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id", "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).where(F.col("prev_type").isNotNull())
+    c = seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count("*").alias("n")
+    )
+    tot = c.groupBy("prev_type").agg(F.sum("n").alias("t"))
+    return (
+        c.join(F.broadcast(tot), "prev_type")
+        .select(
+            "prev_type",
+            "next_type",
+            F.col("n").cast("long").alias("n"),
+            (F.col("n").cast("double") / F.col("t").cast("double")).alias("p"),
+        )
+    )

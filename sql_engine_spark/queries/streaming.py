@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from sql_engine_spark.functions.numeric import sql_dsum
+from sql_engine_spark.operators.textprep import sql_tokens
 from sql_engine_spark.io import load
 from sql_engine_spark.queries.events import SESSION_GAP_S
 from sql_engine_spark.registry import register
@@ -23,6 +24,7 @@ from sql_engine_spark.streaming.source import (
     events_replay_chunks,
     events_stream,
     run_to_memory,
+    table_stream,
 )
 from sql_engine_spark.streaming.windows import (
     session_window_agg,
@@ -541,3 +543,37 @@ def streaming_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         res = run_to_memory(joined, "stream_stream_left_join", "append")
     return res.where(F.col("user_id") >= 0)
+
+
+@register(
+    "streaming_vocab_topk",
+    oracle=f"""
+        SELECT token, COUNT(*) AS n
+        FROM (SELECT unnest({sql_tokens('text')}) AS token
+              FROM documents)
+        WHERE token <> ''
+        GROUP BY token
+        ORDER BY n DESC, token
+        LIMIT 100
+    """,
+    doc="Streaming distributed word count with running top-k: the "
+    "documents table replayed as a micro-batch stream, tokens exploded "
+    "in-stream (generators run incrementally), counts maintained in "
+    "complete-mode aggregate state, top-100 (ties lexicographic) taken "
+    "on the drained result — converges to the batch text_vocab_topk "
+    "exactly. The canonical streaming-agg shape: map-side partial "
+    "counts per micro-batch, state keyed by token.",
+)
+def streaming_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sql_engine_spark.operators.textprep import tokens
+
+    with _state_partitions(spark):
+        stream = table_stream(spark, sf_dir, "documents", ["doc_id"], N_CHUNKS)
+        counts = (
+            stream.select(F.explode(tokens("text")).alias("token"))
+            .where(F.col("token") != "")
+            .groupBy("token")
+            .agg(F.count("*").alias("n"))
+        )
+        res = run_to_memory(counts, "stream_vocab_topk", "complete")
+    return res.orderBy(F.desc("n"), F.asc("token")).limit(100)

@@ -1,0 +1,101 @@
+"""Property tests for the round-4 additions: substring spans, CMS,
+sorted-neighborhood completeness, and the two retrieval ops — random
+corpora, invariants that must hold for ANY input."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from sql_engine_spark.operators.dedup import sorted_neighborhood_pairs
+from sql_engine_spark.operators.sketch import countmin_heavy_hitters
+from sql_engine_spark.operators.spans import duplicated_spans
+
+_SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+_WORDS = ["aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh"]
+
+
+@st.composite
+def _corpus(draw):
+    n = draw(st.integers(3, 8))
+    docs = []
+    for i in range(n):
+        toks = draw(st.lists(st.sampled_from(_WORDS), min_size=0, max_size=30))
+        docs.append((i, " ".join(toks)))
+    return docs
+
+
+@given(_corpus(), st.integers(2, 5))
+@settings(**_SETTINGS)
+def test_spans_invariants(spark, docs, k):
+    """Every reported span: (a) >= k tokens, (b) within the doc's token
+    count, (c) its first k-window genuinely occurs in another doc;
+    spans within one doc never overlap."""
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    toks = {i: t.lower().split() for i, t in docs}
+    got = duplicated_spans(df, "doc_id", "text", k=k).collect()
+    by_doc: dict[int, list] = {}
+    for r in got:
+        assert r.span_tokens == r.span_end - r.span_start + 1 >= k
+        assert 1 <= r.span_start and r.span_end <= len(toks[r.doc_id])
+        win = " ".join(toks[r.doc_id][r.span_start - 1 : r.span_start - 1 + k])
+        others = [
+            " ".join(toks[j][p : p + k])
+            for j in toks
+            if j != r.doc_id
+            for p in range(len(toks[j]) - k + 1)
+        ]
+        assert win in others, (r, win)
+        by_doc.setdefault(r.doc_id, []).append((r.span_start, r.span_end))
+    for spans in by_doc.values():
+        spans.sort()
+        for (s1, e1), (s2, _) in zip(spans, spans[1:]):
+            assert s2 > e1 + 1  # maximal: adjacent/overlapping would merge
+
+
+@given(st.lists(st.integers(0, 6), min_size=1, max_size=60), st.integers(1, 5))
+@settings(**_SETTINGS)
+def test_countmin_never_undercounts_and_finds_all_heavy(spark, keys, thr):
+    """CMS guarantees: est >= exact for every key, and every key with
+    exact count >= threshold IS reported (overcounting can only ADD
+    keys, never drop one)."""
+    df = spark.createDataFrame([(k,) for k in keys], ["k"])
+    got = {r.key: r for r in countmin_heavy_hitters(df, key_col="k", threshold=thr).collect()}
+    exact: dict[str, int] = {}
+    for k in keys:
+        exact[str(k)] = exact.get(str(k), 0) + 1
+    for key, r in got.items():
+        assert r.est_count >= r.exact_count == exact[key]
+        assert r.never_undercounts
+    for key, n in exact.items():
+        if n >= thr:
+            assert key in got, (key, n)
+
+
+@given(_corpus())
+@settings(**_SETTINGS)
+def test_sorted_neighborhood_subset_of_all_pairs(spark, docs):
+    """Blocked pairs are a SUBSET of threshold-passing all-pairs (it's a
+    recall/cost trade), and every reported jaccard matches the exact
+    set jaccard."""
+    docs = [(i, t) for i, t in docs if t.strip()]
+    if len(docs) < 2:
+        return
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = sorted_neighborhood_pairs(
+        df, id_col="doc_id", text_col="text", window=2, threshold=0.3
+    ).collect()
+    sets = {i: set(t.lower().split()) for i, t in docs}
+    for r in got:
+        a, b = sets[r.id_a], sets[r.id_b]
+        jac = len(a & b) / len(a | b)
+        assert jac >= 0.3
+        assert abs(jac - r.jaccard) < 1e-12
+        assert r.id_a != r.id_b
