@@ -115,6 +115,10 @@ EXTENSION_R4 = [
     "events_countmin_heavy_hitters",
     "curation_perplexity_buckets",
     "text_bigram_lm_score",
+    "events_markov_transitions",
+    "streaming_vocab_topk",
+    "dedup_minhash_incremental",
+    "dedup_crossmodal_agreement",
 ]
 
 

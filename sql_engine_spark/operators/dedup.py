@@ -582,3 +582,78 @@ def sql_sorted_neighborhood(
                   / CAST(len(list_distinct(list_concat(a.tset, b.tset))) AS DOUBLE)
                   >= {threshold}
     """
+
+
+def minhash_lsh_pairs_incremental(
+    new_df: DataFrame,
+    base_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    shingle_k: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Continuous-ingest dedup: near-dup pairs BETWEEN a new batch and
+    the existing corpus (new_id, base_id, jaccard >= threshold).
+
+    The self-join variant (minhash_lsh_pairs) re-shingles everything on
+    every run; a production ingest pipeline instead keeps the corpus
+    side as a PRECOMPUTED signature/bucket table (pay the shingle +
+    minhash map once per document ever, append per batch) and
+    band-joins each incoming batch against it — the join is
+    new-batch-sized on one side, so daily ingest cost is O(batch), not
+    O(corpus). Here both sides derive inline from parquet (the testdata
+    has no materialized index); the plan shape — band equi-join, no
+    self-join, exact verify on candidates only — is the same one that
+    runs against the stored table.
+
+    Same one-permutation minhash + banding as minhash_lsh_pairs; both
+    sides' pipelines are identical expressions so the oracle can spell
+    them once.
+    """
+    rows_per_band = num_hashes // bands
+
+    def prep(df: DataFrame, tag: str) -> tuple[DataFrame, DataFrame]:
+        docs = _persist(
+            df.select(F.col(id_col).alias("__id"), tokens(text_col).alias("__tokens"))
+            .withColumn("__sh", shingles("__tokens", shingle_k))
+            .withColumn("__shset", F.array_distinct("__sh"))
+            .select("__id", "__shset")
+        )
+        key_cols = [
+            F.md5(
+                F.concat_ws("|", F.slice("__sig", b * rows_per_band + 1, rows_per_band))
+            ).alias(f"__k{b}")
+            for b in range(bands)
+        ]
+        stack_expr = (
+            f"stack({bands}, "
+            + ", ".join(f"{b}, __k{b}" for b in range(bands))
+            + ") as (__band, __key)"
+        )
+        buckets = (
+            docs.withColumn("__dig", shingle_digests("__shset"))
+            .withColumn("__sig", minhash_signature("__dig", num_hashes))
+            .select("__id", *key_cols)
+            .select(F.col("__id").alias(f"{tag}_id"), F.expr(stack_expr))
+        )
+        return docs, buckets
+
+    new_docs, new_buckets = prep(new_df, "new")
+    base_docs, base_buckets = prep(base_df, "base")
+    candidates = (
+        new_buckets.join(base_buckets, ["__band", "__key"])
+        .select("new_id", "base_id")
+        .distinct()
+    )
+    jac = F.size(F.array_intersect("sa.__shset", "sb.__shset")) / F.size(
+        F.array_union("sa.__shset", "sb.__shset")
+    )
+    return (
+        candidates.join(new_docs.alias("sa"), F.col("new_id") == F.col("sa.__id"))
+        .join(base_docs.alias("sb"), F.col("base_id") == F.col("sb.__id"))
+        .select("new_id", "base_id", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )

@@ -443,3 +443,123 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.sorted_neighborhood_pairs(
         docs, id_col="doc_id", text_col="text", window=3, key_tokens=5, threshold=0.3
     )
+
+
+_INCR_MOD = 10
+
+
+def _sql_minhash_incremental(k: int, num_hashes: int, bands: int, threshold: float) -> str:
+    r = num_hashes // bands
+    width = 32 // num_hashes
+    toks = sql_tokens("text")
+    return f"""
+        WITH docs AS (
+            SELECT doc_id AS id, {sql_shingles(toks, k)} AS sh FROM documents
+        ),
+        digs AS (
+            SELECT id, shset, list_transform(shset, s -> md5(s)) AS dig
+            FROM (SELECT id, list_distinct(sh) AS shset FROM docs)
+        ),
+        sigs AS (
+            SELECT id, shset,
+                   list_transform(range(0, {num_hashes}), j ->
+                       list_aggregate(list_transform(dig, h ->
+                           substring(h, j * {width} + 1, {width})), 'min')) AS sig
+            FROM digs
+        ),
+        buckets AS (
+            SELECT id, b,
+                   md5(array_to_string(sig[b*{r}+1 : b*{r}+{r}], '|')) AS key
+            FROM sigs CROSS JOIN range(0, {bands}) t(b)
+        ),
+        candidates AS (
+            SELECT DISTINCT n.id AS new_id, o.id AS base_id
+            FROM buckets n JOIN buckets o ON n.b = o.b AND n.key = o.key
+            WHERE n.id % {_INCR_MOD} = 0 AND o.id % {_INCR_MOD} <> 0
+        )
+        SELECT new_id, base_id,
+               len(list_intersect(sa.shset, sb.shset))
+                 / len(list_distinct(list_concat(sa.shset, sb.shset))) AS jaccard
+        FROM candidates
+        JOIN sigs sa ON new_id = sa.id
+        JOIN sigs sb ON base_id = sb.id
+        WHERE len(list_intersect(sa.shset, sb.shset))
+                 / len(list_distinct(list_concat(sa.shset, sb.shset))) >= {threshold}
+    """
+
+
+@register(
+    "dedup_minhash_incremental",
+    oracle=_sql_minhash_incremental(3, 8, 4, 0.2),
+    doc="Continuous-ingest dedup: an incoming batch (every 10th doc) "
+    "band-joined against the existing corpus — near-dup pairs ACROSS "
+    "the boundary only, no self-join. At production scale the corpus "
+    "side is a precomputed signature/bucket table (shingle+minhash "
+    "paid once per doc ever, appended per batch), so daily ingest "
+    "dedup costs O(batch), not O(corpus); the plan here — band "
+    "equi-join, exact verify on candidates only — is the one that "
+    "runs against that stored table.",
+)
+def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    new = docs.where(F.col("doc_id") % _INCR_MOD == 0)
+    base = docs.where(F.col("doc_id") % _INCR_MOD != 0)
+    return D.minhash_lsh_pairs_incremental(
+        new, base, "doc_id", "text", **_MINHASH_PARAMS
+    )
+
+
+@register(
+    "dedup_crossmodal_agreement",
+    oracle=f"""
+        WITH text_pairs AS (
+            SELECT id_a, id_b FROM ({_sql_minhash_lsh(3, 8, 4, 0.2)})
+        ),
+        sem_pairs AS (
+            SELECT id_a, id_b FROM ({_EMB_ORACLE.replace('label', 'label').strip()})
+        )
+        SELECT COALESCE(t.id_a, s.id_a) AS id_a,
+               COALESCE(t.id_b, s.id_b) AS id_b,
+               t.id_a IS NOT NULL AS text_dup,
+               s.id_a IS NOT NULL AS semantic_dup,
+               CASE WHEN t.id_a IS NOT NULL AND s.id_a IS NOT NULL THEN 'both'
+                    WHEN t.id_a IS NOT NULL THEN 'text_only'
+                    ELSE 'semantic_only' END AS agreement
+        FROM text_pairs t FULL JOIN sem_pairs s
+          ON t.id_a = s.id_a AND t.id_b = s.id_b
+    """,
+    doc="Cross-modal dedup agreement: the near-dup pairs surfaced by "
+    "text MinHash-LSH vs by embedding cosine (vec_id and doc_id share "
+    "the id space in the testdata), full-outer joined and classified "
+    "both/text_only/semantic_only — the audit a curation run does "
+    "before trusting one modality's dedup to stand in for the other. "
+    "Composes two existing scale-safe pipelines with one more pair-key "
+    "equi-join; pair relations are candidate-sized, never corpus^2.",
+)
+def dedup_crossmodal_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    emb = load(spark, sf_dir, "embeddings")
+    tp = D.minhash_lsh_pairs(docs, "doc_id", "text", **_MINHASH_PARAMS).select(
+        "id_a", "id_b"
+    )
+    sp = embedding_cosine_pairs(
+        emb, id_col="vec_id", vec_col="embedding", block_col="label", threshold=0.2
+    ).select("id_a", "id_b")
+    t, s = tp.alias("t"), sp.alias("s")
+    joined = t.join(
+        s,
+        (F.col("t.id_a") == F.col("s.id_a")) & (F.col("t.id_b") == F.col("s.id_b")),
+        "full_outer",
+    )
+    text_dup = F.col("t.id_a").isNotNull()
+    sem_dup = F.col("s.id_a").isNotNull()
+    return joined.select(
+        F.coalesce("t.id_a", "s.id_a").alias("id_a"),
+        F.coalesce("t.id_b", "s.id_b").alias("id_b"),
+        text_dup.alias("text_dup"),
+        sem_dup.alias("semantic_dup"),
+        F.when(text_dup & sem_dup, "both")
+        .when(text_dup, "text_only")
+        .otherwise("semantic_only")
+        .alias("agreement"),
+    )
