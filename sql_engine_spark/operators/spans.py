@@ -19,10 +19,11 @@ bounded per-doc windows:
    plans this as a shuffled semi-join on the same hash key — and can
    reuse step 2's exchange);
 4. merge each document's duplicated positions into maximal spans with
-   the classic gaps-and-islands trick: ``pos - row_number()`` is
-   constant within a run of consecutive positions. The window is
-   partitioned by doc_id — bounded by DOCUMENT length, never by corpus
-   size, so it parallelizes across every executor at any scale.
+   a gaps-and-islands pass in TOKEN space: a new span starts when the
+   gap to the previous duplicated window exceeds k (token ranges no
+   longer overlap or touch). The window is partitioned by doc_id —
+   bounded by DOCUMENT length, never by corpus size, so it
+   parallelizes across every executor at any scale.
 
 A hit at position p means tokens [p, p+k-1] also occur elsewhere;
 overlapping hits chain, so a 200-token duplicated block shows up as one
@@ -84,9 +85,21 @@ def duplicated_spans(
         .select("h")
     )
     hits = sh.join(dup, "h", "left_semi")
-    # Gaps-and-islands per document: windows are bounded by doc length.
+    # Gaps-and-islands per document, in TOKEN space: two duplicated
+    # windows at positions p1 < p2 cover overlapping-or-adjacent token
+    # ranges iff p2 - p1 <= k, so a new span starts exactly when the
+    # position gap exceeds k. (Plain `pos - row_number()` would split
+    # runs whose windows overlap but aren't consecutive — e.g. hits at
+    # 1 and 3 with k=8 — yielding token-overlapping "maximal" spans;
+    # caught by tests/test_r4c_props.py.) Windows are bounded by doc
+    # length.
     w = Window.partitionBy("doc_id").orderBy("pos")
-    islands = hits.withColumn("__isl", F.col("pos") - F.row_number().over(w))
+    islands = hits.withColumn(
+        "__isl",
+        F.sum(
+            F.when(F.col("pos") - F.lag("pos").over(w) > k, 1).otherwise(0)
+        ).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
     return (
         islands.groupBy("doc_id", "__isl")
         .agg(
@@ -125,10 +138,17 @@ def sql_duplicated_spans(k: int, source: str = "documents") -> str:
         hits AS (
             SELECT doc_id, pos FROM sh WHERE h IN (SELECT h FROM dup)
         ),
+        gaps AS (
+            SELECT doc_id, pos,
+                   CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                             > {k} THEN 1 ELSE 0 END AS brk
+            FROM hits
+        ),
         isl AS (
             SELECT doc_id, pos,
-                   pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS isl
-            FROM hits
+                   SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                                  ROWS UNBOUNDED PRECEDING) AS isl
+            FROM gaps
         )
         SELECT doc_id,
                MIN(pos) AS span_start,
