@@ -643,6 +643,12 @@ def minhash_lsh_pairs_incremental(
 
     new_docs, new_buckets = prep(new_df, "new")
     base_docs, base_buckets = prep(base_df, "base")
+    return _incremental_from_buckets(
+        new_docs, new_buckets, base_docs, base_buckets, threshold
+    )
+
+
+def _incremental_from_buckets(new_docs, new_buckets, base_docs, base_buckets, threshold):
     candidates = (
         new_buckets.join(base_buckets, ["__band", "__key"])
         .select("new_id", "base_id")
@@ -656,4 +662,78 @@ def minhash_lsh_pairs_incremental(
         .join(base_docs.alias("sb"), F.col("base_id") == F.col("sb.__id"))
         .select("new_id", "base_id", jac.alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_lsh_pairs_split(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    new_pred,
+    *,
+    shingle_k: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """minhash_lsh_pairs_incremental for the shared-source case: when
+    the new batch and the corpus live in ONE table split by a
+    predicate, shingle + minhash + band the table ONCE and split at the
+    bucket level — half the map work of preparing each side separately,
+    and exactly the plan that runs against a materialized signature
+    table (one bucket relation, filtered per side).
+
+    ``new_pred`` is a Column predicate over the source rows selecting
+    the new batch. Returns (new_id, base_id, jaccard >= threshold).
+    """
+    rows_per_band = num_hashes // bands
+    src = df.select(
+        F.col(id_col).alias("__id"),
+        new_pred.alias("__is_new"),
+        F.col(text_col).alias("__text"),
+    )
+    # Same narrow-file widening as minhash_lsh_pairs: a single local
+    # parquet file arrives as ONE scan split, serializing the md5/
+    # shingle map work; no-op on a many-split 100 TB scan.
+    target = df.sparkSession.sparkContext.defaultParallelism
+    files = src.inputFiles()
+    if 0 < len(files) < target and _total_file_bytes(files) >= _MIN_WIDEN_BYTES:
+        src = src.repartition(target)
+    docs = _persist(
+        src.select(
+            "__id",
+            "__is_new",
+            tokens("__text").alias("__tokens"),
+        )
+        .withColumn("__sh", shingles("__tokens", shingle_k))
+        .withColumn("__shset", F.array_distinct("__sh"))
+        .select("__id", "__is_new", "__shset")
+    )
+    key_cols = [
+        F.md5(
+            F.concat_ws("|", F.slice("__sig", b * rows_per_band + 1, rows_per_band))
+        ).alias(f"__k{b}")
+        for b in range(bands)
+    ]
+    stack_expr = (
+        f"stack({bands}, "
+        + ", ".join(f"{b}, __k{b}" for b in range(bands))
+        + ") as (__band, __key)"
+    )
+    buckets = _persist(
+        docs.withColumn("__dig", shingle_digests("__shset"))
+        .withColumn("__sig", minhash_signature("__dig", num_hashes))
+        .select("__id", "__is_new", *key_cols)
+        .select("__id", "__is_new", F.expr(stack_expr))
+    )
+    new_buckets = buckets.where(F.col("__is_new")).select(
+        F.col("__id").alias("new_id"), "__band", "__key"
+    )
+    base_buckets = buckets.where(~F.col("__is_new")).select(
+        F.col("__id").alias("base_id"), "__band", "__key"
+    )
+    new_docs = docs.where(F.col("__is_new")).select("__id", "__shset")
+    base_docs = docs.where(~F.col("__is_new")).select("__id", "__shset")
+    return _incremental_from_buckets(
+        new_docs, new_buckets, base_docs, base_buckets, threshold
     )

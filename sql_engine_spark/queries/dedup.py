@@ -502,10 +502,8 @@ def _sql_minhash_incremental(k: int, num_hashes: int, bands: int, threshold: flo
 )
 def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    new = docs.where(F.col("doc_id") % _INCR_MOD == 0)
-    base = docs.where(F.col("doc_id") % _INCR_MOD != 0)
-    return D.minhash_lsh_pairs_incremental(
-        new, base, "doc_id", "text", **_MINHASH_PARAMS
+    return D.minhash_lsh_pairs_split(
+        docs, "doc_id", "text", F.col("doc_id") % _INCR_MOD == 0, **_MINHASH_PARAMS
     )
 
 

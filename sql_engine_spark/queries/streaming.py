@@ -466,7 +466,10 @@ def streaming_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def streaming_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
-    out_dir, _ = events_replay_chunks(spark, sf_dir, N_CHUNKS)
+    # 2 chunks (+ sentinel): outer-join state still crosses a batch
+    # boundary, at half the per-trigger fixed cost of the 4-chunk replay
+    # (stream-stream joins run two stateful ops per trigger).
+    out_dir, _ = events_replay_chunks(spark, sf_dir, 2)
     max_ts = ev.agg(F.max("ts")).collect()[0][0]
     # Watermarks are computed AFTER each side's event_type filter, so a
     # sentinel must SURVIVE the filter to advance that side's clock: one
@@ -501,7 +504,7 @@ def streaming_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sentinel.coalesce(1).write.mode("append").parquet(out_dir)
 
-    with _state_partitions(spark):
+    with _state_partitions(spark, 4):
         stream = (
             spark.readStream.schema(ev.schema)
             .option("maxFilesPerTrigger", "1")

@@ -132,3 +132,57 @@ def test_sorted_neighborhood_rank_has_no_global_window(spark, sf_dir):
     assert any("__bkt" in m.group(1).split(",")[0]
                and "ASC" not in m.group(1).split(",")[0]
                for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan)), plan
+
+
+def test_markov_window_is_per_user_and_matrix_broadcast(spark, sf_dir):
+    """lag() must be partitioned by user_id (one user's history, never
+    the corpus); the transition-total join must be broadcast."""
+    df = _build(spark, sf_dir, "events_markov_transitions")
+    plan = explain_str(df, "formatted")
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert "user_id" in m.group(1).split(",")[0], plan
+    a = audit(df)
+    assert a.broadcast_joins >= 1
+    assert a.sortmerge_joins == 0
+    assert a.reads_only("user_id", "event_type", "ts", "event_id")
+
+
+def test_incremental_dedup_no_self_cartesian(spark, sf_dir):
+    """The band join must be an equi-join on (band, key) — a cartesian
+    product would mean the batch-vs-corpus bound broke."""
+    df = _build(spark, sf_dir, "dedup_minhash_incremental")
+    plan = explain_str(df, "simple")
+    assert "CartesianProduct" not in plan
+    assert audit(df).reads_only("doc_id", "text")
+
+
+def test_countmin_sketch_relation_is_broadcast(spark, sf_dir):
+    """The d x w counter relation is bounded; joining it back to the
+    distinct keys must be broadcast, never a corpus shuffle join."""
+    a = audit(_build(spark, sf_dir, "events_countmin_heavy_hitters"))
+    assert a.broadcast_joins >= 1
+    assert a.sortmerge_joins == 0
+    assert a.reads_only("user_id")
+
+
+def test_perplexity_buckets_single_scan_and_broadcast_stats(spark, sf_dir):
+    """carry_cols rides lang through the scorer: the apply side is ONE
+    documents scan; the per-lang stats join is broadcast."""
+    df = _build(spark, sf_dir, "curation_perplexity_buckets")
+    a = audit(df)
+    assert a.broadcast_joins >= 1
+    assert a.sortmerge_joins == 0
+    assert len(a.read_schemas) <= 2  # stats branch + apply branch
+    assert a.reads_only("doc_id", "lang", "text")
+
+
+def test_point_in_time_no_lateral_quadratic(spark, sf_dir):
+    """The as-of spelling must be union+window (one exchange on the
+    entity key), not a per-row correlated LIMIT-1 join: no nested-loop
+    or cartesian operators in the plan."""
+    df = _build(spark, sf_dir, "asof_point_in_time")
+    plan = explain_str(df, "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert "o_custkey" in m.group(1).split(",")[0]
