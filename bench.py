@@ -119,6 +119,7 @@ EXTENSION_R4 = [
     "streaming_vocab_topk",
     "dedup_minhash_incremental",
     "dedup_crossmodal_agreement",
+    "dedup_prefix_filter",
 ]
 
 

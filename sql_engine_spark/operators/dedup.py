@@ -737,3 +737,159 @@ def minhash_lsh_pairs_split(
     return _incremental_from_buckets(
         new_docs, new_buckets, base_docs, base_buckets, threshold
     )
+
+
+def prefix_filter_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    shingle_k: int = 3,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """EXACT set-similarity self-join via prefix filtering (Chaudhuri,
+    Ganti & Kaushik, ICDE 2006; Bayardo, Ma & Srikant, WWW 2007
+    "Scaling Up All Pairs Similarity Search").
+
+    Unlike MinHash-LSH this has NO recall loss: for Jaccard threshold t,
+    two sets with J >= t MUST share at least one element among each
+    set's first ``|x| - ceil(t*|x|) + 1`` elements when both are sorted
+    by a GLOBAL frequency order (rarest first) — so joining only on
+    those prefix elements finds every qualifying pair, and the exact
+    verify keeps precision at 1. Selectivity comes from prefixes
+    starting at each document's RAREST shingles: candidate volume is
+    sum over prefix shingles of df^2, dominated by df~1 shingles.
+
+    Scale shape: one shingle-df aggregate (map-side combinable), one
+    broadcast-join of dfs back (the shingle-df relation is
+    vocabulary-sized; for corpora where it isn't broadcastable this
+    becomes a shuffle equi-join on the shingle hash — same plan class),
+    a per-doc sort of its own shingles (bounded by doc length), one
+    equi-join on prefix shingle hash, one verify. Nothing touches
+    corpus^2; the prefix bound is the exact-join analogue of LSH
+    banding. Returns (id_a, id_b, jaccard >= threshold), complete.
+    """
+    src = df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__text"))
+    # Narrow-file widening (see minhash_lsh_pairs): parallelize the
+    # shingle/md5 map work when the source arrives as few splits.
+    target = df.sparkSession.sparkContext.defaultParallelism
+    files = src.inputFiles()
+    if 0 < len(files) < target and _total_file_bytes(files) >= _MIN_WIDEN_BYTES:
+        src = src.repartition(target)
+    docs = _persist(
+        src.select("__id", tokens("__text").alias("__tokens"))
+        .withColumn("__shset", F.array_distinct(shingles("__tokens", shingle_k)))
+        .select("__id", F.expr("transform(__shset, s -> md5(s))").alias("__hs"))
+        .withColumn("__hs", F.array_sort("__hs"))
+    )
+    dfs = (
+        docs.select(F.explode("__hs").alias("__h"))
+        .groupBy("__h")
+        .agg(F.count("*").alias("__df"))
+    )
+    # Order each doc's shingles rarest-first by (df, hash) — a total
+    # order shared by every doc, which is all the prefix lemma needs.
+    ordered = (
+        docs.select("__id", F.explode("__hs").alias("__h"))
+        .join(F.broadcast(dfs), "__h")
+        .groupBy("__id")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(__df, __h))), s -> s.__h)"
+            ).alias("__sorted"),
+        )
+        .withColumn(
+            "__plen",
+            F.size("__sorted")
+            - F.ceil(F.size("__sorted") * F.lit(threshold)).cast("int")
+            + F.lit(1),
+        )
+        .select(
+            "__id",
+            F.size("__sorted").alias("__n"),
+            F.slice("__sorted", 1, F.col("__plen")).alias("__prefix"),
+        )
+    )
+    # Candidates shuffle bare id pairs (32-byte rows); the shingle sets
+    # rejoin only for the verify — same discipline as minhash_lsh_pairs.
+    # The LENGTH filter (Arasu et al.): J(x,y) >= t forces
+    # t*|x| <= |y| <= |x|/t, so size-incompatible prefix collisions are
+    # dropped inside the join, before the distinct.
+    probes = ordered.select(
+        "__id", "__n", F.explode("__prefix").alias("__h")
+    )
+    a, b = probes.alias("a"), probes.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.__h") == F.col("b.__h"))
+            & (F.col("a.__id") < F.col("b.__id"))
+            & (F.col("b.__n") * F.lit(threshold) <= F.col("a.__n"))
+            & (F.col("a.__n") * F.lit(threshold) <= F.col("b.__n")),
+        )
+        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .distinct()
+    )
+    sets = docs.select("__id", "__hs")
+    jac = F.size(F.array_intersect("sa.__hs", "sb.__hs")) / F.size(
+        F.array_union("sa.__hs", "sb.__hs")
+    )
+    return (
+        candidates.join(sets.alias("sa"), F.col("id_a") == F.col("sa.__id"))
+        .join(sets.alias("sb"), F.col("id_b") == F.col("sb.__id"))
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def sql_prefix_filter_pairs(
+    *, shingle_k: int = 3, threshold: float = 0.3, source: str = "documents"
+) -> str:
+    """DuckDB oracle: the identical prefix-filter pipeline."""
+    from sql_engine_spark.operators.textprep import sql_shingles, sql_tokens
+
+    toks = sql_tokens("text")
+    return f"""
+        WITH docs AS (
+            SELECT doc_id AS id,
+                   list_sort(list_transform(
+                       list_distinct({sql_shingles(toks, shingle_k)}),
+                       s -> md5(s))) AS hs
+            FROM {source}
+        ),
+        dfs AS (
+            SELECT h, COUNT(*) AS df
+            FROM (SELECT unnest(hs) AS h FROM docs) GROUP BY h
+        ),
+        ordered AS (
+            SELECT id, ANY_VALUE(hs) AS hs,
+                   list_transform(list_sort(list(struct_pack(d := df, h := h))),
+                                  s -> s.h) AS sorted
+            FROM (SELECT id, hs, unnest(hs) AS h FROM docs)
+            JOIN dfs USING (h)
+            GROUP BY id
+        ),
+        prefixes AS (
+            SELECT id, hs,
+                   sorted[1 : len(sorted) - CAST(ceil(len(sorted) * {threshold}) AS INT) + 1]
+                       AS prefix
+            FROM ordered
+        ),
+        probes AS (
+            SELECT id, hs, len(hs) AS n, unnest(prefix) AS h FROM prefixes
+        ),
+        candidates AS (
+            SELECT DISTINCT a.id AS id_a, b.id AS id_b
+            FROM probes a JOIN probes b
+              ON a.h = b.h AND a.id < b.id
+             AND b.n * {threshold} <= a.n AND a.n * {threshold} <= b.n
+        )
+        SELECT id_a, id_b,
+               len(list_intersect(pa.hs, pb.hs))
+                 / len(list_distinct(list_concat(pa.hs, pb.hs))) AS jaccard
+        FROM candidates
+        JOIN prefixes pa ON id_a = pa.id
+        JOIN prefixes pb ON id_b = pb.id
+        WHERE len(list_intersect(pa.hs, pb.hs))
+                 / len(list_distinct(list_concat(pa.hs, pb.hs))) >= {threshold}
+    """
