@@ -120,6 +120,7 @@ EXTENSION_R4 = [
     "dedup_minhash_incremental",
     "dedup_crossmodal_agreement",
     "dedup_prefix_filter",
+    "dedup_simhash_hamming",
 ]
 
 

@@ -893,3 +893,120 @@ def sql_prefix_filter_pairs(
         WHERE len(list_intersect(pa.hs, pb.hs))
                  / len(list_distinct(list_concat(pa.hs, pb.hs))) >= {threshold}
     """
+
+
+def _hamming_expr(a: str, b: str, bits: int) -> str:
+    """Unrolled per-position disagreement count — identical SQL in Spark
+    and DuckDB (no engine-specific char-split semantics to reconcile)."""
+    terms = " + ".join(
+        f"(CASE WHEN substring({a}, {i}, 1) <> substring({b}, {i}, 1) "
+        f"THEN 1 ELSE 0 END)"
+        for i in range(1, bits + 1)
+    )
+    return f"({terms})"
+
+
+def simhash_hamming_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    bits: int = 16,
+    n_blocks: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance — the Manku, Jain &
+    Sarma scheme (WWW 2007, Google's web-crawl dedup): split each
+    `bits`-bit fingerprint into ``n_blocks`` blocks; by pigeonhole, two
+    fingerprints within Hamming distance ``max_hamming < n_blocks``
+    agree EXACTLY on at least one block, so an equi-join per block finds
+    every qualifying pair (zero recall loss) and the cheap unrolled
+    Hamming verify keeps precision.
+
+    Scale shape: fingerprints are one map pass (the expensive
+    16-aggregate simhash expression is computed ONCE into a column,
+    then blocks are stack()ed from the materialized string — never
+    re-evaluated per block); candidates come from ``n_blocks``
+    equi-joins on (block index, block value) — 2^(bits/n_blocks)
+    buckets per block; verify is integer comparisons. Same plan class
+    as MinHash banding, but the guarantee is exact for the Hamming
+    radius. Returns (id_a, id_b, hamming <= max_hamming), complete.
+    """
+    assert max_hamming < n_blocks, "pigeonhole completeness needs d < blocks"
+    width = bits // n_blocks
+    sigs = _persist(
+        df.select(F.col(id_col).alias("__id"), tokens(text_col).alias("__tokens"))
+        .select("__id", simhash_bits("__tokens", bits).alias("__sig"))
+    )
+    block_cols = [
+        F.substring("__sig", b * width + 1, width).alias(f"__b{b}")
+        for b in range(n_blocks)
+    ]
+    stack_expr = (
+        f"stack({n_blocks}, "
+        + ", ".join(f"{b}, __b{b}" for b in range(n_blocks))
+        + ") as (__blk, __key)"
+    )
+    blocks = sigs.select("__id", *block_cols).select("__id", F.expr(stack_expr))
+    a, b = blocks.alias("a"), blocks.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.__blk") == F.col("b.__blk"))
+            & (F.col("a.__key") == F.col("b.__key"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .distinct()
+    )
+    return (
+        candidates.join(
+            sigs.select(F.col("__id"), F.col("__sig").alias("__sa")),
+            F.col("id_a") == F.col("__id"),
+        )
+        .drop("__id")
+        .join(
+            sigs.select(F.col("__id"), F.col("__sig").alias("__sb")),
+            F.col("id_b") == F.col("__id"),
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.expr(_hamming_expr("__sa", "__sb", bits)).cast("long").alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
+def sql_simhash_hamming_pairs(
+    *,
+    bits: int = 16,
+    n_blocks: int = 4,
+    max_hamming: int = 3,
+    source: str = "documents",
+) -> str:
+    from sql_engine_spark.operators.textprep import sql_tokens
+
+    width = bits // n_blocks
+    return f"""
+        WITH sigs AS (
+            SELECT doc_id AS id,
+                   {sql_simhash_bits(sql_tokens('text'), bits)} AS sig
+            FROM {source}
+        ),
+        blocks AS (
+            SELECT id, b, substring(sig, b * {width} + 1, {width}) AS key
+            FROM sigs CROSS JOIN range(0, {n_blocks}) t(b)
+        ),
+        candidates AS (
+            SELECT DISTINCT a.id AS id_a, b.id AS id_b
+            FROM blocks a JOIN blocks b
+              ON a.b = b.b AND a.key = b.key AND a.id < b.id
+        )
+        SELECT id_a, id_b,
+               CAST({_hamming_expr('sa.sig', 'sb.sig', bits)} AS BIGINT) AS hamming
+        FROM candidates
+        JOIN sigs sa ON id_a = sa.id
+        JOIN sigs sb ON id_b = sb.id
+        WHERE {_hamming_expr('sa.sig', 'sb.sig', bits)} <= {max_hamming}
+    """

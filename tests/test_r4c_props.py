@@ -137,3 +137,40 @@ def test_prefix_filter_complete_vs_naive_all_pairs(spark, sf_dir):
         .collect()
     }
     assert got == naive
+
+
+def test_simhash_hamming_complete_vs_naive(spark, sf_dir):
+    """Pigeonhole completeness: block-joined pairs must equal the naive
+    all-pairs Hamming <= d result exactly."""
+    from sql_engine_spark.io import load
+    from sql_engine_spark.operators.dedup import (
+        _hamming_expr,
+        simhash_bits,
+        simhash_hamming_pairs,
+    )
+    from sql_engine_spark.operators.textprep import tokens
+
+    bits, d = 32, 2
+    docs = load(spark, sf_dir, "documents")
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_hamming_pairs(
+            docs, "doc_id", "text", bits=bits, n_blocks=4, max_hamming=d
+        ).collect()
+    }
+    sigs = docs.select(
+        F.col("doc_id").alias("id"), tokens("text").alias("__t")
+    ).select("id", simhash_bits("__t", bits).alias("sig"))
+    a, b = sigs.alias("a"), sigs.alias("b")
+    naive = {
+        (r.id_a, r.id_b): r.hamming
+        for r in a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.expr(_hamming_expr("a.sig", "b.sig", bits)).cast("long").alias("hamming"),
+        )
+        .where(F.col("hamming") <= d)
+        .collect()
+    }
+    assert got == naive and len(got) > 0
