@@ -121,6 +121,7 @@ EXTENSION_R4 = [
     "dedup_crossmodal_agreement",
     "dedup_prefix_filter",
     "dedup_simhash_hamming",
+    "curation_leakage_safe_split",
 ]
 
 

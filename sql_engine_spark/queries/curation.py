@@ -700,3 +700,76 @@ def curation_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "lang", "score", "z", "bucket")
     )
+
+
+# Split assignment: cluster-hash thresholds shared by the Spark side
+# and the oracle.
+def _split_expr(cluster_expr: str) -> str:
+    u = _sql_hex_to_int(f"md5(CAST({cluster_expr} AS VARCHAR))", 8)
+    return (
+        f"CASE WHEN {u} < CAST(0.8 * 4294967296.0 AS BIGINT) THEN 'train' "
+        f"WHEN {u} < CAST(0.9 * 4294967296.0 AS BIGINT) THEN 'val' "
+        f"ELSE 'test' END"
+    )
+
+
+def _leakage_split_oracle() -> str:
+    from sql_engine_spark.queries.dedup import _sql_cc_iter, _sql_minhash_lsh
+
+    return f"""
+        WITH cc_pairs AS (
+            SELECT id_a, id_b FROM ({_sql_minhash_lsh(3, 8, 4, 0.2)})
+        ),
+        cc_edges AS (
+            SELECT id_a AS src, id_b AS dst FROM cc_pairs
+            UNION ALL
+            SELECT id_b AS src, id_a AS dst FROM cc_pairs
+        ),
+        l0 AS (
+            SELECT DISTINCT src AS node, src AS label FROM cc_edges
+        ),
+        {_sql_cc_iter('l0', 'l1')},
+        {_sql_cc_iter('l1', 'l2')},
+        {_sql_cc_iter('l2', 'l3')}
+        SELECT d.doc_id,
+               COALESCE(l3.label, d.doc_id) AS cluster_id,
+               {_split_expr('COALESCE(l3.label, d.doc_id)')} AS split
+        FROM documents d LEFT JOIN l3 ON l3.node = d.doc_id
+    """
+
+
+@register(
+    "curation_leakage_safe_split",
+    oracle=_leakage_split_oracle(),
+    doc="Leakage-safe train/val/test split (80/10/10): near-dup "
+    "clusters (MinHash-LSH pairs -> 3-round connected components) are "
+    "assigned to splits ATOMICALLY by a content hash of the cluster "
+    "id — no near-duplicate of a validation document can land in "
+    "train, the eval-hygiene property a random per-row split violates. "
+    "Singletons are their own cluster. Deterministic across engines, "
+    "reruns, and partitionings; the invariant (one split per cluster) "
+    "holds by construction and is pinned in tests.",
+)
+def curation_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sql_engine_spark.operators import dedup as D
+    from sql_engine_spark.queries.dedup import _MINHASH_PARAMS
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(docs, "doc_id", "text", **_MINHASH_PARAMS)
+    labels = D.connected_components_fixed(pairs, "id_a", "id_b", iterations=3)
+    cluster = F.coalesce(F.col("label"), F.col("doc_id"))
+    u = F.conv(
+        F.substring(F.md5(cluster.cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    return (
+        docs.select("doc_id")
+        .join(labels.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            cluster.alias("cluster_id"),
+            F.when(u < F.lit(int(0.8 * 4294967296)), "train")
+            .when(u < F.lit(int(0.9 * 4294967296)), "val")
+            .otherwise("test")
+            .alias("split"),
+        )
+    )

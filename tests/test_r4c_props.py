@@ -174,3 +174,25 @@ def test_simhash_hamming_complete_vs_naive(spark, sf_dir):
         .collect()
     }
     assert got == naive and len(got) > 0
+
+
+def test_leakage_safe_split_invariant(spark, sf_dir):
+    """No near-dup pair may straddle splits, and the split proportions
+    must be sane (train the largest)."""
+    from sql_engine_spark.io import load
+    from sql_engine_spark.operators.dedup import minhash_lsh_pairs
+    from sql_engine_spark.registry import all_queries
+
+    res = all_queries()["curation_leakage_safe_split"].build(spark, sf_dir)
+    assign = {r.doc_id: (r.cluster_id, r.split) for r in res.collect()}
+    docs = load(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, "doc_id", "text", shingle_k=3, num_hashes=8, bands=4, threshold=0.2
+    ).collect()
+    assert pairs, "corpus should contain near-dups"
+    for p in pairs:
+        assert assign[p.id_a][1] == assign[p.id_b][1], (p, assign[p.id_a], assign[p.id_b])
+    from collections import Counter
+
+    frac = Counter(s for _, s in assign.values())
+    assert frac["train"] > frac["val"] and frac["train"] > frac["test"]
