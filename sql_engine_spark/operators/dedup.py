@@ -297,12 +297,31 @@ def shared_ngram_stats(
     )
 
 
+def simhash_bits_from_digests(digests_col: str, bits: int = 16) -> "F.Column":
+    """SimHash from a MATERIALIZED array of md5(token) hex digests.
+
+    Bit i is the sign of sum over tokens of +-1 votes from the i-th hex
+    digit. The digests must be a real column: each of the `bits`
+    aggregate expressions folds the array independently (no CSE across
+    expressions), so an inlined md5 would hash every token `bits`
+    times — measured 6x wall on the 32-bit Hamming pairing."""
+    bit_exprs = []
+    for i in range(1, bits + 1):
+        vote = (
+            f"aggregate({digests_col}, 0, (acc, d) -> acc + "
+            f"(CASE WHEN substring(d, {i}, 1) IN ('8','9','a','b','c','d','e','f') "
+            f"THEN 1 ELSE -1 END))"
+        )
+        bit_exprs.append(f"(CASE WHEN ({vote}) > 0 THEN '1' ELSE '0' END)")
+    return F.expr("concat(" + ", ".join(bit_exprs) + ")")
+
+
 def simhash_bits(tokens_col: str, bits: int = 16) -> "F.Column":
     """SimHash over tokens as a `bits`-char '0'/'1' string (per-row).
 
-    Bit i is the sign of sum over tokens of +-1, where the vote is the i-th
-    hex digit of md5(token) (>= '8' -> +1). Hex-digit votes are a md5-
-    portable stand-in for the usual per-bit hash."""
+    Convenience single-expression form (hashes each token `bits`
+    times); hot paths should materialize `transform(tokens, md5)` into
+    a column and use simhash_bits_from_digests."""
     bit_exprs = []
     for i in range(1, bits + 1):
         vote = (
@@ -934,9 +953,17 @@ def simhash_hamming_pairs(
     """
     assert max_hamming < n_blocks, "pigeonhole completeness needs d < blocks"
     width = bits // n_blocks
+    src = df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__text"))
+    # Narrow-file widening (see minhash_lsh_pairs): the 32-fold simhash
+    # map is the dominant cost; give it every core.
+    target = df.sparkSession.sparkContext.defaultParallelism
+    files = src.inputFiles()
+    if 0 < len(files) < target and _total_file_bytes(files) >= _MIN_WIDEN_BYTES:
+        src = src.repartition(target)
     sigs = _persist(
-        df.select(F.col(id_col).alias("__id"), tokens(text_col).alias("__tokens"))
-        .select("__id", simhash_bits("__tokens", bits).alias("__sig"))
+        src.select("__id", tokens("__text").alias("__tokens"))
+        .withColumn("__digs", F.expr("transform(__tokens, t -> md5(t))"))
+        .select("__id", simhash_bits_from_digests("__digs", bits).alias("__sig"))
     )
     block_cols = [
         F.substring("__sig", b * width + 1, width).alias(f"__b{b}")
