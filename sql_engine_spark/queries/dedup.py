@@ -125,8 +125,14 @@ def dedup_minhash_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cheap first pass at scale.",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents").withColumn("__tokens", tokens("text"))
-    return docs.select("doc_id", D.simhash_bits("__tokens", 16).alias("simhash"))
+    docs = (
+        load(spark, sf_dir, "documents")
+        .withColumn("__tokens", tokens("text"))
+        .withColumn("__digs", F.expr("transform(__tokens, t -> md5(t))"))
+    )
+    return docs.select(
+        "doc_id", D.simhash_bits_from_digests("__digs", 16).alias("simhash")
+    )
 
 
 _NGRAM_ORACLE = f"""
