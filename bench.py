@@ -122,6 +122,7 @@ EXTENSION_R4 = [
     "dedup_prefix_filter",
     "dedup_simhash_hamming",
     "curation_leakage_safe_split",
+    "ann_knn_graph",
 ]
 
 

@@ -1175,3 +1175,140 @@ def ivfpq_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def knn_graph(
+    df: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    planes: int = 4,
+    tables: int = 4,
+    dim: int = 64,
+    k: int = 5,
+) -> DataFrame:
+    """Batch kNN-graph construction: for EVERY corpus vector, its top-k
+    approximate nearest neighbors by cosine — the primitive behind
+    graph-based semantic dedup (SemDeDup clusters), kNN-LM datastores,
+    and hard-negative mining. Differs from the ann_*_topk family in
+    that the query set IS the corpus.
+
+    Candidates come from OR-amplified multi-table hyperplane LSH (same
+    machinery as semantic_dup_pairs_multitable): pairs sharing any of
+    `tables` bucket keys, generated once undirected then mirrored.
+    Ranking uses a plain per-source window — NOT the salted two-level
+    top-k — and that is deliberate: the partition key (src vector id)
+    is corpus-cardinality, so partitions are per-vector candidate
+    lists bounded by bucket width (~corpus/2^planes x tables), spread
+    across every task. The two-level spelling exists for the OPPOSITE
+    regime (a handful of literal queries, candidate sets skewed onto
+    few keys); here it would only add a shuffle.
+
+    Returns (src, dst, cosine, rank), rank <= k, ties broken by dst
+    asc. Vectors whose buckets contain no other vector yield no rows.
+    """
+    from sql_engine_spark.functions.vectors import dot, l2_norm
+
+    cols = [
+        lsh_bucket(vec_col, planes, dim, offset=t * planes).alias(f"__b{t}")
+        for t in range(tables)
+    ]
+    wide = df.select(F.col(id_col).alias("__id"), *cols)
+    stack = (
+        f"stack({tables}, "
+        + ", ".join(f"{t}, __b{t}" for t in range(tables))
+        + ") as (__t, __bk)"
+    )
+    rows = wide.selectExpr("__id", stack)
+    a, b = rows.alias("a"), rows.alias("b")
+    und = (
+        a.join(
+            b,
+            (F.col("a.__t") == F.col("b.__t"))
+            & (F.col("a.__bk") == F.col("b.__bk"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(F.col("a.__id").alias("src"), F.col("b.__id").alias("dst"))
+        .distinct()
+    )
+    cands = und.unionByName(
+        und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    vecs = df.select(
+        F.col(id_col).alias("__vid"),
+        F.col(vec_col).alias("__v"),
+        l2_norm(vec_col).alias("__n"),
+    )
+    scored = (
+        cands.join(vecs.alias("va"), F.col("src") == F.col("va.__vid"))
+        .join(vecs.alias("vb"), F.col("dst") == F.col("vb.__vid"))
+        .select(
+            "src",
+            "dst",
+            (dot("va.__v", "vb.__v") / (F.col("va.__n") * F.col("vb.__n"))).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("cosine"), F.asc("dst"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("src", "dst", "cosine", "rank")
+    )
+
+
+def sql_knn_graph(
+    *,
+    planes: int = 4,
+    tables: int = 4,
+    dim: int = 64,
+    k: int = 5,
+    source: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    bucket_cols = ", ".join(
+        f"{sql_lsh_bucket('e', planes, dim, offset=t * planes)} AS b{t}"
+        for t in range(tables)
+    )
+    table_rows = "\nUNION ALL\n".join(
+        f"SELECT id, {t} AS t, b{t} AS bk FROM wide" for t in range(tables)
+    )
+    return f"""
+        WITH v AS (
+            SELECT {id_col} AS id,
+                   list_transform({vec_col}, x -> CAST(x AS DOUBLE)) AS e
+            FROM {source}
+        ),
+        norms AS (
+            SELECT id, e,
+                   sqrt(list_reduce(list_transform(e, x -> x * x), (x, y) -> x + y)) AS n
+            FROM v
+        ),
+        wide AS (SELECT id, e, {bucket_cols} FROM v),
+        rows_t AS ({table_rows}),
+        und AS (
+            SELECT DISTINCT a.id AS src, b.id AS dst
+            FROM rows_t a JOIN rows_t b ON a.t = b.t AND a.bk = b.bk AND a.id < b.id
+        ),
+        cands AS (
+            SELECT src, dst FROM und
+            UNION ALL
+            SELECT dst AS src, src AS dst FROM und
+        ),
+        scored AS (
+            SELECT src, dst,
+                   list_reduce(list_transform(list_zip(va.e, vb.e), p -> p[1] * p[2]),
+                               (x, y) -> x + y) / (va.n * vb.n) AS cosine
+            FROM cands
+            JOIN norms va ON src = va.id
+            JOIN norms vb ON dst = vb.id
+        )
+        SELECT src, dst, cosine, rank FROM (
+            SELECT src, dst, cosine,
+                   CAST(row_number() OVER (PARTITION BY src
+                        ORDER BY cosine DESC, dst ASC) AS BIGINT) AS rank
+            FROM scored
+        ) WHERE rank <= {k}
+    """

@@ -13,6 +13,8 @@ from sql_engine_spark.operators.similarity import (
     lsh_multitable_topk,
     lsh_topk,
     sql_lsh_bucket,
+    knn_graph,
+    sql_knn_graph,
 )
 from sql_engine_spark.registry import register
 
@@ -709,4 +711,23 @@ def ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         planes=3,
         tables=4,
         dim=DIM,
+    )
+
+
+@register(
+    "ann_knn_graph",
+    oracle=sql_knn_graph(planes=4, tables=8, dim=64, k=5),
+    doc="Batch kNN-graph: every corpus vector's top-5 approximate "
+    "cosine neighbors via 8-table x 4-plane OR-amplified LSH — the "
+    "primitive behind SemDeDup clustering, kNN-LM datastores, and "
+    "hard-negative mining. Candidates are bucket-confined (no "
+    "all-pairs stage); ranking is a plain per-source window, correct "
+    "at scale because src is corpus-cardinality (bounded per-vector "
+    "candidate lists spread over all tasks), unlike the few-literal-"
+    "queries regime where the salted two-level top-k is required.",
+)
+def ann_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return knn_graph(
+        emb, id_col="vec_id", vec_col="embedding", planes=4, tables=8, dim=64, k=5
     )

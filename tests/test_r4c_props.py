@@ -196,3 +196,43 @@ def test_leakage_safe_split_invariant(spark, sf_dir):
 
     frac = Counter(s for _, s in assign.values())
     assert frac["train"] > frac["val"] and frac["train"] > frac["test"]
+
+
+def test_knn_graph_recall_floor(spark, sf_dir):
+    """Pin recall@5 of the LSH kNN graph vs exact cosine top-5 — the
+    synthetic embeddings are near-uniform (the hard case for LSH), so
+    the floor is modest; real clustered embeddings do far better at
+    the same parameters."""
+    from sql_engine_spark.functions.vectors import dot, l2_norm
+    from sql_engine_spark.io import load
+    from sql_engine_spark.operators.similarity import knn_graph
+    from pyspark.sql import Window
+
+    emb = load(spark, sf_dir, "embeddings")
+    approx = {
+        (r.src, r.dst)
+        for r in knn_graph(
+            emb, id_col="vec_id", vec_col="embedding", planes=4, tables=8, dim=64, k=5
+        ).collect()
+    }
+    v = emb.select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").alias("e"),
+        l2_norm("embedding").alias("n"),
+    )
+    a, b = v.alias("a"), v.alias("b")
+    w = Window.partitionBy("src").orderBy(F.desc("cosine"), F.asc("dst"))
+    exact = {
+        (r.src, r.dst)
+        for r in a.join(b, F.col("a.id") != F.col("b.id"))
+        .select(
+            F.col("a.id").alias("src"),
+            F.col("b.id").alias("dst"),
+            (dot("a.e", "b.e") / (F.col("a.n") * F.col("b.n"))).alias("cosine"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where("rank <= 5")
+        .collect()
+    }
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.6, recall
