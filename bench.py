@@ -123,6 +123,7 @@ EXTENSION_R4 = [
     "dedup_simhash_hamming",
     "curation_leakage_safe_split",
     "ann_knn_graph",
+    "graph_pagerank_knn",
 ]
 
 

@@ -16,6 +16,7 @@ from sql_engine_spark.operators.similarity import (
     knn_graph,
     sql_knn_graph,
 )
+from sql_engine_spark.operators.graph import sql_pagerank_fixed
 from sql_engine_spark.registry import register
 
 DIM = 64
@@ -731,3 +732,29 @@ def ann_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_graph(
         emb, id_col="vec_id", vec_col="embedding", planes=4, tables=8, dim=64, k=5
     )
+
+
+@register(
+    "graph_pagerank_knn",
+    oracle=sql_pagerank_fixed(
+        "SELECT vec_id AS node FROM embeddings",
+        f"SELECT src, dst FROM ({sql_knn_graph(planes=4, tables=4, dim=64, k=3)})",
+        iterations=3,
+    ),
+    doc="Fixed-iteration PageRank (3 rounds, damping 0.85) over the "
+    "top-3 kNN semantic graph — centrality in embedding space, the "
+    "graph-analytics side of SemDeDup-style curation (high-rank nodes "
+    "are cluster hubs / template centers). One join + one aggregate "
+    "per round (the standard distributed PR loop); contributions are "
+    "DECIMAL-rounded so sums are order-independent and the oracle "
+    "unrolls the identical rounds (operators/graph.py).",
+)
+def graph_pagerank_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sql_engine_spark.operators.graph import pagerank_fixed
+
+    emb = load(spark, sf_dir, "embeddings")
+    edges = knn_graph(
+        emb, id_col="vec_id", vec_col="embedding", planes=4, tables=4, dim=64, k=3
+    ).select("src", "dst")
+    nodes = emb.select(F.col("vec_id").alias("node"))
+    return pagerank_fixed(nodes, edges, iterations=3)
