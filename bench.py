@@ -124,6 +124,8 @@ EXTENSION_R4 = [
     "curation_leakage_safe_split",
     "ann_knn_graph",
     "graph_pagerank_knn",
+    "approx_hll_mergeable_rollup",
+    "events_attribution_first_touch",
 ]
 
 

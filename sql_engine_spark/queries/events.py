@@ -453,3 +453,80 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n").cast("double") / F.col("t").cast("double")).alias("p"),
         )
     )
+
+
+@register(
+    "events_attribution_first_touch",
+    oracle=f"""
+        WITH flagged AS (
+            SELECT user_id, ts, event_id, event_type,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR date_diff('second', lag(ts) OVER w, ts) > {SESSION_GAP_S}
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        sess AS (
+            SELECT user_id, ts, event_id, event_type,
+                   SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                          ROWS UNBOUNDED PRECEDING) AS session_id
+            FROM flagged
+        ),
+        firsts AS (
+            SELECT user_id, session_id,
+                   MIN(ts) AS session_start,
+                   arg_min(event_type, epoch_ns(ts)::HUGEINT * 10000000 + event_id) AS first_touch_type
+            FROM sess GROUP BY user_id, session_id
+        )
+        SELECT s.event_id AS purchase_id, s.user_id, s.ts AS purchase_ts,
+               CAST(s.session_id AS BIGINT) AS session_id,
+               f.session_start, f.first_touch_type
+        FROM sess s JOIN firsts f USING (user_id, session_id)
+        WHERE s.event_type = 'purchase'
+    """,
+    doc="First-touch attribution: each purchase credited to the FIRST "
+    "event of its gap-based session (30-min inactivity) — the "
+    "marketing-analytics composition of sessionization + per-session "
+    "aggregation. Windows are per-user (bounded history); the session "
+    "firsts relation is one hash aggregate joined back on the "
+    "(user, session) key. First event resolved by arg-min over the "
+    "total order (ts, event_id), deterministic cross-engine.",
+)
+def events_attribution_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # Same second-boundary gap spelling as events_sessionize (the oracle
+    # diffs truncated operands).
+    gap = F.expr(
+        "timestampdiff(SECOND, lag(date_trunc('second', ts)) "
+        "OVER (PARTITION BY user_id ORDER BY ts, event_id), date_trunc('second', ts))"
+    )
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(gap.isNull() | (gap > SESSION_GAP_S), 1).otherwise(0).alias("new_session"),
+    )
+    sess = flagged.withColumn(
+        "session_id",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    firsts = sess.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"),
+        F.expr("min_by(event_type, struct(ts, event_id))").alias("first_touch_type"),
+    )
+    return (
+        sess.where(F.col("event_type") == "purchase")
+        .join(firsts, ["user_id", "session_id"])
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            F.col("session_id").cast("long").alias("session_id"),
+            "session_start",
+            "first_touch_type",
+        )
+    )

@@ -835,3 +835,51 @@ def scan_zonemap_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, f"{sf_dir}/orders.parquet", "o_totalprice", 100000, 200000
     )
     return df.select("o_orderkey", "o_custkey", "o_totalprice")
+
+
+@register(
+    "approx_hll_mergeable_rollup",
+    oracle="""
+        SELECT lang,
+               CAST(COUNT(DISTINCT text) AS BIGINT) AS n_texts_exact,
+               CAST((SELECT COUNT(DISTINCT source) FROM documents) AS BIGINT)
+                   AS n_sketches_merged,
+               TRUE AS approx_within_10pct
+        FROM documents GROUP BY lang
+    """,
+    doc="Mergeable-sketch rollup (DataSketches HLL): one fixed-size "
+    "sketch of distinct texts per (source, lang) group, then "
+    "hll_union_agg merges the per-source sketches into per-lang "
+    "estimates WITHOUT re-reading rows — the pre-aggregated-rollup "
+    "pattern that makes 100 TB distinct-count dashboards one sketch "
+    "table instead of one corpus pass per question. HLL registers are "
+    "per-bucket maxima, so the merged estimate is order- and "
+    "partitioning-independent; the oracle-hashed claim is the exact "
+    "NDV plus the estimate landing within 10%.",
+)
+def approx_hll_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    per_source = docs.groupBy("source", "lang").agg(
+        F.hll_sketch_agg(F.xxhash64("text")).alias("__sk")
+    )
+    n_sketches = docs.select(F.countDistinct("source").cast("long").alias("__nsk"))
+    merged = (
+        per_source.groupBy("lang")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("__sk")).alias("__approx"))
+    )
+    exact = docs.groupBy("lang").agg(
+        F.countDistinct("text").cast("long").alias("n_texts_exact")
+    )
+    return (
+        exact.join(merged, "lang")
+        .crossJoin(F.broadcast(n_sketches))
+        .select(
+            "lang",
+            "n_texts_exact",
+            F.col("__nsk").alias("n_sketches_merged"),
+            (
+                F.abs(F.col("__approx") - F.col("n_texts_exact"))
+                <= 0.10 * F.col("n_texts_exact")
+            ).alias("approx_within_10pct"),
+        )
+    )
