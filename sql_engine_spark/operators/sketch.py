@@ -2,10 +2,11 @@
 
 The streaming-sketch answer to "which keys are hot?" at 100 TB: a
 d x w counter matrix replaces a full per-key count. Here the sketch is
-BUILT distributively — each depth row is one map-side-combinable hash
-aggregate into w counters, so the whole sketch is a bounded d*w-row
-relation no matter the corpus size — and then queried by broadcasting
-it back against the distinct keys.
+BUILT distributively in ONE corpus pass — the d bucket ids are computed
+as sibling columns (one md5 each, shared via CSE), stack()ed into
+(row, bucket) pairs and hash-aggregated map-side — so the whole sketch
+is a bounded d*w-row relation no matter the corpus size, and is then
+queried by broadcasting it back against the distinct keys.
 
 The defining CMS guarantee — estimates never UNDERcount — is emitted as
 a deterministic boolean column (est >= exact) so the property itself is
@@ -64,24 +65,29 @@ def countmin_heavy_hitters(
     counter; the boolean pins the CMS overcount-only guarantee."""
     key = F.col(key_col).cast("string")
     base = df.select(key.alias("__k"))
-    # Build: one hash-aggregate per depth row over the SAME shuffle key
-    # width (w buckets) — the sketch relation is depth*width rows total.
-    counters = None
-    for r in range(depth):
-        c = (
-            base.groupBy(_bucket("__k", r, width).alias("__b"))
-            .agg(F.count("*").alias("__n"))
-            .withColumn("__r", F.lit(r))
-        )
-        counters = c if counters is None else counters.unionByName(c)
-    # Query: distinct keys -> their depth buckets -> min counter.
+    # Build: ONE corpus pass. The depth buckets are computed as explicit
+    # columns (shared md5 evaluation via CSE), stack()ed into
+    # (row, bucket) pairs — depth x rows of 16-byte tuples — and hash-
+    # aggregated once. A union of per-row aggregates would re-scan the
+    # corpus `depth` times.
+    bucket_cols = [_bucket("__k", r, width).alias(f"__b{r}") for r in range(depth)]
+    stack = (
+        f"stack({depth}, "
+        + ", ".join(f"{r}, __b{r}" for r in range(depth))
+        + ") as (__r, __b)"
+    )
+    counters = (
+        base.select(*bucket_cols)
+        .selectExpr(stack)
+        .groupBy("__r", "__b")
+        .agg(F.count("*").alias("__n"))
+    )
+    # Query: distinct keys (one corpus aggregate) -> stack the depth
+    # probes from the DISTINCT relation -> min counter.
     keys = base.groupBy("__k").agg(F.count("*").cast("long").alias("exact_count"))
-    est = None
-    for r in range(depth):
-        k = keys.select(
-            "__k", "exact_count", _bucket("__k", r, width).alias("__b"), F.lit(r).alias("__r")
-        )
-        est = k if est is None else est.unionByName(k)
+    est = keys.select("__k", "exact_count", *bucket_cols).selectExpr(
+        "__k", "exact_count", stack
+    )
     return (
         est.join(F.broadcast(counters), ["__r", "__b"])
         .groupBy("__k", "exact_count")
