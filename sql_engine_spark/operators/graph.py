@@ -50,13 +50,18 @@ def pagerank_fixed(
     corpus-of-edges sized, nothing quadratic; rank state is one row
     per node.
     """
+    from sql_engine_spark.operators.dedup import _persist
+
     n_df = nodes.agg(F.count("*").cast("double").alias("__N"))
     base = nodes.select(F.col(node_col).alias("__node")).crossJoin(F.broadcast(n_df))
-    deg = edges.groupBy(F.col(src_col).alias("__src")).agg(
-        F.count("*").cast("double").alias("__deg")
+    # Every iteration re-reads the edge list and its out-degrees; if
+    # `edges` is itself a pipeline (here: the kNN-graph build), an
+    # unpersisted loop recomputes it per round. Caller-owned lifetime.
+    e = _persist(edges.select(F.col(src_col).alias("__src"), F.col(dst_col).alias("__dst")))
+    deg = _persist(
+        e.groupBy("__src").agg(F.count("*").cast("double").alias("__deg"))
     )
     ranks = base.withColumn("__r", F.lit(1.0) / F.col("__N"))
-    e = edges.select(F.col(src_col).alias("__src"), F.col(dst_col).alias("__dst"))
     for _ in range(iterations):
         contrib = (
             e.join(ranks.select(F.col("__node").alias("__src"), "__r"), "__src")

@@ -1209,6 +1209,8 @@ def knn_graph(
     """
     from sql_engine_spark.functions.vectors import dot, l2_norm
 
+    from sql_engine_spark.operators.dedup import _persist
+
     cols = [
         lsh_bucket(vec_col, planes, dim, offset=t * planes).alias(f"__b{t}")
         for t in range(tables)
@@ -1219,7 +1221,10 @@ def knn_graph(
         + ", ".join(f"{t}, __b{t}" for t in range(tables))
         + ") as (__t, __bk)"
     )
-    rows = wide.selectExpr("__id", stack)
+    # Both sides of the self-join read the bucket rows (tables x planes
+    # dot products per vector) — persist, or the signatures compute
+    # twice. Caller-owned lifetime (operators/dedup._persist contract).
+    rows = _persist(wide.selectExpr("__id", stack))
     a, b = rows.alias("a"), rows.alias("b")
     und = (
         a.join(
@@ -1234,10 +1239,12 @@ def knn_graph(
     cands = und.unionByName(
         und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    vecs = df.select(
-        F.col(id_col).alias("__vid"),
-        F.col(vec_col).alias("__v"),
-        l2_norm(vec_col).alias("__n"),
+    vecs = _persist(
+        df.select(
+            F.col(id_col).alias("__vid"),
+            F.col(vec_col).alias("__v"),
+            l2_norm(vec_col).alias("__n"),
+        )
     )
     scored = (
         cands.join(vecs.alias("va"), F.col("src") == F.col("va.__vid"))

@@ -438,6 +438,8 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     "per-doc fold; no corpus-quadratic stage.",
 )
 def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sql_engine_spark.operators.dedup import _persist
+
     docs = load(spark, sf_dir, "documents").withColumn("__t", tokens("text"))
     bg = docs.select(
         "doc_id",
@@ -449,6 +451,10 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("s"),
     ).select("doc_id", "s.pos", "s.w1", "s.w2")
+    # The bigram explode feeds the two count aggregates AND the scoring
+    # probe — persist it or the corpus tokenizes three times (lifecycle:
+    # caller-owned, released by the oracle gate / bench clearCache).
+    bg = _persist(bg)
     c2 = bg.groupBy("w1", "w2").agg(F.count("*").alias("n2"))
     c1 = bg.groupBy("w1").agg(F.count("*").alias("n1"))
     p = (
