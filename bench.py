@@ -126,6 +126,7 @@ EXTENSION_R4 = [
     "graph_pagerank_knn",
     "approx_hll_mergeable_rollup",
     "events_attribution_first_touch",
+    "streaming_countmin_heavy_hitters",
 ]
 
 

@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from sql_engine_spark.functions.numeric import sql_dsum
+from sql_engine_spark.operators.sketch import sql_countmin_heavy_hitters
 from sql_engine_spark.operators.textprep import sql_tokens
 from sql_engine_spark.io import load
 from sql_engine_spark.queries.events import SESSION_GAP_S
@@ -580,3 +581,68 @@ def streaming_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         res = run_to_memory(counts, "stream_vocab_topk", "complete")
     return res.orderBy(F.desc("n"), F.asc("token")).limit(100)
+
+
+@register(
+    "streaming_countmin_heavy_hitters",
+    oracle=sql_countmin_heavy_hitters("user_id", "events", threshold=12),
+    doc="Count-Min sketch maintained AS STREAMING STATE: the event "
+    "stream folds into the bounded (depth x width) counter matrix via "
+    "a complete-mode aggregate — per-trigger state is the sketch "
+    "itself, never per-key counts — and heavy hitters are served "
+    "post-drain by the same broadcast min-join as the batch operator. "
+    "Converges exactly to the batch events_countmin_heavy_hitters: "
+    "CMS counters are order-insensitive sums, the defining property "
+    "that makes sketches streamable.",
+)
+def streaming_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sql_engine_spark.operators.sketch import CMS_DEPTH, CMS_WIDTH, _bucket
+
+    depth, width, threshold = CMS_DEPTH, CMS_WIDTH, 12
+    with _state_partitions(spark):
+        stream = events_stream(spark, sf_dir, N_CHUNKS)
+        base = stream.select(F.col("user_id").cast("string").alias("__k"))
+        bucket_cols = [
+            _bucket("__k", r, width).alias(f"__b{r}") for r in range(depth)
+        ]
+        stack = (
+            f"stack({depth}, "
+            + ", ".join(f"{r}, __b{r}" for r in range(depth))
+            + ") as (__r, __b)"
+        )
+        counters_stream = (
+            base.select(*bucket_cols)
+            .selectExpr(stack)
+            .groupBy("__r", "__b")
+            .agg(F.count("*").alias("__n"))
+        )
+        counters = run_to_memory(counters_stream, "stream_cms", "complete")
+    # Serve: identical to the batch operator's query side.
+    ev = load(spark, sf_dir, "events")
+    keys = (
+        ev.select(F.col("user_id").cast("string").alias("__k"))
+        .groupBy("__k")
+        .agg(F.count("*").cast("long").alias("exact_count"))
+    )
+    bucket_cols = [_bucket("__k", r, width).alias(f"__b{r}") for r in range(depth)]
+    stack = (
+        f"stack({depth}, "
+        + ", ".join(f"{r}, __b{r}" for r in range(depth))
+        + ") as (__r, __b)"
+    )
+    est = keys.select("__k", "exact_count", *bucket_cols).selectExpr(
+        "__k", "exact_count", stack
+    )
+    return (
+        est.join(F.broadcast(counters), ["__r", "__b"])
+        .groupBy("__k", "exact_count")
+        .agg(F.min("__n").cast("long").alias("est_count"))
+        .where(F.col("est_count") >= threshold)
+        .select(
+            F.col("__k").alias("key"),
+            "est_count",
+            "exact_count",
+            (F.col("est_count") >= F.col("exact_count")).alias("never_undercounts"),
+        )
+    )
+

@@ -255,3 +255,34 @@ def test_compact_dataset_recovers_stale_swap_dirs(spark, sf_dir, tmp_path):
     assert spark.read.parquet(path).count() == expected
     assert not os.path.exists(path + ".__compact_old__")
     assert not os.path.exists(path + ".__compact_tmp__")
+
+
+def test_bucketed_scan_prunes_buckets(spark, sf_dir, tmp_path):
+    """Point lookups on a bucketed table must read a strict subset of
+    buckets (SelectedBucketsCount in the scan) — the read-side payoff
+    of paying the bucket shuffle at write time."""
+    from sql_engine_spark.plans.audit import explain_str
+    from sql_engine_spark.sinks import write_bucketed
+
+    o = load(spark, sf_dir, "orders")
+    write_bucketed(
+        o, "bp_orders", str(tmp_path / "bp_orders"),
+        bucket_by=["o_custkey"], num_buckets=8,
+    )
+    prev = spark.conf.get("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+    try:
+        # autoBucketedScan drops the bucketed layout for filter-only
+        # plans (no shuffle to save); disable it to exercise pruning.
+        spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+        df = spark.table("bp_orders").where(F.col("o_custkey") == 7)
+        plan = explain_str(df, "formatted")
+        import re
+        m = re.search(r"SelectedBucketsCount: (\d+) \(out of (\d+)\)|SelectedBucketsCount: (\d+) out of (\d+)", plan)
+        assert m, plan
+        sel, tot = (m.group(1) or m.group(3)), (m.group(2) or m.group(4))
+        assert int(sel) == 1 and int(tot) == 8
+        got = {r.o_custkey for r in df.collect()}
+        assert got <= {7}
+    finally:
+        spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", prev)
+        spark.sql("DROP TABLE IF EXISTS bp_orders")
