@@ -127,6 +127,7 @@ EXTENSION_R4 = [
     "approx_hll_mergeable_rollup",
     "events_attribution_first_touch",
     "streaming_countmin_heavy_hitters",
+    "join_interval_overlap",
 ]
 
 

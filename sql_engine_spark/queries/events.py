@@ -530,3 +530,116 @@ def events_attribution_first_touch(spark: SparkSession, sf_dir: str) -> DataFram
             "first_touch_type",
         )
     )
+
+
+_OVL_CELL_S = 3600
+
+
+@register(
+    "join_interval_overlap",
+    oracle=f"""
+        WITH flagged AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR date_diff('second', lag(ts) OVER w, ts) > {SESSION_GAP_S}
+                        THEN 1 ELSE 0 END AS ns
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        sess AS (
+            SELECT user_id, ts,
+                   SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+            FROM flagged
+        ),
+        iv AS (
+            SELECT user_id, CAST(sid AS BIGINT) AS sid,
+                   MIN(ts) AS s, MAX(ts) AS e
+            FROM sess GROUP BY user_id, sid
+        )
+        SELECT a.user_id AS user_a, a.sid AS session_a,
+               b.user_id AS user_b, b.sid AS session_b,
+               greatest(a.s, b.s) AS overlap_start,
+               least(a.e, b.e) AS overlap_end,
+               CAST(date_diff('second', greatest(a.s, b.s), least(a.e, b.e))
+                    AS BIGINT) AS overlap_s
+        FROM iv a JOIN iv b
+          ON a.user_id < b.user_id AND a.s <= b.e AND b.s <= a.e
+    """,
+    doc="Interval-overlap join: pairs of DIFFERENT users' sessions that "
+    "overlap in time — the join type behind concurrency analysis, "
+    "co-presence, and conflict detection. A naive overlap theta-join "
+    "is planned as a nested loop (quadratic); the scale spelling "
+    "decomposes time into 1-hour cells, explodes each interval to its "
+    "covered cells (bounded by duration/cell), equi-joins on the cell, "
+    "dedupes candidates, and verifies the exact overlap predicate — "
+    "the standard spatial-join grid trick applied to time. The oracle "
+    "IS the naive theta join, so completeness of the decomposition is "
+    "what the hash comparison proves.",
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.expr(
+        "timestampdiff(SECOND, lag(date_trunc('second', ts)) "
+        "OVER (PARTITION BY user_id ORDER BY ts, event_id), date_trunc('second', ts))"
+    )
+    sess = ev.select(
+        "user_id",
+        "ts",
+        F.sum(F.when(gap.isNull() | (gap > SESSION_GAP_S), 1).otherwise(0))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("sid"),
+    )
+    iv = sess.groupBy("user_id", F.col("sid").cast("long").alias("sid")).agg(
+        F.min("ts").alias("s"), F.max("ts").alias("e")
+    )
+    epoch = "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {})"
+    cells = iv.select(
+        "user_id",
+        "sid",
+        "s",
+        "e",
+        F.explode(
+            F.expr(
+                f"sequence(CAST({epoch.format('s')} AS BIGINT) DIV {_OVL_CELL_S}, "
+                f"CAST({epoch.format('e')} AS BIGINT) DIV {_OVL_CELL_S})"
+            )
+        ).alias("__cell"),
+    )
+    a, b = cells.alias("a"), cells.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.__cell") == F.col("b.__cell"))
+            & (F.col("a.user_id") < F.col("b.user_id")),
+        )
+        .select(
+            F.col("a.user_id").alias("user_a"),
+            F.col("a.sid").alias("session_a"),
+            F.col("b.user_id").alias("user_b"),
+            F.col("b.sid").alias("session_b"),
+            F.col("a.s").alias("sa"),
+            F.col("a.e").alias("ea"),
+            F.col("b.s").alias("sb"),
+            F.col("b.e").alias("eb"),
+        )
+        .dropDuplicates(["user_a", "session_a", "user_b", "session_b"])
+    )
+    return (
+        cand.where((F.col("sa") <= F.col("eb")) & (F.col("sb") <= F.col("ea")))
+        .select(
+            "user_a",
+            "session_a",
+            "user_b",
+            "session_b",
+            F.greatest("sa", "sb").alias("overlap_start"),
+            F.least("ea", "eb").alias("overlap_end"),
+            F.expr(
+                "timestampdiff(SECOND, date_trunc('second', greatest(sa, sb)), "
+                "date_trunc('second', least(ea, eb)))"
+            )
+            .cast("long")
+            .alias("overlap_s"),
+        )
+    )
