@@ -128,6 +128,8 @@ EXTENSION_R4 = [
     "events_attribution_first_touch",
     "streaming_countmin_heavy_hitters",
     "join_interval_overlap",
+    "dedup_exact_normalized",
+    "events_path_mining",
 ]
 
 

@@ -605,3 +605,37 @@ def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_hamming_pairs(
         docs, "doc_id", "text", bits=32, n_blocks=4, max_hamming=2
     )
+
+
+@register(
+    "dedup_exact_normalized",
+    oracle="""
+        WITH n AS (
+            SELECT doc_id,
+                   md5(trim(regexp_replace(lower(text), '[^a-z0-9 ]+', ' ', 'g')))
+                       AS h
+            FROM documents
+        )
+        SELECT MIN(doc_id) AS rep_id, COUNT(*) AS n_copies,
+               COUNT(*) > 1 AS is_dup_group
+        FROM n GROUP BY h
+    """,
+    doc="Exact dedup after text normalization (lowercase, strip "
+    "non-alphanumerics, collapse runs) — the cheap first-line dedup "
+    "every production pipeline runs before MinHash: catches "
+    "case/punctuation/whitespace variants plain md5 misses. Same "
+    "single map-side-combinable hash-aggregate shape as dedup_exact. "
+    "DuckDB regexp_replace needs the explicit 'g' flag (Spark always "
+    "replaces all — see the verify notes).",
+)
+def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "__key",
+        F.md5(
+            F.trim(F.regexp_replace(F.lower("text"), "[^a-z0-9 ]+", " "))
+        ),
+    )
+    grouped = D.exact_dedup_groups(docs, ["__key"], "doc_id")
+    return grouped.select(
+        "rep_id", "n_copies", (F.col("n_copies") > 1).alias("is_dup_group")
+    )

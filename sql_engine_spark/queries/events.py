@@ -643,3 +643,46 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("overlap_s"),
         )
     )
+
+
+@register(
+    "events_path_mining",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, event_type,
+                   lag(event_type, 1) OVER w AS p1,
+                   lag(event_type, 2) OVER w AS p2
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        SELECT p2 AS step1, p1 AS step2, event_type AS step3,
+               COUNT(*) AS n
+        FROM seq WHERE p2 IS NOT NULL
+        GROUP BY p2, p1, event_type
+        ORDER BY n DESC, step1, step2, step3
+        LIMIT 20
+    """,
+    doc="Path mining: the 20 most common 3-step event sequences across "
+    "all users — the product-analytics 'what do users do next' query. "
+    "Two lags over the per-user total order (bounded windows), one "
+    "map-side-combinable count on a types^3-bounded key, TakeOrdered "
+    "top-20 with full deterministic tie-breaks.",
+)
+def events_path_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.lag("event_type", 1).over(w).alias("p1"),
+        F.lag("event_type", 2).over(w).alias("p2"),
+    ).where(F.col("p2").isNotNull())
+    return (
+        seq.groupBy(
+            F.col("p2").alias("step1"),
+            F.col("p1").alias("step2"),
+            F.col("event_type").alias("step3"),
+        )
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "step1", "step2", "step3")
+        .limit(20)
+    )
