@@ -286,3 +286,74 @@ def test_bucketed_scan_prunes_buckets(spark, sf_dir, tmp_path):
     finally:
         spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", prev)
         spark.sql("DROP TABLE IF EXISTS bp_orders")
+
+
+def test_dynamic_partition_pruning(spark, sf_dir, tmp_path):
+    """Joining a partitioned fact against a FILTERED dim must inject a
+    dynamic pruning subquery on the fact's partition column — the
+    runtime analogue of static partition pruning, and the single
+    biggest scan-saver on star joins over partitioned 100 TB tables."""
+    from sql_engine_spark.plans.audit import explain_str
+
+    o = load(spark, sf_dir, "orders")
+    path = str(tmp_path / "orders_part")
+    o.write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
+    fact = spark.read.parquet(path)
+    dim = (
+        spark.createDataFrame(
+            [("F", "finished"), ("O", "open"), ("P", "pending")],
+            ["status", "label"],
+        )
+        .where(F.col("label") == "open")
+    )
+    prev = spark.conf.get("spark.sql.optimizer.dynamicPartitionPruning.enabled")
+    try:
+        spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
+        # Defeat the broadcast-reuse shortcut threshold so the DPP filter
+        # is visible regardless of dim size heuristics.
+        joined = fact.join(dim, fact.o_orderstatus == dim.status).select(
+            "o_orderkey", "label"
+        )
+        plan = explain_str(joined, "formatted")
+        assert "dynamicpruning" in plan.lower(), plan
+        # Correctness: equals the statically-filtered scan.
+        expected = fact.where(F.col("o_orderstatus") == "O").count()
+        assert joined.count() == expected
+    finally:
+        spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", prev)
+
+
+def test_runtime_bloom_filter_injection(spark, sf_dir):
+    """With broadcast off (the big-join regime), Catalyst must inject a
+    runtime Bloom filter from the selective dim side into the fact scan
+    (might_contain in the plan) — the shuffle-join row-reducer that
+    matters when both sides are too big to broadcast at 100 TB."""
+    from sql_engine_spark.plans.audit import explain_str
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+    }
+    prev = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li, o = load(spark, sf_dir, "lineitem"), load(spark, sf_dir, "orders")
+        j = li.join(
+            o.where(F.col("o_totalprice") > 400000),
+            li.l_orderkey == o.o_orderkey,
+        ).select("l_orderkey", "l_quantity")
+        plan = explain_str(j, "simple")
+        assert "might_contain" in plan.lower(), plan
+        # Correctness unchanged by the filter.
+        expected = (
+            li.join(
+                o.where(F.col("o_totalprice") > 400000).hint("broadcast"),
+                li.l_orderkey == o.o_orderkey,
+            ).count()
+        )
+        assert j.count() == expected
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
