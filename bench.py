@@ -130,6 +130,7 @@ EXTENSION_R4 = [
     "join_interval_overlap",
     "dedup_exact_normalized",
     "events_path_mining",
+    "streaming_materialized_agg",
 ]
 
 

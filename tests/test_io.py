@@ -357,3 +357,20 @@ def test_runtime_bloom_filter_injection(spark, sf_dir):
     finally:
         for k, v in prev.items():
             spark.conf.set(k, v)
+
+
+def test_schema_evolution_merge_read(spark, tmp_path):
+    """Two parquet batches with evolved schemas (added column) must read
+    as one table under mergeSchema, old rows NULL-filled — the
+    lakehouse schema-drift contract for long-lived ingest paths."""
+    path = str(tmp_path / "evolving")
+    spark.range(3).select(F.col("id"), F.lit("a").alias("v1")).write.mode(
+        "append"
+    ).parquet(path)
+    spark.range(3, 5).select(
+        F.col("id"), F.lit("b").alias("v1"), F.lit(1.5).alias("v2")
+    ).write.mode("append").parquet(path)
+    df = spark.read.option("mergeSchema", "true").parquet(path)
+    assert set(df.columns) == {"id", "v1", "v2"}
+    rows = {r.id: (r.v1, r.v2) for r in df.collect()}
+    assert rows[0] == ("a", None) and rows[4] == ("b", 1.5)
