@@ -131,6 +131,7 @@ EXTENSION_R4 = [
     "dedup_exact_normalized",
     "events_path_mining",
     "streaming_materialized_agg",
+    "pipeline_feature_matrix",
 ]
 
 

@@ -11,7 +11,7 @@ from pyspark.sql import functions as F
 
 from sql_engine_spark.io import load
 from sql_engine_spark.operators import text as T
-from sql_engine_spark.operators.textprep import sql_tokens
+from sql_engine_spark.operators.textprep import sql_tokens, tokens
 from sql_engine_spark.registry import register
 
 _TOKS = sql_tokens("text")
@@ -239,4 +239,59 @@ def pipeline_curate_full(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("n_tokens"),
         )
+    )
+
+
+@register(
+    "pipeline_feature_matrix",
+    oracle=f"""
+        WITH scores AS ({T.sql_hashed_linear_score()}),
+        dups AS (
+            SELECT doc_id, COUNT(*) OVER (PARTITION BY md5(text)) > 1 AS is_exact_dup
+            FROM documents
+        ),
+        diversity AS (
+            SELECT doc_id,
+                   len(list_distinct({sql_tokens('text')}))
+                       / len({sql_tokens('text')}) AS type_token_ratio
+            FROM documents
+        )
+        SELECT d.doc_id, d.lang, d.source,
+               s.n_tokens, s.score, s.label,
+               p.is_exact_dup,
+               v.type_token_ratio
+        FROM documents d
+        JOIN scores s USING (doc_id)
+        JOIN dups p USING (doc_id)
+        JOIN diversity v USING (doc_id)
+    """,
+    doc="Training-feature matrix assembly: the capstone join that turns "
+    "independent per-document signals (linear quality score, exact-dup "
+    "flag, lexical diversity) into ONE wide table keyed by doc_id — "
+    "what a data-selection model actually consumes. Each feature "
+    "branch is map/agg work; the assembly is equi-joins on the "
+    "high-cardinality doc key (co-partitioned by AQE), never a "
+    "broadcast of anything corpus-sized.",
+)
+def pipeline_feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sql_engine_spark.operators.text import hashed_linear_score
+
+    docs = load(spark, sf_dir, "documents")
+    scores = hashed_linear_score(docs, id_col="doc_id", text_col="text")
+    dup_w = Window.partitionBy(F.md5("text"))
+    dups = docs.select(
+        "doc_id", (F.count("*").over(dup_w) > 1).alias("is_exact_dup")
+    )
+    toks = tokens("text")
+    diversity = docs.select(
+        "doc_id",
+        (
+            F.size(F.array_distinct(toks)).cast("double") / F.size(toks).cast("double")
+        ).alias("type_token_ratio"),
+    )
+    return (
+        docs.select("doc_id", "lang", "source")
+        .join(scores.select("doc_id", "n_tokens", "score", "label"), "doc_id")
+        .join(dups, "doc_id")
+        .join(diversity, "doc_id")
     )

@@ -374,3 +374,31 @@ def test_schema_evolution_merge_read(spark, tmp_path):
     assert set(df.columns) == {"id", "v1", "v2"}
     rows = {r.id: (r.v1, r.v2) for r in df.collect()}
     assert rows[0] == ("a", None) and rows[4] == ("b", 1.5)
+
+
+def test_bucketed_aggregate_no_exchange(spark, sf_dir, tmp_path):
+    """GROUP BY on the bucket column of a bucketed table must aggregate
+    with ZERO exchanges — the write-once-shuffle payoff for repeated
+    aggregations, same contract as the bucketed join."""
+    from sql_engine_spark.plans.audit import explain_str
+    from sql_engine_spark.sinks import write_bucketed
+
+    o = load(spark, sf_dir, "orders")
+    write_bucketed(
+        o, "ba_orders", str(tmp_path / "ba_orders"),
+        bucket_by=["o_custkey"], num_buckets=4,
+    )
+    try:
+        agg = (
+            spark.table("ba_orders")
+            .groupBy("o_custkey")
+            .agg(F.count("*").alias("n"), F.max("o_totalprice").alias("mx"))
+        )
+        plan = explain_str(agg)
+        assert "Exchange" not in plan, plan
+        expected = sorted(
+            map(tuple, o.groupBy("o_custkey").agg(F.count("*"), F.max("o_totalprice")).collect())
+        )
+        assert sorted(map(tuple, agg.collect())) == expected
+    finally:
+        spark.sql("DROP TABLE IF EXISTS ba_orders")
