@@ -531,14 +531,19 @@ def sorted_neighborhood_pairs(
             F.concat_ws("|", F.col("__key"), F.lpad(F.col("__id").cast("string"), 12, "0")),
         )
     )
-    ranked = bucketed_running_sum(
-        base.withColumn("__one", F.lit(1).cast("long")),
-        part_cols=[],
-        order_col="__ord",
-        value_col="__one",
-        bucket=hex_prefix_bucket("__key", rank_buckets),
-        out_col="__rnk",
-    ).drop("__one", "__ord", "__key")
+    # Both sides of the pair equi-join read the ranked relation —
+    # persist it (caller-owned lifetime, like every sibling operator)
+    # or the tokenize/md5/two-level-rank pipeline runs twice.
+    ranked = _persist(
+        bucketed_running_sum(
+            base.withColumn("__one", F.lit(1).cast("long")),
+            part_cols=[],
+            order_col="__ord",
+            value_col="__one",
+            bucket=hex_prefix_bucket("__key", rank_buckets),
+            out_col="__rnk",
+        ).drop("__one", "__ord", "__key")
+    )
     right = ranked.select(
         F.col("__id").alias("__id_b"),
         F.col("__tset").alias("__tset_b"),
@@ -603,68 +608,6 @@ def sql_sorted_neighborhood(
     """
 
 
-def minhash_lsh_pairs_incremental(
-    new_df: DataFrame,
-    base_df: DataFrame,
-    id_col: str,
-    text_col: str,
-    *,
-    shingle_k: int = 3,
-    num_hashes: int = 8,
-    bands: int = 4,
-    threshold: float = 0.2,
-) -> DataFrame:
-    """Continuous-ingest dedup: near-dup pairs BETWEEN a new batch and
-    the existing corpus (new_id, base_id, jaccard >= threshold).
-
-    The self-join variant (minhash_lsh_pairs) re-shingles everything on
-    every run; a production ingest pipeline instead keeps the corpus
-    side as a PRECOMPUTED signature/bucket table (pay the shingle +
-    minhash map once per document ever, append per batch) and
-    band-joins each incoming batch against it — the join is
-    new-batch-sized on one side, so daily ingest cost is O(batch), not
-    O(corpus). Here both sides derive inline from parquet (the testdata
-    has no materialized index); the plan shape — band equi-join, no
-    self-join, exact verify on candidates only — is the same one that
-    runs against the stored table.
-
-    Same one-permutation minhash + banding as minhash_lsh_pairs; both
-    sides' pipelines are identical expressions so the oracle can spell
-    them once.
-    """
-    rows_per_band = num_hashes // bands
-
-    def prep(df: DataFrame, tag: str) -> tuple[DataFrame, DataFrame]:
-        docs = _persist(
-            df.select(F.col(id_col).alias("__id"), tokens(text_col).alias("__tokens"))
-            .withColumn("__sh", shingles("__tokens", shingle_k))
-            .withColumn("__shset", F.array_distinct("__sh"))
-            .select("__id", "__shset")
-        )
-        key_cols = [
-            F.md5(
-                F.concat_ws("|", F.slice("__sig", b * rows_per_band + 1, rows_per_band))
-            ).alias(f"__k{b}")
-            for b in range(bands)
-        ]
-        stack_expr = (
-            f"stack({bands}, "
-            + ", ".join(f"{b}, __k{b}" for b in range(bands))
-            + ") as (__band, __key)"
-        )
-        buckets = (
-            docs.withColumn("__dig", shingle_digests("__shset"))
-            .withColumn("__sig", minhash_signature("__dig", num_hashes))
-            .select("__id", *key_cols)
-            .select(F.col("__id").alias(f"{tag}_id"), F.expr(stack_expr))
-        )
-        return docs, buckets
-
-    new_docs, new_buckets = prep(new_df, "new")
-    base_docs, base_buckets = prep(base_df, "base")
-    return _incremental_from_buckets(
-        new_docs, new_buckets, base_docs, base_buckets, threshold
-    )
 
 
 def _incremental_from_buckets(new_docs, new_buckets, base_docs, base_buckets, threshold):
@@ -695,10 +638,10 @@ def minhash_lsh_pairs_split(
     bands: int = 4,
     threshold: float = 0.2,
 ) -> DataFrame:
-    """minhash_lsh_pairs_incremental for the shared-source case: when
-    the new batch and the corpus live in ONE table split by a
-    predicate, shingle + minhash + band the table ONCE and split at the
-    bucket level — half the map work of preparing each side separately,
+    """Continuous-ingest dedup for the shared-source case: when the new
+    batch and the corpus live in ONE table split by a predicate,
+    shingle + minhash + band the table ONCE and split at the bucket
+    level — half the map work of preparing each side separately,
     and exactly the plan that runs against a materialized signature
     table (one bucket relation, filtered per side).
 

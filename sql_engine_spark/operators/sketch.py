@@ -85,6 +85,27 @@ def countmin_heavy_hitters(
     # Query: distinct keys (one corpus aggregate) -> stack the depth
     # probes from the DISTINCT relation -> min counter.
     keys = base.groupBy("__k").agg(F.count("*").cast("long").alias("exact_count"))
+    return cms_estimate(keys, counters, threshold=threshold, depth=depth, width=width)
+
+
+def cms_estimate(
+    keys: DataFrame,
+    counters: DataFrame,
+    *,
+    threshold: int,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Serve side of the sketch, shared by the batch and streaming
+    variants: probe each key's depth buckets against the (broadcast)
+    counter relation, estimate = min counter, emit the overcount-bound
+    boolean. `keys` must have columns (__k, exact_count)."""
+    bucket_cols = [_bucket("__k", r, width).alias(f"__b{r}") for r in range(depth)]
+    stack = (
+        f"stack({depth}, "
+        + ", ".join(f"{r}, __b{r}" for r in range(depth))
+        + ") as (__r, __b)"
+    )
     est = keys.select("__k", "exact_count", *bucket_cols).selectExpr(
         "__k", "exact_count", stack
     )

@@ -52,8 +52,15 @@ def pruned_read(
     intersects [lo, hi], then re-apply the row filter. Returns
     (dataframe, files_kept, files_total)."""
     stats = collect_file_stats(spark, path, col).collect()
+    # A file whose stats are NULL holds only NULL values for `col`; no
+    # row of it can satisfy BETWEEN, so it is safely skipped (and the
+    # None comparison that would otherwise raise is avoided).
     keep = [
-        r.file for r in stats if not (r.max_val < lo or r.min_val > hi)
+        r.file
+        for r in stats
+        if r.min_val is not None
+        and r.max_val is not None
+        and not (r.max_val < lo or r.min_val > hi)
     ]
     df = (
         spark.read.parquet(*keep)

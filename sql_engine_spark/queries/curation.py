@@ -704,11 +704,19 @@ def curation_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Split assignment: cluster-hash thresholds shared by the Spark side
 # and the oracle.
+# Exact INTEGER thresholds (4294967296 * 8 // 10, * 9 // 10): spelling
+# them as 0.8 * 2^32 invites engine-specific float->int conversion —
+# Python int() truncates (...836) while DuckDB CAST rounds (...837), a
+# one-in-2^32 boundary flake caught in review.
+_SPLIT_T_TRAIN = 3435973836
+_SPLIT_T_VAL = 3865470566
+
+
 def _split_expr(cluster_expr: str) -> str:
     u = _sql_hex_to_int(f"md5(CAST({cluster_expr} AS VARCHAR))", 8)
     return (
-        f"CASE WHEN {u} < CAST(0.8 * 4294967296.0 AS BIGINT) THEN 'train' "
-        f"WHEN {u} < CAST(0.9 * 4294967296.0 AS BIGINT) THEN 'val' "
+        f"CASE WHEN {u} < {_SPLIT_T_TRAIN} THEN 'train' "
+        f"WHEN {u} < {_SPLIT_T_VAL} THEN 'val' "
         f"ELSE 'test' END"
     )
 
@@ -767,8 +775,8 @@ def curation_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             cluster.alias("cluster_id"),
-            F.when(u < F.lit(int(0.8 * 4294967296)), "train")
-            .when(u < F.lit(int(0.9 * 4294967296)), "val")
+            F.when(u < F.lit(_SPLIT_T_TRAIN), "train")
+            .when(u < F.lit(_SPLIT_T_VAL), "val")
             .otherwise("test")
             .alias("split"),
         )

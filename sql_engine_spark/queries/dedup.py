@@ -520,7 +520,7 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT id_a, id_b FROM ({_sql_minhash_lsh(3, 8, 4, 0.2)})
         ),
         sem_pairs AS (
-            SELECT id_a, id_b FROM ({_EMB_ORACLE.replace('label', 'label').strip()})
+            SELECT id_a, id_b FROM ({_EMB_ORACLE.strip()})
         )
         SELECT COALESCE(t.id_a, s.id_a) AS id_a,
                COALESCE(t.id_b, s.id_b) AS id_b,

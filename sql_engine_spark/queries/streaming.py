@@ -617,34 +617,16 @@ def streaming_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFr
             .agg(F.count("*").alias("__n"))
         )
         counters = run_to_memory(counters_stream, "stream_cms", "complete")
-    # Serve: identical to the batch operator's query side.
+    # Serve: the exact batch serve side, shared via cms_estimate.
+    from sql_engine_spark.operators.sketch import cms_estimate
+
     ev = load(spark, sf_dir, "events")
     keys = (
         ev.select(F.col("user_id").cast("string").alias("__k"))
         .groupBy("__k")
         .agg(F.count("*").cast("long").alias("exact_count"))
     )
-    bucket_cols = [_bucket("__k", r, width).alias(f"__b{r}") for r in range(depth)]
-    stack = (
-        f"stack({depth}, "
-        + ", ".join(f"{r}, __b{r}" for r in range(depth))
-        + ") as (__r, __b)"
-    )
-    est = keys.select("__k", "exact_count", *bucket_cols).selectExpr(
-        "__k", "exact_count", stack
-    )
-    return (
-        est.join(F.broadcast(counters), ["__r", "__b"])
-        .groupBy("__k", "exact_count")
-        .agg(F.min("__n").cast("long").alias("est_count"))
-        .where(F.col("est_count") >= threshold)
-        .select(
-            F.col("__k").alias("key"),
-            "est_count",
-            "exact_count",
-            (F.col("est_count") >= F.col("exact_count")).alias("never_undercounts"),
-        )
-    )
+    return cms_estimate(keys, counters, threshold=threshold, depth=depth, width=width)
 
 
 

@@ -186,3 +186,25 @@ def test_point_in_time_no_lateral_quadratic(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
         assert "o_custkey" in m.group(1).split(",")[0]
+
+
+def test_zonemap_all_null_file_skipped(spark, tmp_path):
+    """A file whose stats column is entirely NULL must be skipped, not
+    crash the driver-side range check (review finding)."""
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    from sql_engine_spark.operators.zonemap import pruned_read
+
+    schema = StructType(
+        [StructField("id", LongType()), StructField("v", DoubleType())]
+    )
+    path = str(tmp_path / "nullzone")
+    spark.createDataFrame([(1, 5.0), (2, 50.0)], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(path)
+    spark.createDataFrame([(3, None), (4, None)], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(path)
+    df, kept, total = pruned_read(spark, path, "v", 0.0, 100.0)
+    assert total == 2 and kept == 1
+    assert sorted(r.id for r in df.collect()) == [1, 2]
