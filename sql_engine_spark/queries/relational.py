@@ -820,13 +820,16 @@ def join_null_aware_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE o_totalprice BETWEEN 100000 AND 200000
     """,
     doc="Zone-map file skipping (the Delta/Iceberg data-skipping "
-    "posture, operators/zonemap.py): per-file min/max stats prune whole "
-    "files before the scan is planned; the row filter re-applies on the "
-    "survivors, so the result is definitionally the plain filtered "
-    "scan — which is what the oracle checks. The file list collect is "
-    "metadata-bounded (file count), the same thing a table format's "
-    "planner reads from its log. tests/test_r4b_ops.py drives the "
-    "actual multi-file skip.",
+    "posture, operators/zonemap.py): per-file min/max stats read from "
+    "PARQUET FOOTERS driver-side (pyarrow metadata — zero row reads, "
+    "no Spark job; round-4 review retired the scan-based stats build) "
+    "prune whole files before the scan is planned; the row filter "
+    "re-applies on the survivors, so the result is definitionally the "
+    "plain filtered scan — which is what the oracle checks. The file "
+    "list is metadata-bounded (file count), the same thing a table "
+    "format's planner reads from its log. tests/test_r4b_ops.py drives "
+    "the actual multi-file skip; tests/test_r5_fixes.py pins "
+    "footer-stats == full-scan-stats and the no-scan stats build.",
 )
 def scan_zonemap_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sql_engine_spark.operators.zonemap import pruned_read
