@@ -237,6 +237,24 @@ def main() -> int:
         out["companion_total"] = round(sum(companion.values()), 3)
         out["companion_queries"] = companion
     print(json.dumps(out))
+    # The full line above is several KB; a bounded stdout-tail capture
+    # can truncate its head and lose the round-over-round headline
+    # numbers (BENCH_r04 did exactly that). Repeat just the totals as a
+    # compact LAST line so any tail keeps them and a parse-the-last-line
+    # reader gets valid JSON.
+    summary = {
+        "metric": "headline_total_wall",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "headline_total": total,
+        "curation_total": cur_total,
+        "extension_total": ext_total,
+        "extension_r4_total": r4_total,
+    }
+    if companion:
+        summary["companion_total"] = out["companion_total"]
+    print(json.dumps(summary), flush=True)
     return 0
 
 

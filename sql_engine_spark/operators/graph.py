@@ -41,6 +41,7 @@ def pagerank_fixed(
     dst_col: str = "dst",
     iterations: int = 3,
     damping: float = DAMPING,
+    checkpoint_every: int | None = None,
 ) -> DataFrame:
     """(node, pagerank) after `iterations` rounds from a uniform start.
 
@@ -49,6 +50,16 @@ def pagerank_fixed(
     src and the contribution aggregate keyed by dst — both
     corpus-of-edges sized, nothing quadratic; rank state is one row
     per node.
+
+    The rank lineage nests one join+aggregate per round; at the
+    default 3 iterations that is a fine single plan, at 10+ the plan
+    tree (and Catalyst analysis time) grows superlinearly.
+    `checkpoint_every=k` truncates lineage with localCheckpoint every
+    k rounds — the connected_components_fixed discipline
+    (operators/dedup.py): downstream plans see a flat LogicalRDD scan.
+    Defaults to None (pure lazy plan) for <=5 iterations and should be
+    set (e.g. 2-3) beyond that; on a real cluster swap in checkpoint()
+    to reliable storage so the loop survives executor loss.
     """
     from sql_engine_spark.operators.dedup import _persist
 
@@ -62,7 +73,7 @@ def pagerank_fixed(
         e.groupBy("__src").agg(F.count("*").cast("double").alias("__deg"))
     )
     ranks = base.withColumn("__r", F.lit(1.0) / F.col("__N"))
-    for _ in range(iterations):
+    for it in range(iterations):
         contrib = (
             e.join(ranks.select(F.col("__node").alias("__src"), "__r"), "__src")
             .join(deg, "__src")
@@ -82,6 +93,8 @@ def pagerank_fixed(
                 ).alias("__r"),
             )
         )
+        if checkpoint_every and (it + 1) % checkpoint_every == 0:
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks.select(F.col("__node").alias(node_col), F.col("__r").alias("pagerank"))
 
 

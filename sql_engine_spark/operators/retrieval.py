@@ -141,9 +141,16 @@ def bm25_topk(
         # JVM and glibc in the last ulp (measured on this corpus:
         # Math.log(0x1.451c3a672dbfcp+0) = ...376 vs glibc ...377), so
         # the idf stays the raw odds ratio — pure rational arithmetic,
-        # bit-reproducible in any IEEE-754 engine. This rescales term
-        # weights monotonically; plug F.log back in where cross-engine
-        # bit-equality is not a requirement.
+        # bit-reproducible in any IEEE-754 engine. CAVEAT (round-4
+        # advice): dropping the log is monotone PER TERM but the
+        # per-document SUM over several terms is NOT rank-equivalent
+        # to true BM25 — a rare term's un-logged idf dominates far
+        # harder than its logged form, so multi-term top-k lists CAN
+        # differ from canonical BM25, beyond any rescale. This
+        # operator's contract is "deterministic BM25-family scorer,
+        # exact cross-engine"; where canonical BM25 ranking matters
+        # more than bit-equality, plug F.log back in here (and ln() in
+        # sql_bm25_topk) and accept hash-compare on rank only.
         .withColumn(
             "idf",
             (F.col("n_docs") - F.col("dfreq") + F.lit(0.5))

@@ -86,6 +86,31 @@ def two_level_topk(
     )
 
 
+def derived_planes(
+    n_rows: int, *, target_bucket_rows: int = 1024, floor: int = 4, cap: int = 20
+) -> int:
+    """Hyperplane count sized to the CORPUS, not a constant: with `p`
+    planes, expected bucket size is n / 2^p, so p = ceil(log2(n /
+    target_bucket_rows)) keeps per-bucket candidate volume bounded
+    (~target_bucket_rows) as corpora grow — the round-4 review's ask
+    that LSH bucketing not silently go quadratic at 100x. Floored at 4
+    (below it buckets are coarser than useful even for tiny corpora)
+    and capped at 20 (2^20 buckets; beyond that hash cost rises while
+    recall per table collapses — add TABLES, not planes, for recall)."""
+    import math
+
+    if n_rows <= target_bucket_rows:
+        return floor
+    return max(floor, min(cap, math.ceil(math.log2(n_rows / target_bucket_rows))))
+
+
+def _planes_or_derived(planes: int | None, df: DataFrame) -> int:
+    """Resolve an explicit planes override or derive from the corpus
+    row count. The count on a bare parquet scan is footer-driven
+    (parquet count pushdown — metadata, not a row pass)."""
+    return planes if planes is not None else derived_planes(df.count())
+
+
 def plane_vals(plane: int, dim: int) -> list[float]:
     """Deterministic +-1.0 hyperplane #`plane` computed ONCE in Python —
     the same md5-derived signs the oracle derives in SQL."""
@@ -188,16 +213,21 @@ def lsh_topk(
     id_col: str,
     vec_col: str,
     k: int,
-    planes: int = 4,
+    planes: int | None = 4,
     dim: int = 64,
 ) -> DataFrame:
     """Approximate top-k: exact re-rank within the query's LSH bucket.
 
     At scale the bucket join replaces the cross join: corpus is shuffled
     once by bucket, queries broadcast, candidates ~ corpus/2^planes.
+    `planes=None` derives the plane count from the corpus row count
+    (see derived_planes) so bucket volume stays bounded as the corpus
+    grows; registered queries pass an explicit value because their
+    DuckDB oracles are static SQL.
     """
     from sql_engine_spark.functions.vectors import dot, l2_norm
 
+    planes = _planes_or_derived(planes, corpus)
     bucket = lsh_bucket(vec_col, planes, dim)
     q = queries.select(
         F.col(id_col).alias("query_id"),
@@ -1182,7 +1212,7 @@ def knn_graph(
     *,
     id_col: str,
     vec_col: str,
-    planes: int = 4,
+    planes: int | None = 4,
     tables: int = 4,
     dim: int = 64,
     k: int = 5,
@@ -1211,6 +1241,11 @@ def knn_graph(
 
     from sql_engine_spark.operators.dedup import _persist
 
+    # planes=None -> size to the corpus (derived_planes): per-table
+    # bucket volume stays ~target_bucket_rows as the corpus grows
+    # instead of the fixed-16-buckets default the round-4 review
+    # flagged. Registered queries pin planes for their static oracles.
+    planes = _planes_or_derived(planes, df)
     cols = [
         lsh_bucket(vec_col, planes, dim, offset=t * planes).alias(f"__b{t}")
         for t in range(tables)

@@ -656,8 +656,11 @@ def curation_block_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM withlang GROUP BY lang
         )
         SELECT doc_id, lang, score,
-               (score - s / n) / sqrt((s2 - (s * s) / n) / (n - 1.0)) AS z,
-               CASE WHEN (score - s / n) / sqrt((s2 - (s * s) / n) / (n - 1.0)) < -0.5
+               CASE WHEN n <= 1.0 OR (s2 - (s * s) / n) <= 0.0 THEN NULL
+                    ELSE (score - s / n)
+                         / sqrt((s2 - (s * s) / n) / (n - 1.0)) END AS z,
+               CASE WHEN n <= 1.0 OR (s2 - (s * s) / n) <= 0.0 THEN 'middle'
+                    WHEN (score - s / n) / sqrt((s2 - (s * s) / n) / (n - 1.0)) < -0.5
                         THEN 'head'
                     WHEN (score - s / n) / sqrt((s2 - (s * s) / n) / (n - 1.0)) > 0.5
                         THEN 'tail'
@@ -671,7 +674,11 @@ def curation_block_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the head/tail split CCNet uses to keep fluent text per language. "
     "Shape: one map pass to score (zero shuffles), a per-lang bounded "
     "stats aggregate broadcast back; sqrt/division are IEEE "
-    "correctly-rounded so z is bit-identical cross-engine.",
+    "correctly-rounded so z is bit-identical cross-engine. Degenerate "
+    "groups (one doc, or zero variance) emit z=NULL / bucket 'middle' "
+    "EXPLICITLY in both engines — Spark's non-ANSI zero-division "
+    "yields NULL while DuckDB yields inf/NaN, a latent cross-engine "
+    "mismatch on skewed data the guard removes (round-4 advice).",
 )
 def curation_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sql_engine_spark.functions.numeric import DEC
@@ -686,8 +693,16 @@ def curation_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("score").cast(DEC)).cast("double").alias("s"),
         F.sum((F.col("score") * F.col("score")).cast(DEC)).cast("double").alias("s2"),
     )
-    z = (F.col("score") - F.col("s") / F.col("n")) / F.sqrt(
-        (F.col("s2") - (F.col("s") * F.col("s")) / F.col("n")) / (F.col("n") - F.lit(1.0))
+    # Degenerate-group guard (round-4 advice): n=1 or zero variance
+    # divides by zero — NULL under Spark's non-ANSI division but
+    # inf/NaN in DuckDB, so the guard is EXPLICIT and identical in the
+    # oracle: z=NULL, bucket 'middle'. (NULL comparisons below are
+    # false in both engines, so 'middle' falls out of the CASE too.)
+    ssq = F.col("s2") - (F.col("s") * F.col("s")) / F.col("n")
+    z = F.when(
+        (F.col("n") > 1.0) & (ssq > 0.0),
+        (F.col("score") - F.col("s") / F.col("n"))
+        / F.sqrt(ssq / (F.col("n") - F.lit(1.0))),
     )
     return (
         withlang.join(F.broadcast(stats), "lang")

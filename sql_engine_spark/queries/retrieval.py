@@ -46,9 +46,10 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "text_bm25_topk",
     oracle=R.sql_bm25_topk(_BM25_QUERIES, k=_BM25_K),
-    doc="BM25 top-10 per literal query (Robertson k1=1.2, b=0.75; "
-    "rational odds-ratio idf — libm ln differs JVM-vs-glibc by an ulp, "
-    "see operators/retrieval.py): "
+    doc="BM25-family top-10 per literal query (Robertson k1=1.2, "
+    "b=0.75; rational odds-ratio idf — libm ln differs JVM-vs-glibc "
+    "by an ulp; NOTE multi-term rankings can diverge from log-idf "
+    "canonical BM25, not just rescale — operators/retrieval.py): "
     "broadcast query terms filter the corpus explode map-side, one "
     "(doc, term) hash agg, 1-row global stats broadcast, per-doc term "
     "scores folded in sorted-term order (bit-deterministic double "

@@ -24,7 +24,9 @@ from sql_engine_spark.streaming.sessionize import sessionize_stateful
 from sql_engine_spark.streaming.source import (
     events_replay_chunks,
     events_stream,
+    list_part_files,
     run_to_memory,
+    stamp_files_last,
     table_stream,
 )
 from sql_engine_spark.streaming.windows import (
@@ -185,7 +187,11 @@ def streaming_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame
         .withColumn("props", F.lit(None).cast("string"))
         .select(ev.columns)
     )
+    before = list_part_files(out_dir)
     sentinels.coalesce(1).write.mode("append").parquet(out_dir)
+    # Sentinels must be the LAST trigger: make their mtime ordering
+    # explicit, not an accident of write timing (see stamp_files_last).
+    stamp_files_last(out_dir, before)
 
     with _state_partitions(spark):
         stream = (
@@ -503,7 +509,13 @@ def streaming_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).select(ev.columns)
         )
     )
+    before = list_part_files(out_dir)
     sentinel.coalesce(1).write.mode("append").parquet(out_dir)
+    # Watermark safety depends on the sentinel file being processed
+    # LAST (review: an mtime tie could advance both watermarks on the
+    # first trigger and drop every real event as late) — stamp it
+    # strictly after every chunk file instead of trusting write timing.
+    stamp_files_last(out_dir, before)
 
     with _state_partitions(spark, 4):
         stream = (
@@ -645,54 +657,46 @@ def streaming_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFr
     "keeping a dashboard table fresh without reprocessing history. "
     "Partials use exact DECIMAL sums so the merged result is "
     "bit-identical to the one-shot batch aggregate regardless of how "
-    "rows split across batches. The view relation stays "
-    "aggregate-sized (event-type cardinality); per-trigger cost is "
-    "O(batch) + O(view), never O(history).",
+    "rows split across batches. foreachBatch is AT-LEAST-ONCE, so the "
+    "merge is made idempotent: the applied batch id rides inside the "
+    "view directory (an underscore-prefixed sidecar the parquet reader "
+    "ignores) and swaps atomically WITH the data, so a retried "
+    "micro-batch sees its own id already applied and skips instead of "
+    "double-counting. The view relation stays aggregate-sized "
+    "(event-type cardinality); per-trigger cost is O(batch) + "
+    "O(view), never O(history).",
 )
 def streaming_materialized_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-    import shutil
     import tempfile
 
     from sql_engine_spark.functions.numeric import DEC
+    from sql_engine_spark.streaming.matview import IdempotentMatView
 
-    view_dir = tempfile.mkdtemp(prefix="matview_")
-    target = os.path.join(view_dir, "current")
-
-    def merge_batch(batch_df, batch_id):
-        partial = batch_df.groupBy("event_type").agg(
+    view = IdempotentMatView(
+        tempfile.mkdtemp(prefix="matview_"),
+        partial_of=lambda b: b.groupBy("event_type").agg(
             F.count("*").alias("n"),
             F.sum(F.col("value").cast(DEC)).alias("__dsum"),
-        )
-        if os.path.isdir(target):
-            cur = batch_df.sparkSession.read.parquet(target)
-            merged = (
-                cur.unionByName(partial)
-                .groupBy("event_type")
-                .agg(F.sum("n").alias("n"), F.sum("__dsum").alias("__dsum"))
-            )
-        else:
-            merged = partial
-        tmp = os.path.join(view_dir, f"swap_{batch_id}")
-        merged.write.mode("overwrite").parquet(tmp)
-        old = target + ".old"
-        if os.path.isdir(target):
-            os.rename(target, old)
-        os.rename(tmp, target)
-        shutil.rmtree(old, ignore_errors=True)
+        ),
+        combine=lambda cur, partial: (
+            cur.unionByName(partial)
+            .groupBy("event_type")
+            .agg(F.sum("n").alias("n"), F.sum("__dsum").alias("__dsum"))
+        ),
+    )
 
     with _state_partitions(spark):
         stream = events_stream(spark, sf_dir, N_CHUNKS)
         q = (
             stream.select("event_type", "value")
             .writeStream.outputMode("append")
-            .foreachBatch(merge_batch)
+            .foreachBatch(view.merge)
             .trigger(availableNow=True)
             .start()
         )
         q.awaitTermination()
     # The view directory persists for the process lifetime (mkdtemp is
     # not auto-cleaned), so the result reads lazily like any table.
-    return spark.read.parquet(target).select(
+    return view.read(spark).select(
         "event_type", "n", F.col("__dsum").cast("double").alias("sum_value")
     )

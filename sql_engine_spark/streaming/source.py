@@ -102,6 +102,42 @@ def table_replay_chunks(
     return out_dir, stream
 
 
+def stamp_files_last(out_dir: str, before: set[str]) -> list[str]:
+    """Force every parquet part NOT in `before` to an mtime STRICTLY
+    greater than all `before` files', so FileStreamSource's
+    (modification-time, path) ordering processes the appended files
+    last — the guarantee sentinel-flush queries rely on. Backdating the
+    chunk files (table_replay_chunks) makes this overwhelmingly likely
+    already; the explicit utime turns likely into certain (review: a
+    tie would advance the watermark on the FIRST trigger and silently
+    drop every real event as late). Returns the stamped paths."""
+    latest = 0.0
+    for f in before:
+        try:
+            latest = max(latest, os.path.getmtime(f))
+        except OSError:
+            pass
+    added = [
+        os.path.join(out_dir, f)
+        for f in os.listdir(out_dir)
+        if f.startswith("part-")
+        and f.endswith(".parquet")
+        and os.path.join(out_dir, f) not in before
+    ]
+    for i, path in enumerate(sorted(added)):
+        t = latest + 60 + i
+        os.utime(path, (t, t))
+    return added
+
+
+def list_part_files(out_dir: str) -> set[str]:
+    return {
+        os.path.join(out_dir, f)
+        for f in os.listdir(out_dir)
+        if f.startswith("part-") and f.endswith(".parquet")
+    }
+
+
 def run_to_memory(stream_df: DataFrame, name: str, output_mode: str) -> DataFrame:
     """Drain a bounded stream into an in-memory table and return it as a
     batch DataFrame (test/driver harness; a production job would use a
