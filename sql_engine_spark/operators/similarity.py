@@ -43,6 +43,7 @@ def two_level_topk(
     query_col: str = "query_id",
     id_col: str = "neighbor_id",
     buckets: int = ANN_SALT_BUCKETS,
+    ascending: bool = False,
 ) -> DataFrame:
     """Per-query top-k WITHOUT a corpus-sized single-task sort.
 
@@ -69,11 +70,13 @@ def two_level_topk(
     would. Rows beyond rank ``k`` are filtered.
 
     Returns ``scored``'s columns plus ``rank_col`` (long), rank <= k.
+    ``ascending=True`` ranks smallest-score first (same two-level
+    argument; used by e.g. hash-order reservoir sampling where the
+    "score" is a hash and the k smallest win).
     """
-    w1 = Window.partitionBy(query_col, "__salt").orderBy(
-        F.desc(score_col), F.asc(id_col)
-    )
-    w2 = Window.partitionBy(query_col).orderBy(F.desc(score_col), F.asc(id_col))
+    order = F.asc(score_col) if ascending else F.desc(score_col)
+    w1 = Window.partitionBy(query_col, "__salt").orderBy(order, F.asc(id_col))
+    w2 = Window.partitionBy(query_col).orderBy(order, F.asc(id_col))
     return (
         scored.withColumn(
             "__salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(buckets))

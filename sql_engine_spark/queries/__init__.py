@@ -16,3 +16,4 @@ import sql_engine_spark.queries.sampling  # noqa: F401
 import sql_engine_spark.queries.pipeline  # noqa: F401
 import sql_engine_spark.queries.curation  # noqa: F401
 import sql_engine_spark.queries.retrieval  # noqa: F401
+import sql_engine_spark.queries.round5  # noqa: F401
