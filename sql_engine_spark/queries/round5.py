@@ -250,3 +250,472 @@ def ann_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load(spark, sf_dir, "embeddings")
     return int8_quantize(emb, id_col="vec_id", vec_col="embedding")
+
+
+_EWMA_W = 16
+
+
+@register(
+    "events_ewma_half",
+    oracle=f"""
+        WITH w AS (
+            SELECT event_id, user_id, ts, value,
+                   list(value) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN {_EWMA_W - 1} PRECEDING AND CURRENT ROW
+                   ) AS vals
+            FROM events
+        )
+        SELECT event_id, user_id, ts,
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE), vals),
+                           (a, x) -> a * 0.5 + x)
+               / list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                       list_transform(vals, x -> CAST(1.0 AS DOUBLE))),
+                           (a, x) -> a * 0.5 + x) AS ewma
+        FROM w
+    """,
+    doc="Exponentially-weighted moving average per user (alpha = 1/2, "
+    "16-event window) — the standard smoothing pass over per-entity "
+    "metric streams. The recurrence is spelled as a LEFT FOLD over the "
+    "window frame's value list: acc*0.5 + x weights the newest value "
+    "2^0 and the oldest 2^-15, normalized by the same fold over ones. "
+    "Halving arithmetic is EXACT in binary floating point, so the "
+    "result is bit-identical across engines and partitionings — no "
+    "libm pow, no order-dependent double sums. The window keys on "
+    "user_id (high cardinality): one corpus shuffle, frames bounded "
+    "at 16 values.",
+)
+def events_ewma_half(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(_EWMA_W - 1), Window.currentRow)
+    )
+    return (
+        ev.withColumn("__vals", F.collect_list("value").over(w))
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            (
+                F.expr(
+                    "aggregate(__vals, CAST(0.0 AS DOUBLE), (a, x) -> a * 0.5D + x)"
+                )
+                / F.expr(
+                    "aggregate(__vals, CAST(0.0 AS DOUBLE), (a, x) -> a * 0.5D + 1.0D)"
+                )
+            ).alias("ewma"),
+        )
+    )
+
+
+@register(
+    "events_gap_fill_asof",
+    oracle="""
+        WITH dedup AS (
+            SELECT user_id, ts, arg_max(value, event_id) AS value
+            FROM events GROUP BY user_id, ts
+        ),
+        bounds AS (
+            SELECT user_id,
+                   date_trunc('hour', MIN(ts)) AS lo,
+                   date_trunc('hour', MAX(ts)) AS hi
+            FROM events GROUP BY user_id
+        ),
+        grid AS (
+            SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR))
+                       AS grid_ts
+            FROM bounds
+        )
+        SELECT g.user_id, g.grid_ts, e.value AS filled_value
+        FROM grid g ASOF LEFT JOIN dedup e
+          ON g.user_id = e.user_id AND g.grid_ts >= e.ts
+    """,
+    doc="Per-user hourly gap-fill with forward fill: generate each "
+    "user's hourly grid between its first and last event (bounded "
+    "per-user agg + sequence explode — grid is user-span-sized, never "
+    "corpus^2) and carry the latest at-or-before reading onto every "
+    "grid point — the resample/ffill step ahead of any window feature "
+    "or seasonality model. Events are first deduped to one reading "
+    "per (user, ts) (arg_max by event_id) so the as-of match is "
+    "unambiguous in both engines; the fill itself is the union+window "
+    "as-of join (operators/asof.py — one shuffle on user_id, no "
+    "per-row subquery), and the DuckDB oracle is its native ASOF LEFT "
+    "JOIN: two independent spellings, same semantics.",
+)
+def events_gap_fill_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sql_engine_spark.operators.asof import asof_join
+
+    ev = load(spark, sf_dir, "events")
+    dedup = ev.groupBy("user_id", "ts").agg(
+        F.max_by("value", "event_id").alias("value")
+    )
+    bounds = ev.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("__lo"),
+        F.date_trunc("hour", F.max("ts")).alias("__hi"),
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(
+            F.expr("sequence(__lo, __hi, INTERVAL 1 HOUR)")
+        ).alias("grid_ts"),
+    )
+    return asof_join(
+        grid,
+        dedup,
+        key="user_id",
+        left_ts="grid_ts",
+        right_ts="ts",
+        right_payload=["value"],
+    ).select("user_id", "grid_ts", F.col("asof_value").alias("filled_value"))
+
+
+from sql_engine_spark.operators.textprep import (  # noqa: E402
+    shingles,
+    sql_shingles,
+    sql_tokens,
+    tokens,
+)
+
+_TRI_ALPHA = 0.4  # stupid-backoff discount (Brants et al. 2007)
+
+
+@register(
+    "text_trigram_backoff",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, {sql_tokens('text')} AS t FROM documents
+        ),
+        tg AS (
+            SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                   t[i] AS w1, t[i + 1] AS w2, t[i + 2] AS w3
+            FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks)
+        ),
+        train AS (SELECT * FROM tg WHERE doc_id % 2 = 0),
+        c3 AS (SELECT w1, w2, w3, COUNT(*) AS n3 FROM train GROUP BY 1, 2, 3),
+        c2ctx AS (SELECT w1, w2, COUNT(*) AS ctx2 FROM train GROUP BY 1, 2),
+        c2 AS (SELECT w2, w3, COUNT(*) AS n2 FROM train GROUP BY 1, 2),
+        c1ctx AS (SELECT w2, COUNT(*) AS ctx1 FROM train GROUP BY 1),
+        c1 AS (SELECT w3, COUNT(*) AS n1 FROM train GROUP BY 1),
+        tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS total FROM train),
+        p AS (
+            SELECT g.doc_id, g.pos,
+                   CASE WHEN c3.n3 IS NOT NULL
+                            THEN CAST(c3.n3 AS DOUBLE) / CAST(c2ctx.ctx2 AS DOUBLE)
+                        WHEN c2.n2 IS NOT NULL
+                            THEN {_TRI_ALPHA} *
+                                 (CAST(c2.n2 AS DOUBLE) / CAST(c1ctx.ctx1 AS DOUBLE))
+                        ELSE {_TRI_ALPHA} * {_TRI_ALPHA} *
+                             (CAST(COALESCE(c1.n1, 0) AS DOUBLE) / total)
+                   END AS p
+            FROM tg g
+            LEFT JOIN c3 USING (w1, w2, w3)
+            LEFT JOIN c2ctx USING (w1, w2)
+            LEFT JOIN c2 USING (w2, w3)
+            LEFT JOIN c1ctx USING (w2)
+            LEFT JOIN c1 USING (w3)
+            CROSS JOIN tot
+        )
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+               list_reduce(
+                   list_prepend(CAST(0.0 AS DOUBLE),
+                       list_transform(list_sort(list(struct_pack(pos := pos,
+                                                                 p := p))),
+                                      s -> s.p)),
+                   (a, x) -> a + x) / COUNT(*) AS mean_score
+        FROM p GROUP BY doc_id
+    """,
+    doc="Trigram LM with stupid backoff (Brants et al., EMNLP 2007 — "
+    "'Large Language Models in Machine Translation', THE web-scale "
+    "LM-scoring scheme before neural LMs): P(w3|w1 w2) backs off "
+    "trigram -> 0.4*bigram -> 0.16*unigram when the higher-order "
+    "context is unseen. Counts train on the EVEN-doc_id half of the "
+    "corpus and score every doc, so the backoff paths are genuinely "
+    "exercised (a self-trained LM never sees an unseen n-gram). "
+    "Shape: one trigram explode (persisted — five count aggregates "
+    "and the probe read it), bounded-vocab count relations joined "
+    "back by hash equi-joins, per-doc fold in position order. Ratios "
+    "and folds are order-pinned doubles; no libm log anywhere "
+    "(arithmetic mean, same rationale as text_bigram_lm_score).",
+)
+def text_trigram_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sql_engine_spark.operators.dedup import _persist
+
+    docs = load(spark, sf_dir, "documents").withColumn("__t", tokens("text"))
+    tg = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(__t) - 2), "
+                "i -> struct(CAST(i AS BIGINT) AS pos, "
+                "element_at(__t, i) AS w1, element_at(__t, i + 1) AS w2, "
+                "element_at(__t, i + 2) AS w3))"
+            )
+        ).alias("s"),
+    ).select("doc_id", "s.pos", "s.w1", "s.w2", "s.w3")
+    tg = _persist(tg)
+    train = tg.where(F.col("doc_id") % 2 == 0)
+    c3 = train.groupBy("w1", "w2", "w3").agg(F.count("*").alias("n3"))
+    c2ctx = train.groupBy("w1", "w2").agg(F.count("*").alias("ctx2"))
+    c2 = train.groupBy("w2", "w3").agg(F.count("*").alias("n2"))
+    c1ctx = train.groupBy("w2").agg(F.count("*").alias("ctx1"))
+    c1 = train.groupBy("w3").agg(F.count("*").alias("n1"))
+    tot = train.agg(F.count("*").cast("double").alias("total"))
+    p = (
+        tg.join(c3, ["w1", "w2", "w3"], "left")
+        .join(c2ctx, ["w1", "w2"], "left")
+        .join(c2, ["w2", "w3"], "left")
+        .join(c1ctx, ["w2"], "left")
+        .join(c1, ["w3"], "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            "pos",
+            F.when(
+                F.col("n3").isNotNull(),
+                F.col("n3").cast("double") / F.col("ctx2").cast("double"),
+            )
+            .when(
+                F.col("n2").isNotNull(),
+                F.lit(_TRI_ALPHA)
+                * (F.col("n2").cast("double") / F.col("ctx1").cast("double")),
+            )
+            .otherwise(
+                F.lit(_TRI_ALPHA)
+                * F.lit(_TRI_ALPHA)
+                * (
+                    F.coalesce(F.col("n1"), F.lit(0)).cast("double")
+                    / F.col("total")
+                )
+            )
+            .alias("p"),
+        )
+    )
+    return p.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_trigrams"),
+        (
+            F.expr(
+                "aggregate(array_sort(collect_list(struct(pos, p))), "
+                "CAST(0.0 AS DOUBLE), (a, s) -> a + s.p)"
+            )
+            / F.count("*")
+        ).alias("mean_score"),
+    )
+
+
+_NOVEL_K = 5
+
+
+@register(
+    "text_ngram_novelty",
+    oracle=f"""
+        WITH sh AS (
+            SELECT doc_id, unnest(list_distinct(
+                       {sql_shingles(sql_tokens('text'), _NOVEL_K)})) AS g
+            FROM documents
+        ),
+        first_doc AS (SELECT g, MIN(doc_id) AS first_id FROM sh GROUP BY g)
+        SELECT sh.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_shingles,
+               CAST(SUM(CASE WHEN f.first_id = sh.doc_id THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_novel,
+               CAST(SUM(CASE WHEN f.first_id = sh.doc_id THEN 1 ELSE 0 END)
+                    AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS novelty_frac
+        FROM sh JOIN first_doc f USING (g)
+        GROUP BY sh.doc_id
+    """,
+    doc="N-gram novelty scoring: the fraction of a document's distinct "
+    "5-gram shingles whose FIRST corpus occurrence (min doc_id) is "
+    "this document — the marginal-contribution signal dedup-aware "
+    "data valuation uses (a doc that introduces no new n-grams is "
+    "redundant with earlier data; cf. the D4/SemDeDup family's "
+    "novelty pruning). Shape: one shingle explode, one min-per-shingle "
+    "aggregate (map-side combinable), one equi-join back, one per-doc "
+    "count — all corpus-linear, and the min() makes the result "
+    "independent of partitioning and arrival order.",
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sql_engine_spark.operators.dedup import _persist
+
+    docs = load(spark, sf_dir, "documents").withColumn("__t", tokens("text"))
+    sh = _persist(
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(shingles("__t", _NOVEL_K))
+            ).alias("g"),
+        )
+    )
+    first_doc = sh.groupBy("g").agg(F.min("doc_id").alias("first_id"))
+    hit = (F.col("first_id") == F.col("doc_id")).cast("long")
+    return (
+        sh.join(first_doc, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_shingles"),
+            F.sum(hit).cast("long").alias("n_novel"),
+            (F.sum(hit).cast("double") / F.count("*").cast("double")).alias(
+                "novelty_frac"
+            ),
+        )
+    )
+
+
+from sql_engine_spark.operators.similarity import knn_graph, sql_knn_graph  # noqa: E402
+
+
+@register(
+    "graph_triangle_count",
+    oracle=f"""
+        WITH knn AS ({sql_knn_graph(planes=4, tables=8, dim=64, k=5)}),
+        und AS (
+            SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+            FROM knn
+        ),
+        wedge AS (
+            SELECT x.a AS a, x.b AS b, y.b AS c
+            FROM und x JOIN und y ON x.b = y.a
+        ),
+        tri AS (
+            SELECT w.a, w.b, w.c
+            FROM wedge w JOIN und z ON z.a = w.a AND z.b = w.c
+        ),
+        corners AS (
+            SELECT a AS node FROM tri
+            UNION ALL SELECT b FROM tri
+            UNION ALL SELECT c FROM tri
+        )
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+        FROM corners GROUP BY node
+    """,
+    doc="Per-node triangle counting over the kNN similarity graph — "
+    "the clustering-coefficient primitive for community detection and "
+    "semantic-neighborhood density (dense triangles = tight duplicate "
+    "clusters). The classic two-join spelling (Suri & Vassilvitskii, "
+    "WWW 2011 'Counting Triangles and the Curse of the Last Reducer'): "
+    "canonical a<b edges, wedge join on the shared middle vertex, "
+    "closure check as a semi join — every stage edge-relation-sized "
+    "(edges ~ n*k from the kNN build), no corner materializes a "
+    "neighborhood cross product beyond the bounded k-degree. Reuses "
+    "ann_knn_graph's build (planes=4, tables=8, k=5) so the oracle's "
+    "graph is bit-identical.",
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    g = knn_graph(
+        emb, id_col="vec_id", vec_col="embedding", planes=4, tables=8, dim=64, k=5
+    )
+    from sql_engine_spark.operators.dedup import _persist
+
+    und = _persist(
+        g.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        ).distinct()
+    )
+    x, y = und.alias("x"), und.alias("y")
+    wedge = x.join(y, F.col("x.b") == F.col("y.a")).select(
+        F.col("x.a").alias("a"), F.col("x.b").alias("b"), F.col("y.b").alias("c")
+    )
+    tri = wedge.join(
+        und.select(F.col("a").alias("za"), F.col("b").alias("zb")),
+        (F.col("za") == F.col("a")) & (F.col("zb") == F.col("c")),
+        "left_semi",
+    )
+    corners = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+    )
+    return corners.groupBy("node").agg(F.count("*").cast("long").alias("n_triangles"))
+
+
+_PCTS = (0.25, 0.5, 0.75)
+
+
+@register(
+    "agg_percentile_exact",
+    oracle=f"""
+        WITH g AS (
+            SELECT event_type, list_sort(list(value)) AS vals
+            FROM events GROUP BY event_type
+        )
+        SELECT event_type,
+               CAST(len(vals) AS BIGINT) AS n,
+               {", ".join(
+                   "vals[CAST(FLOOR((len(vals) - 1) * " + str(p) + ") AS BIGINT) + 1] "
+                   "+ ((len(vals) - 1) * " + str(p)
+                   + " - FLOOR((len(vals) - 1) * " + str(p) + ")) "
+                   "* (vals[least(CAST(FLOOR((len(vals) - 1) * " + str(p)
+                   + ") AS BIGINT) + 2, len(vals))] "
+                   "- vals[CAST(FLOOR((len(vals) - 1) * " + str(p) + ") AS BIGINT) + 1])"
+                   f" AS p{int(p * 100)}"
+                   for p in _PCTS
+               )}
+        FROM g
+    """,
+    doc="Exact interpolated percentiles (p25/p50/p75) per event type, "
+    "spelled with ONE shared formula in both engines — sorted value "
+    "list, h = (n-1)p, linear interpolation v[lo] + frac*(v[hi]-v[lo]) "
+    "— instead of trusting each engine's quantile_cont/percentile "
+    "implementation to round identically (their interpolation "
+    "spellings differ by an ulp). Exact percentiles inherently "
+    "materialize each group's values (the per-group list); that is "
+    "the honest cost of exactness and the reason the 100 TB posture "
+    "is approx_percentile sketches (approx_quantile_check) — this "
+    "operator is the small-group/dashboard-grade exact companion.",
+)
+def agg_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    g = ev.groupBy("event_type").agg(
+        F.array_sort(F.collect_list("value")).alias("__vals")
+    )
+    cols = [F.col("event_type"), F.size("__vals").cast("long").alias("n")]
+    for p in _PCTS:
+        h = f"CAST((size(__vals) - 1) AS DOUBLE) * {p}D"
+        lo = f"CAST(FLOOR({h}) AS INT) + 1"
+        hi = f"least({lo} + 1, size(__vals))"
+        frac = f"({h} - FLOOR({h}))"
+        cols.append(
+            F.expr(
+                f"element_at(__vals, {lo}) + {frac} * "
+                f"(element_at(__vals, {hi}) - element_at(__vals, {lo}))"
+            ).alias(f"p{int(p * 100)}")
+        )
+    return g.select(*cols)
+
+
+@register(
+    "agg_mode_deterministic",
+    oracle="""
+        WITH c AS (
+            SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n
+            FROM documents GROUP BY lang, source
+        ),
+        r AS (
+            SELECT lang, source, n,
+                   row_number() OVER (
+                       PARTITION BY lang ORDER BY n DESC, source) AS rk
+            FROM c
+        )
+        SELECT lang, source AS mode_source, n AS mode_count
+        FROM r WHERE rk = 1
+    """,
+    doc="Deterministic per-group mode: the most frequent source per "
+    "language, ties broken to the lexicographically smallest source — "
+    "built-in mode() is tie-nondeterministic in BOTH engines, which "
+    "makes it oracle-unhashable; the count + rank spelling pins the "
+    "answer. The rank window runs over the (lang, source) COUNT "
+    "relation (bounded by the key product), never corpus rows: the "
+    "corpus-sized work is exactly one map-side-combinable count "
+    "aggregate.",
+)
+def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    c = docs.groupBy("lang", "source").agg(F.count("*").cast("long").alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("source"))
+    return (
+        c.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("lang", F.col("source").alias("mode_source"), F.col("n").alias("mode_count"))
+    )
