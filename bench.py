@@ -134,6 +134,22 @@ EXTENSION_R4 = [
     "pipeline_feature_matrix",
 ]
 
+# Round-5 additions: own section, same contract.
+EXTENSION_R5 = [
+    "curation_source_cap",
+    "curation_curriculum_order",
+    "sample_reservoir_per_key",
+    "join_bloom_prefilter",
+    "ann_int8_quantize",
+    "events_ewma_half",
+    "events_gap_fill_asof",
+    "text_trigram_backoff",
+    "text_ngram_novelty",
+    "graph_triangle_count",
+    "agg_percentile_exact",
+    "agg_mode_deterministic",
+]
+
 
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -149,7 +165,7 @@ def main() -> int:
     qs["scan_project"].build(spark, sf_dir).write.mode("overwrite").format("noop").save()
     warm_dir = "/root/testdata/sf0.001"
     if os.path.isdir(warm_dir):
-        for wq in HEADLINE + EXTENSION + EXTENSION_R4:
+        for wq in HEADLINE + EXTENSION + EXTENSION_R4 + EXTENSION_R5:
             qs[wq].build(spark, warm_dir).write.mode("overwrite").format("noop").save()
 
     # Best-of-2 full passes: one transient stall (GC, page cache miss,
@@ -193,6 +209,16 @@ def main() -> int:
             r4_timings[name] = min(r4_timings.get(name, float("inf")), t)
     r4_total = round(sum(r4_timings.values()), 3)
 
+    r5_timings: dict[str, float] = {}
+    for _ in range(2):
+        for name in EXTENSION_R5:
+            spark.catalog.clearCache()
+            t0 = time.time()
+            qs[name].build(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            t = round(time.time() - t0, 3)
+            r5_timings[name] = min(r5_timings.get(name, float("inf")), t)
+    r5_total = round(sum(r5_timings.values()), 3)
+
     # Curation flagships: best-of-2, own stable total (r3 comparison
     # base: extension_queries.dedup_keep_best / pipeline_curate_full).
     cur_timings: dict[str, float] = {}
@@ -231,6 +257,8 @@ def main() -> int:
         "curation_queries": cur_timings,
         "extension_r4_total": r4_total,
         "extension_r4_queries": r4_timings,
+        "extension_r5_total": r5_total,
+        "extension_r5_queries": r5_timings,
     }
     if companion:
         out["companion_sf"] = 0.01
@@ -251,6 +279,7 @@ def main() -> int:
         "curation_total": cur_total,
         "extension_total": ext_total,
         "extension_r4_total": r4_total,
+        "extension_r5_total": r5_total,
     }
     if companion:
         summary["companion_total"] = out["companion_total"]

@@ -103,11 +103,17 @@ _N_PHASES = 4
     "arithmetic in both engines.",
 )
 def curation_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sql_engine_spark.operators.dedup import _persist
     from sql_engine_spark.operators.prefix import bucketed_running_sum, range_bucket
 
     docs = load(spark, sf_dir, "documents")
-    scored = hashed_linear_score(docs, id_col="doc_id", text_col="text").select(
-        "doc_id", "score"
+    # The scored relation feeds the bounds aggregate AND the ranked
+    # base — persist (caller-owned lifetime) or the corpus tokenizes
+    # and scores three times.
+    scored = _persist(
+        hashed_linear_score(docs, id_col="doc_id", text_col="text").select(
+            "doc_id", "score"
+        )
     )
     bounds = scored.agg(
         F.min("score").alias("__lo"),

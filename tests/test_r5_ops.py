@@ -1,0 +1,277 @@
+"""Property tests for the round-5 operators — each op's defining
+invariant checked independently of the DuckDB oracle gate."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from sql_engine_spark.io import load
+from sql_engine_spark.registry import all_queries
+
+
+def _build(spark, sf_dir, name):
+    return all_queries()[name].build(spark, sf_dir)
+
+
+def test_bloom_has_no_false_negatives(spark, sf_dir):
+    """Every true dim key must pass the probe (Bloom's one guarantee),
+    and the pre-filter must actually drop rows (selectivity check)."""
+    from sql_engine_spark.operators.bloom import (
+        bloom_might_contain,
+        build_bloom_bits,
+    )
+
+    cust = load(spark, sf_dir, "customer").where(
+        (F.col("c_mktsegment") == "BUILDING") & (F.col("c_acctbal") > 7000)
+    )
+    keys = cust.select("c_custkey")
+    words = build_bloom_bits(keys, "c_custkey")
+    # no false negatives: every dim key probes true
+    misses = keys.where(~bloom_might_contain("c_custkey", words)).count()
+    assert misses == 0
+    # the probe drops a meaningful share of the fact side pre-join
+    orders = load(spark, sf_dir, "orders")
+    pre = orders.where(bloom_might_contain("o_custkey", words)).count()
+    assert pre < orders.count()
+
+
+def test_bloom_prefilter_equals_plain_semi_join(spark, sf_dir):
+    from sql_engine_spark.operators.bloom import bloom_prefiltered_semi_join
+
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer").where(F.col("c_acctbal") > 9000)
+    got = {
+        r.o_orderkey
+        for r in bloom_prefiltered_semi_join(
+            orders,
+            cust.select("c_custkey"),
+            fact_key="o_custkey",
+            dim_key="c_custkey",
+        ).collect()
+    }
+    want = {
+        r.o_orderkey
+        for r in orders.join(
+            cust.select(F.col("c_custkey").alias("o_custkey")),
+            "o_custkey",
+            "left_semi",
+        ).collect()
+    }
+    assert got == want
+
+
+def test_triangle_count_matches_naive(spark):
+    """Wedge-join triangles vs brute-force enumeration on a known graph:
+    K4 plus a pendant edge -> 4 triangles, K4 nodes in 3 each."""
+    from sql_engine_spark.operators.dedup import _persist
+
+    edges = [(a, b) for a in range(4) for b in range(a + 1, 4)] + [(3, 9)]
+    und = _persist(spark.createDataFrame(edges, ["a", "b"]))
+    x, y = und.alias("x"), und.alias("y")
+    wedge = x.join(y, F.col("x.b") == F.col("y.a")).select(
+        F.col("x.a").alias("a"), F.col("x.b").alias("b"), F.col("y.b").alias("c")
+    )
+    tri = wedge.join(
+        und.select(F.col("a").alias("za"), F.col("b").alias("zb")),
+        (F.col("za") == F.col("a")) & (F.col("zb") == F.col("c")),
+        "left_semi",
+    )
+    rows = {(r.a, r.b, r.c) for r in tri.collect()}
+    assert rows == {(0, 1, 2), (0, 1, 3), (0, 2, 3), (1, 2, 3)}
+
+
+def test_reservoir_sizes_and_mergeability(spark, sf_dir):
+    """Exactly min(k, n_key) rows per key; and the bottom-k of a union
+    equals the bottom-k of the parts' bottom-k's (the sketch merge
+    property that makes hash-order reservoirs distributable)."""
+    df = _build(spark, sf_dir, "sample_reservoir_per_key")
+    per_key = {r.lang: r.n for r in df.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    docs = load(spark, sf_dir, "documents")
+    sizes = {r.lang: r.n for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert per_key == {k: min(5, v) for k, v in sizes.items()}
+    # merge property on raw hashes, one key
+    rows = sorted(
+        r.hkey for r in df.sparkSession.createDataFrame(
+            [(i,) for i in range(40)], ["doc_id"]
+        ).select(F.md5(F.concat(F.lit("rsv1|"), F.col("doc_id").cast("string"))).alias("hkey")).collect()
+    )
+    part1, part2 = sorted(rows[:20])[:5], sorted(rows[20:])[:5]
+    assert sorted(rows)[:5] == sorted(part1 + part2)[:5]
+
+
+def test_ewma_matches_direct_formula(spark):
+    """Fold spelling == explicit sum of v_j * 2^-(lag) / sum 2^-(lag)."""
+    data = [(i, 1, float(v)) for i, v in enumerate([3, 1, 4, 1, 5, 9, 2, 6])]
+    ev = spark.createDataFrame(data, ["event_id", "user_id", "value"]).withColumn(
+        "ts", F.timestamp_seconds(F.col("event_id") * 60)
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-15, Window.currentRow)
+    )
+    got = {
+        r.event_id: r.ewma
+        for r in ev.withColumn("__vals", F.collect_list("value").over(w))
+        .select(
+            "event_id",
+            (
+                F.expr("aggregate(__vals, CAST(0.0 AS DOUBLE), (a, x) -> a * 0.5D + x)")
+                / F.expr("aggregate(__vals, CAST(0.0 AS DOUBLE), (a, x) -> a * 0.5D + 1.0D)")
+            ).alias("ewma"),
+        )
+        .collect()
+    }
+    vals = [3, 1, 4, 1, 5, 9, 2, 6]
+    for i in range(len(vals)):
+        window = vals[max(0, i - 15) : i + 1]
+        num = sum(v * 0.5 ** (len(window) - 1 - j) for j, v in enumerate(window))
+        den = sum(0.5 ** (len(window) - 1 - j) for j in range(len(window)))
+        assert got[i] == pytest.approx(num / den, abs=1e-12)
+
+
+def test_gap_fill_forward_fills(spark, tmp_path):
+    """Hourly grid spans trunc(min ts)..trunc(max ts); each point carries
+    the latest at-or-before reading, NULL before the first."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 0, 30)
+    rows = [
+        (1, base, 7, 10.0, "view", None),
+        (2, base + dt.timedelta(hours=3, minutes=10), 7, 20.0, "view", None),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, value double, "
+        "event_type string, props string",
+    )
+    path = str(tmp_path)
+    ev.write.mode("overwrite").parquet(path + "/events.parquet")
+    out = {
+        r.grid_ts.hour: r.filled_value
+        for r in _build(spark, path, "events_gap_fill_asof").collect()
+    }
+    assert out == {0: None, 1: 10.0, 2: 10.0, 3: 10.0}
+
+
+def test_int8_quantize_error_bound(spark, sf_dir):
+    """Codes in [-127, 127]; per-vector MSE <= (max scale / 2)^2 (the
+    scalar-quantization half-step bound)."""
+    from sql_engine_spark.operators.quantize import int8_quantize, int8_quantize_stats
+
+    emb = load(spark, sf_dir, "embeddings")
+    max_scale = int8_quantize_stats(emb, "embedding").agg(F.max("scale")).collect()[0][0]
+    out = int8_quantize(emb, id_col="vec_id", vec_col="embedding")
+    bad = out.where(
+        (F.col("q_min") < -127)
+        | (F.col("q_max") > 127)
+        | (F.col("recon_mse") > (max_scale / 2.0) ** 2 + 1e-12)
+    ).count()
+    assert bad == 0
+
+
+def test_percentile_exact_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    out = {r.event_type: r for r in _build(spark, sf_dir, "agg_percentile_exact").collect()}
+    ev = load(spark, sf_dir, "events")
+    for et, rows in (
+        (r.event_type, [x.value for x in ev.where(F.col("event_type") == r.event_type).collect()])
+        for r in out.values()
+    ):
+        want = np.percentile(np.array(rows), [25, 50, 75], method="linear")
+        got = out[et]
+        assert got.p25 == pytest.approx(want[0], rel=1e-12)
+        assert got.p50 == pytest.approx(want[1], rel=1e-12)
+        assert got.p75 == pytest.approx(want[2], rel=1e-12)
+
+
+def test_curriculum_rank_is_permutation_and_phases_balanced(spark, sf_dir):
+    df = _build(spark, sf_dir, "curation_curriculum_order")
+    rows = df.collect()
+    n = len(rows)
+    ranks = sorted(r.curriculum_rank for r in rows)
+    assert ranks == list(range(1, n + 1))
+    # scores non-decreasing in rank
+    by_rank = sorted(rows, key=lambda r: r.curriculum_rank)
+    for a, b in zip(by_rank, by_rank[1:]):
+        assert (a.score, a.doc_id) < (b.score, b.doc_id)
+    from collections import Counter
+
+    phases = Counter(r.phase for r in rows)
+    assert set(phases) == {0, 1, 2, 3}
+    assert max(phases.values()) - min(phases.values()) <= 1
+
+
+def test_source_cap_keeps_top_scores(spark, sf_dir):
+    df = _build(spark, sf_dir, "curation_source_cap")
+    per_src = {}
+    for r in df.collect():
+        per_src.setdefault(r.source, []).append(r)
+    from sql_engine_spark.operators.text import hashed_linear_score
+
+    all_scores = {}
+    scored = hashed_linear_score(
+        load(spark, sf_dir, "documents"),
+        id_col="doc_id",
+        text_col="text",
+        carry_cols=["source"],
+    ).collect()
+    for r in scored:
+        all_scores.setdefault(r.source, []).append((-r.score, r.doc_id))
+    for src, kept in per_src.items():
+        want = sorted(all_scores[src])[: len(kept)]
+        got = sorted((-r.score, r.doc_id) for r in kept)
+        assert got == want
+        assert len(kept) == min(15, len(all_scores[src]))
+
+
+def test_trigram_backoff_probabilities_bounded(spark, sf_dir):
+    df = _build(spark, sf_dir, "text_trigram_backoff")
+    bad = df.where((F.col("mean_score") < 0) | (F.col("mean_score") > 1.0)).count()
+    assert bad == 0
+    # Odd docs (outside the training half) must average lower scores
+    # than even docs: the backoff discount is doing its job.
+    rows = df.collect()
+    even = [r.mean_score for r in rows if r.doc_id % 2 == 0]
+    odd = [r.mean_score for r in rows if r.doc_id % 2 == 1]
+    assert sum(even) / len(even) > sum(odd) / len(odd)
+
+
+def test_novelty_totals_conserve(spark, sf_dir):
+    """Sum of per-doc novel shingles == corpus distinct shingle count
+    (every distinct shingle is novel in exactly one doc)."""
+    from sql_engine_spark.operators.textprep import shingles, tokens
+
+    df = _build(spark, sf_dir, "text_ngram_novelty")
+    total_novel = df.agg(F.sum("n_novel")).collect()[0][0]
+    docs = load(spark, sf_dir, "documents").withColumn("__t", tokens("text"))
+    distinct = (
+        docs.select(F.explode(F.array_distinct(shingles("__t", 5))).alias("g"))
+        .select("g")
+        .distinct()
+        .count()
+    )
+    assert total_novel == distinct
+
+
+def test_mode_deterministic_ties(spark, tmp_path):
+    docs = spark.createDataFrame(
+        [
+            (1, "en", "sA"),
+            (2, "en", "sA"),
+            (3, "en", "sB"),
+            (4, "en", "sB"),  # tie sA/sB -> sA (lexicographically first)
+            (5, "fr", "sZ"),
+        ],
+        ["doc_id", "lang", "source"],
+    ).withColumn("text", F.lit("x")).withColumn("n_chars", F.lit(1))
+    path = str(tmp_path)
+    docs.write.mode("overwrite").parquet(path + "/documents.parquet")
+    out = {r.lang: (r.mode_source, r.mode_count) for r in _build(spark, path, "agg_mode_deterministic").collect()}
+    assert out == {"en": ("sA", 2), "fr": ("sZ", 1)}
