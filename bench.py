@@ -148,6 +148,11 @@ EXTENSION_R5 = [
     "graph_triangle_count",
     "agg_percentile_exact",
     "agg_mode_deterministic",
+    "events_feature_lags",
+    "window_rolling_distinct",
+    "scan_partitioned_write_prune",
+    "streaming_reservoir_sample",
+    "graph_label_propagation",
 ]
 
 

@@ -725,3 +725,263 @@ def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") == 1)
         .select("lang", F.col("source").alias("mode_source"), F.col("n").alias("mode_count"))
     )
+
+
+@register(
+    "events_feature_lags",
+    oracle="""
+        SELECT event_id, user_id, ts, value,
+               lag(value, 1) OVER w AS lag1,
+               lag(value, 2) OVER w AS lag2,
+               value - lag(value, 1) OVER w AS delta1,
+               CAST(epoch_us(ts) - epoch_us(lag(ts, 1) OVER w) AS BIGINT)
+                   AS micros_since_prev
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    doc="Per-entity lag features — the bread-and-butter feature "
+    "engineering pass for sequence models and churn/anomaly training "
+    "sets: previous readings, first difference, and inter-event time, "
+    "all from ONE user-keyed ordered window (high-cardinality "
+    "partition key, one corpus shuffle, no funnel). Inter-event gap "
+    "is exact integer microseconds (epoch_us both engines), not a "
+    "float subtraction.",
+)
+def events_feature_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    micros = F.unix_micros(F.col("ts").cast("timestamp"))
+    prev_micros = F.unix_micros(F.lag(F.col("ts").cast("timestamp"), 1).over(w))
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.lag("value", 1).over(w).alias("lag1"),
+        F.lag("value", 2).over(w).alias("lag2"),
+        (F.col("value") - F.lag("value", 1).over(w)).alias("delta1"),
+        (micros - prev_micros).cast("long").alias("micros_since_prev"),
+    )
+
+
+_ROLL_DISTINCT_W = 5
+
+
+@register(
+    "window_rolling_distinct",
+    oracle=f"""
+        SELECT event_id, user_id, ts,
+               CAST(len(list_distinct(list(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN {_ROLL_DISTINCT_W - 1} PRECEDING AND CURRENT ROW
+               ))) AS BIGINT) AS n_distinct_types
+        FROM events
+    """,
+    doc="Rolling COUNT(DISTINCT) over a window frame — a capability "
+    "neither engine's window syntax allows directly (DISTINCT "
+    "aggregates are invalid in OVER clauses): spelled as "
+    "size(array_distinct(collect_list)) over the bounded 5-row frame, "
+    "identical in the oracle with list_distinct(list(...)). Frames "
+    "are bounded so the materialized lists are constant-size; the "
+    "window keys on user_id (high cardinality, one shuffle). The "
+    "behavioral-diversity signal (how many distinct actions in the "
+    "last N) feeds session-quality and bot-detection features.",
+)
+def window_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(_ROLL_DISTINCT_W - 1), Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.size(F.array_distinct(F.collect_list("event_type").over(w)))
+        .cast("long")
+        .alias("n_distinct_types"),
+    )
+
+
+@register(
+    "scan_partitioned_write_prune",
+    oracle="""
+        SELECT event_id, user_id, ts, value FROM events
+        WHERE event_type = 'purchase'
+    """,
+    doc="Hive-style partitioned write + partition-pruned read: events "
+    "land partitioned by event_type (the layout choice that turns a "
+    "100 TB 'WHERE type = X' from a full scan into a directory "
+    "listing), then the read filters on the partition column and "
+    "Catalyst prunes at PLANNING time — the plan's PartitionFilters "
+    "carries the predicate and PartitionCount shows one directory "
+    "scheduled (pinned in tests/test_r5_ops.py). The re-read equals "
+    "the plain filtered scan, which is the oracle. Same posture as "
+    "scan_zonemap_prune but for the engine-native layout instead of "
+    "footer stats.",
+)
+def scan_partitioned_write_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    ev = load(spark, sf_dir, "events")
+    out = tempfile.mkdtemp(prefix="part_events_")
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(out)
+    return (
+        spark.read.parquet(out)
+        .where(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts", "value")
+    )
+
+
+@register(
+    "streaming_reservoir_sample",
+    oracle=f"""
+        WITH h AS (
+            SELECT doc_id, lang,
+                   md5('rsv1|' || CAST(doc_id AS VARCHAR)) AS hkey
+            FROM documents
+        ),
+        r AS (
+            SELECT doc_id, lang, hkey,
+                   CAST(row_number() OVER (
+                       PARTITION BY lang ORDER BY hkey, doc_id) AS BIGINT)
+                       AS rank
+            FROM h
+        )
+        SELECT doc_id, lang, hkey, rank FROM r WHERE rank <= {_RESERVOIR_K}
+    """,
+    doc="Streaming bottom-k-hash reservoir per language, maintained "
+    "incrementally across micro-batches through the idempotent "
+    "materialized view (streaming/matview.py): each batch contributes "
+    "its own bottom-k, the merge keeps the k smallest of view+batch — "
+    "legal precisely because bottom-k sketches are MERGEABLE (the "
+    "property pinned in tests/test_r5_ops.py), so the drained stream "
+    "converges to the batch reservoir EXACTLY (same oracle as "
+    "sample_reservoir_per_key). View state is langs x k rows; "
+    "per-trigger cost O(batch) + O(view).",
+)
+def streaming_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from sql_engine_spark.streaming.matview import IdempotentMatView
+
+    def bottom_k(df: DataFrame) -> DataFrame:
+        w = Window.partitionBy("lang").orderBy("hkey", "doc_id")
+        return (
+            df.withColumn("__rk", F.row_number().over(w))
+            .where(F.col("__rk") <= _RESERVOIR_K)
+            .select("doc_id", "lang", "hkey")
+        )
+
+    view = IdempotentMatView(
+        tempfile.mkdtemp(prefix="rsv_view_"),
+        partial_of=lambda b: bottom_k(
+            b.select(
+                "doc_id",
+                "lang",
+                F.md5(
+                    F.concat(F.lit("rsv1|"), F.col("doc_id").cast("string"))
+                ).alias("hkey"),
+            )
+        ),
+        combine=lambda cur, partial: bottom_k(cur.unionByName(partial)),
+    )
+    from sql_engine_spark.queries.streaming import _state_partitions
+    from sql_engine_spark.streaming.source import table_stream
+
+    with _state_partitions(spark):
+        stream = table_stream(spark, sf_dir, "documents", ["doc_id"], 4)
+        q = (
+            stream.select("doc_id", "lang")
+            .writeStream.outputMode("append")
+            .foreachBatch(view.merge)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    w = Window.partitionBy("lang").orderBy("hkey", "doc_id")
+    return view.read(spark).withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    )
+
+
+def _sql_lpa_iter(prev: str, cur: str) -> str:
+    return f"""c_{cur} AS (
+            SELECT e.src AS node, l.label, CAST(COUNT(*) AS BIGINT) AS n
+            FROM lpa_edges e JOIN {prev} l ON l.node = e.dst
+            GROUP BY 1, 2
+        ),
+        {cur} AS (
+            SELECT node, label FROM (
+                SELECT node, label,
+                       row_number() OVER (
+                           PARTITION BY node ORDER BY n DESC, label) AS rk
+                FROM c_{cur}
+            ) WHERE rk = 1
+        )"""
+
+
+@register(
+    "graph_label_propagation",
+    oracle=f"""
+        WITH knn AS ({sql_knn_graph(planes=4, tables=8, dim=64, k=5)}),
+        und AS (
+            SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+            FROM knn
+        ),
+        lpa_edges AS (
+            SELECT a AS src, b AS dst FROM und
+            UNION ALL
+            SELECT b AS src, a AS dst FROM und
+        ),
+        l0 AS (SELECT DISTINCT src AS node, src AS label FROM lpa_edges),
+        {_sql_lpa_iter('l0', 'l1')},
+        {_sql_lpa_iter('l1', 'l2')}
+        SELECT node, label FROM l2
+    """,
+    doc="Synchronous label propagation (Raghavan et al. 2007) over the "
+    "kNN similarity graph, FIXED 2 iterations with a deterministic "
+    "update (most frequent neighbor label, ties to the smallest) so "
+    "the oracle unrolls the identical rounds — the community-detection "
+    "sibling of connected components for semantic cluster discovery, "
+    "converging on modularity structure instead of mere connectivity. "
+    "Per round: one edge-sized join + one (node, label) count "
+    "aggregate + a per-node argmax window (node cardinality = corpus, "
+    "bounded candidate lists — the knn_graph window argument). At "
+    "depth, add the localCheckpoint discipline (pagerank_fixed's "
+    "checkpoint_every).",
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sql_engine_spark.operators.dedup import _persist
+
+    emb = load(spark, sf_dir, "embeddings")
+    g = knn_graph(
+        emb, id_col="vec_id", vec_col="embedding", planes=4, tables=8, dim=64, k=5
+    )
+    und = g.select(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    ).distinct()
+    edges = _persist(
+        und.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
+            und.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+        )
+    )
+    labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    w = Window.partitionBy("node").orderBy(F.desc("n"), F.asc("label"))
+    for _ in range(2):
+        counts = (
+            edges.join(
+                labels.select(F.col("node").alias("dst"), "label"), "dst"
+            )
+            .groupBy(F.col("src").alias("node"), "label")
+            .agg(F.count("*").cast("long").alias("n"))
+        )
+        labels = (
+            counts.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") == 1)
+            .select("node", "label")
+        )
+    return labels

@@ -275,3 +275,77 @@ def test_mode_deterministic_ties(spark, tmp_path):
     docs.write.mode("overwrite").parquet(path + "/documents.parquet")
     out = {r.lang: (r.mode_source, r.mode_count) for r in _build(spark, path, "agg_mode_deterministic").collect()}
     assert out == {"en": ("sA", 2), "fr": ("sZ", 1)}
+
+
+def test_partitioned_read_prunes_partitions(spark, sf_dir):
+    """The partition filter must prune at planning: exactly one
+    partition directory scheduled, predicate in PartitionFilters."""
+    from sql_engine_spark.plans.audit import explain_str
+
+    df = _build(spark, sf_dir, "scan_partitioned_write_prune")
+    plan = explain_str(df, "formatted")
+    assert "PartitionFilters" in plan
+    import re
+
+    m = re.search(r"partition filters:.*|PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "event_type" in m.group(0)
+    # The data filter must NOT appear as a post-scan Filter on the data
+    # columns: pruning happened at planning, so the only event_type
+    # references live in the partition-filter clause.
+    body = plan.split("PartitionFilters", 1)[0]
+    assert "Filter (" not in body or "event_type" not in body
+
+
+def test_streaming_reservoir_converges_to_batch(spark, sf_dir):
+    """The micro-batch-merged reservoir must equal the one-shot batch
+    reservoir exactly (bottom-k mergeability, end to end)."""
+    batch = {
+        (r.doc_id, r.lang, r.rank)
+        for r in _build(spark, sf_dir, "sample_reservoir_per_key").collect()
+    }
+    stream = {
+        (r.doc_id, r.lang, r.rank)
+        for r in _build(spark, sf_dir, "streaming_reservoir_sample").collect()
+    }
+    assert stream == batch
+
+
+def test_label_propagation_labels_are_neighbor_modes(spark):
+    """One LPA round on a known graph: two 3-cliques bridged by one
+    edge must keep two distinct majority labels after 2 rounds."""
+    from pyspark.sql import Window
+
+    edges_und = [(0, 1), (0, 2), (1, 2), (3, 4), (3, 5), (4, 5), (2, 3)]
+    und = spark.createDataFrame(edges_und, ["a", "b"])
+    edges = und.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
+        und.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    w = Window.partitionBy("node").orderBy(F.desc("n"), F.asc("label"))
+    for _ in range(2):
+        counts = (
+            edges.join(labels.select(F.col("node").alias("dst"), "label"), "dst")
+            .groupBy(F.col("src").alias("node"), "label")
+            .agg(F.count("*").cast("long").alias("n"))
+        )
+        labels = (
+            counts.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") == 1)
+            .select("node", "label")
+        )
+    got = {r.node: r.label for r in labels.collect()}
+    # the left clique coalesces onto its min label; the right clique's
+    # majority stays internal despite the bridge
+    assert got[0] == got[1] == got[2]
+    assert got[4] == got[5]
+    assert got[0] != got[4]
+
+
+def test_feature_lags_first_row_nulls(spark, sf_dir):
+    df = _build(spark, sf_dir, "events_feature_lags")
+    firsts = df.where(F.col("micros_since_prev").isNull())
+    users = load(spark, sf_dir, "events").select("user_id").distinct().count()
+    assert firsts.count() == users  # exactly one frameless row per user
+    assert firsts.where(F.col("lag1").isNotNull()).count() == 0
