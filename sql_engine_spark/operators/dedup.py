@@ -332,22 +332,33 @@ def simhash_bits_from_digests(digests_col: str, bits: int = 16) -> "F.Column":
     """SimHash from a MATERIALIZED array of md5(token) hex digests.
 
     Bit i is the sign of sum over tokens of +-1 votes from one bit of
-    the token digest (see _hex_vote; bits <= 32 match the historical
+    the token digest (the _hex_vote layout: hex position (i-1) mod 32,
+    mask bit 3 - (i-1) div 32 — bits <= 32 match the historical
     one-bit-per-hex-digit scheme bit-for-bit, bits up to 128 draw the
-    remaining digest bits). The digests must be a real column: each of
-    the `bits` aggregate expressions folds the array independently (no
-    CSE across expressions), so an inlined md5 would hash every token
-    `bits` times — measured 6x wall on the 32-bit Hamming pairing."""
-    bit_exprs = []
-    for i in range(1, bits + 1):
-        pos, hexset = _hex_vote(i)
-        vote = (
-            f"aggregate({digests_col}, 0, (acc, d) -> acc + "
-            f"(CASE WHEN substring(d, {pos}, 1) IN {hexset} "
-            f"THEN 1 ELSE -1 END))"
-        )
-        bit_exprs.append(f"(CASE WHEN ({vote}) > 0 THEN '1' ELSE '0' END)")
-    return F.expr("concat(" + ", ".join(bit_exprs) + ")")
+    remaining digest bits). The digests must be a real column (an
+    inlined md5 re-hashes every token per use — measured 6x wall).
+
+    Spelled as ONE fold carrying a `bits`-wide counter array
+    (zip_with accumulate), not `bits` independent aggregate()
+    expressions: interpreted HOFs get no CSE, so the per-bit spelling
+    walks the token array `bits` times — measured ~15% wall on the
+    64-bit Hamming pairing's map stage at sf0.1. The membership test
+    is integer bit arithmetic on the hex digit's value
+    (instr/shiftright/&), identical in result to the IN-set spelling
+    the DuckDB oracle keeps (sql_simhash_bits) — cross-engine equality
+    is pinned by the oracle gate and tests/test_r5_fixes.py."""
+    vote = (
+        "CASE WHEN (shiftright(instr('0123456789abcdef', "
+        "substring(d, CAST(pmod(i, 32) AS INT) + 1, 1)) - 1, "
+        "3 - CAST(i div 32 AS INT)) & 1) = 1 THEN 1 ELSE -1 END"
+    )
+    return F.expr(
+        "concat_ws('', transform("
+        f"aggregate({digests_col}, transform(sequence(0, {bits - 1}), i -> 0), "
+        f"(acc, d) -> zip_with(acc, transform(sequence(0, {bits - 1}), "
+        f"i -> {vote}), (a, v) -> a + v)), "
+        "c -> CASE WHEN c > 0 THEN '1' ELSE '0' END))"
+    )
 
 
 def simhash_bits(tokens_col: str, bits: int = 16) -> "F.Column":
