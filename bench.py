@@ -153,6 +153,10 @@ EXTENSION_R5 = [
     "scan_partitioned_write_prune",
     "streaming_reservoir_sample",
     "graph_label_propagation",
+    "join_asof_nearest",
+    "agg_corr_manual",
+    "events_hourly_profile",
+    "curation_shard_manifest",
 ]
 
 

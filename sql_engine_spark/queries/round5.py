@@ -985,3 +985,245 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("node", "label")
         )
     return labels
+
+
+from sql_engine_spark.functions.numeric import davg, dsum, sql_davg, sql_dsum  # noqa: E402
+
+_NEAREST_TOL_US = 1_800_000_000  # 30 minutes
+
+
+@register(
+    "join_asof_nearest",
+    oracle=f"""
+        WITH p AS (
+            SELECT event_id, user_id, ts FROM events
+            WHERE event_type = 'purchase'
+        ),
+        v AS (
+            SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'
+        ),
+        pairs AS (
+            SELECT p.event_id AS pid, v.event_id AS vid, v.ts AS vts,
+                   abs(epoch_us(v.ts) - epoch_us(p.ts)) AS d,
+                   CASE WHEN v.ts <= p.ts THEN 0 ELSE 1 END AS dir
+            FROM p JOIN v ON p.user_id = v.user_id
+             AND abs(epoch_us(v.ts) - epoch_us(p.ts)) <= {_NEAREST_TOL_US}
+        ),
+        best AS (
+            SELECT pid, vid, vts FROM (
+                SELECT pid, vid, vts,
+                       row_number() OVER (
+                           PARTITION BY pid ORDER BY d, dir, vid DESC) AS rk
+                FROM pairs
+            ) WHERE rk = 1
+        )
+        SELECT p.event_id, p.user_id, p.ts,
+               best.vid AS nearest_view_id, best.vts AS nearest_view_ts
+        FROM p LEFT JOIN best ON best.pid = p.event_id
+    """,
+    doc="NEAREST-neighbor temporal join (either direction, 30-minute "
+    "tolerance): each purchase matched to the closest same-user view "
+    "by |time delta|, ties to the earlier side then the larger id — "
+    "the sensor-alignment primitive pandas calls merge_asof("
+    "direction='nearest'). Spelled as TWO union+window as-of passes "
+    "(operators/asof.py) — backward on event time, forward on NEGATED "
+    "time (an as-of join under order reversal) — then a per-row pick "
+    "of the closer candidate: two user-keyed shuffles, no quadratic "
+    "pairing. The oracle is the naive tolerance join + rank, so the "
+    "hash match proves the two-pass decomposition complete.",
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sql_engine_spark.operators.asof import asof_join
+
+    ev = load(spark, sf_dir, "events")
+    micros = F.unix_micros(F.col("ts").cast("timestamp"))
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", micros.alias("tm")
+    )
+    v = ev.where(F.col("event_type") == "view").select(
+        F.col("event_id").alias("v_event_id"),
+        "user_id",
+        F.col("ts").alias("v_ts"),
+        micros.alias("v_tm"),
+    )
+    back = asof_join(
+        p,
+        v,
+        key="user_id",
+        left_ts="tm",
+        right_ts="v_tm",
+        right_payload=["v_event_id", "v_ts"],
+    ).select(
+        "event_id",
+        "user_id",
+        "ts",
+        "tm",
+        F.col("asof_v_event_id").alias("b_id"),
+        F.col("asof_v_ts").alias("b_ts"),
+        # asof_ts is the matched right-side order value — here v_tm
+        F.col("asof_ts").alias("b_tm"),
+    )
+    fwd = asof_join(
+        p.withColumn("neg_tm", -F.col("tm")),
+        v.withColumn("neg_v_tm", -F.col("v_tm")),
+        key="user_id",
+        left_ts="neg_tm",
+        right_ts="neg_v_tm",
+        right_payload=["v_event_id", "v_ts", "v_tm"],
+    ).select(
+        "event_id",
+        F.col("asof_v_event_id").alias("f_id"),
+        F.col("asof_v_ts").alias("f_ts"),
+        F.col("asof_v_tm").alias("f_tm"),
+    )
+    both = back.join(fwd, "event_id", "left")
+    b_d = F.col("tm") - F.col("b_tm")
+    f_d = F.col("f_tm") - F.col("tm")
+    b_ok = F.col("b_tm").isNotNull() & (b_d <= _NEAREST_TOL_US)
+    f_ok = F.col("f_tm").isNotNull() & (f_d <= _NEAREST_TOL_US)
+    # closer wins; ties -> backward (dir 0 first, matching the oracle)
+    pick_b = b_ok & (~f_ok | (b_d <= f_d))
+    pick_f = f_ok & ~pick_b
+    return both.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(pick_b, F.col("b_id"))
+        .when(pick_f, F.col("f_id"))
+        .alias("nearest_view_id"),
+        F.when(pick_b, F.col("b_ts"))
+        .when(pick_f, F.col("f_ts"))
+        .alias("nearest_view_ts"),
+    )
+
+
+@register(
+    "agg_corr_manual",
+    oracle=f"""
+        WITH s AS (
+            SELECT event_type,
+                   CAST(COUNT(*) AS DOUBLE) AS n,
+                   {sql_dsum('value')} AS sx,
+                   {sql_dsum('value * value')} AS sxx,
+                   {sql_dsum('CAST(hour(ts) AS DOUBLE)')} AS sy,
+                   {sql_dsum('CAST(hour(ts) AS DOUBLE) * CAST(hour(ts) AS DOUBLE)')}
+                       AS syy,
+                   {sql_dsum('value * CAST(hour(ts) AS DOUBLE)')} AS sxy
+            FROM events GROUP BY event_type
+        )
+        SELECT event_type, CAST(n AS BIGINT) AS n_rows,
+               ((n * sxy) - (sx * sy))
+                   / sqrt(((n * sxx) - (sx * sx)) * ((n * syy) - (sy * sy)))
+                   AS corr_value_hour,
+               ((n * sxy) - (sx * sy)) / ((n * syy) - (sy * sy))
+                   AS regr_slope_on_hour
+        FROM s
+    """,
+    doc="Pearson correlation + regression slope per group, from "
+    "DECIMAL-exact co-moment sums: the built-in corr()/regr_slope() "
+    "stream co-moments in engine-specific update orders (result "
+    "depends on partitioning and differs across engines in the last "
+    "ulps), so the five sufficient statistics are reduced exactly "
+    "(DECIMAL(27,6), order-free) and the closed form evaluates in "
+    "deterministic double arithmetic — same discipline as every "
+    "dsum-based aggregate here. One map-side-combinable shuffle; "
+    "sqrt is IEEE correctly-rounded, no libm hazard.",
+)
+def agg_corr_manual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").withColumn(
+        "hr", F.hour("ts").cast("double")
+    )
+    s = ev.groupBy("event_type").agg(
+        F.count("*").cast("double").alias("n"),
+        dsum("value").alias("sx"),
+        dsum(F.col("value") * F.col("value")).alias("sxx"),
+        dsum("hr").alias("sy"),
+        dsum(F.col("hr") * F.col("hr")).alias("syy"),
+        dsum(F.col("value") * F.col("hr")).alias("sxy"),
+    )
+    cov_n = (F.col("n") * F.col("sxy")) - (F.col("sx") * F.col("sy"))
+    var_x = (F.col("n") * F.col("sxx")) - (F.col("sx") * F.col("sx"))
+    var_y = (F.col("n") * F.col("syy")) - (F.col("sy") * F.col("sy"))
+    return s.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_rows"),
+        (cov_n / F.sqrt(var_x * var_y)).alias("corr_value_hour"),
+        (cov_n / var_y).alias("regr_slope_on_hour"),
+    )
+
+
+@register(
+    "events_hourly_profile",
+    oracle=f"""
+        SELECT event_type, CAST(hour(ts) AS BIGINT) AS hour_of_day,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               {sql_davg('value')} AS avg_value
+        FROM events GROUP BY event_type, hour(ts)
+    """,
+    doc="Hour-of-day seasonality profile per event type — the "
+    "daily-rhythm baseline behind anomaly thresholds and traffic "
+    "forecasting. One map-side-combinable aggregate over "
+    "(type, hour); averages via exact decimal sums so the profile is "
+    "partition-order-independent.",
+)
+def events_hourly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy(
+        "event_type", F.hour("ts").cast("long").alias("hour_of_day")
+    ).agg(
+        F.count("*").cast("long").alias("n"),
+        davg("value").alias("avg_value"),
+    )
+
+
+_N_SHARDS = 8
+
+
+@register(
+    "curation_shard_manifest",
+    oracle=f"""
+        WITH assigned AS (
+            SELECT doc_id, lang,
+                   CAST(length({sql_tokens('text')}) AS DOUBLE) AS n_toks,
+                   list_reduce(list_transform(range(1, 9),
+                       i -> CAST(instr('0123456789abcdef',
+                            substring(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1
+                            AS BIGINT)), (a, b) -> a * 16 + b) % {_N_SHARDS}
+                       AS shard
+            FROM documents
+        )
+        SELECT shard,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               {sql_dsum('n_toks')} AS n_tokens,
+               CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+        FROM assigned GROUP BY shard
+    """,
+    doc="Training-shard manifest: every document deterministically "
+    "assigned to one of 8 shards by a content-id hash (stable across "
+    "reruns, engines, partitionings — md5-derived, NOT xxhash which "
+    "DuckDB lacks), with per-shard doc counts, exact-decimal token "
+    "totals, and language coverage — the writer-side bookkeeping a "
+    "distributed training job reads to size its data loaders. Hash "
+    "sharding means shard sizes concentrate tightly (pinned in "
+    "tests); one aggregate, no skew keys.",
+)
+def curation_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    shard = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % _N_SHARDS
+    )
+    return (
+        docs.select(
+            shard.alias("shard"),
+            "lang",
+            F.size(tokens("text")).cast("double").alias("n_toks"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            dsum("n_toks").alias("n_tokens"),
+            F.countDistinct("lang").cast("long").alias("n_langs"),
+        )
+    )

@@ -349,3 +349,61 @@ def test_feature_lags_first_row_nulls(spark, sf_dir):
     users = load(spark, sf_dir, "events").select("user_id").distinct().count()
     assert firsts.count() == users  # exactly one frameless row per user
     assert firsts.where(F.col("lag1").isNotNull()).count() == 0
+
+
+def test_nearest_join_picks_closer_side(spark, tmp_path):
+    """Backward 10 min away vs forward 5 min away -> forward wins;
+    exact tie -> backward; outside tolerance -> NULL."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0)
+
+    def row(eid, mins, typ, uid=1):
+        return (eid, t0 + dt.timedelta(minutes=mins), uid, 1.0, typ, None)
+
+    rows = [
+        row(1, 0, "purchase"),
+        row(10, -10, "view"),
+        row(11, 5, "view"),  # closer (forward)
+        row(2, 100, "purchase"),
+        row(20, 90, "view"),
+        row(21, 110, "view"),  # exact tie -> backward (id 20)
+        row(3, 300, "purchase", uid=2),
+        row(30, 210, "view", uid=2),  # 90 min away: outside 30-min tol
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, value double, "
+        "event_type string, props string",
+    )
+    path = str(tmp_path)
+    ev.write.mode("overwrite").parquet(path + "/events.parquet")
+    out = {r.event_id: r.nearest_view_id for r in _build(spark, path, "join_asof_nearest").collect()}
+    assert out == {1: 11, 2: 20, 3: None}
+
+
+def test_corr_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    out = {r.event_type: r for r in _build(spark, sf_dir, "agg_corr_manual").collect()}
+    ev = load(spark, sf_dir, "events").withColumn("hr", F.hour("ts")).collect()
+    by_type = {}
+    for r in ev:
+        by_type.setdefault(r.event_type, []).append((r.value, r.hr))
+    for et, pairs in by_type.items():
+        x = np.array([p[0] for p in pairs])
+        y = np.array([p[1] for p in pairs], dtype=float)
+        want = np.corrcoef(x, y)[0, 1]
+        assert out[et].corr_value_hour == pytest.approx(want, abs=1e-9)
+        slope = np.polyfit(y, x, 1)[0]
+        assert out[et].regr_slope_on_hour == pytest.approx(slope, abs=1e-9)
+
+
+def test_shard_manifest_conserves_and_balances(spark, sf_dir):
+    df = _build(spark, sf_dir, "curation_shard_manifest")
+    rows = df.collect()
+    assert {r.shard for r in rows} <= set(range(8))
+    total = sum(r.n_docs for r in rows)
+    assert total == load(spark, sf_dir, "documents").count()
+    # hash sharding: no shard more than 3x the uniform share
+    assert max(r.n_docs for r in rows) <= 3 * (total / 8)
