@@ -568,6 +568,9 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from sql_engine_spark.operators.graph import (  # noqa: E402
+    sql_triangle_corner_counts,
+)
 from sql_engine_spark.operators.similarity import knn_graph, sql_knn_graph  # noqa: E402
 
 
@@ -575,65 +578,40 @@ from sql_engine_spark.operators.similarity import knn_graph, sql_knn_graph  # no
     "graph_triangle_count",
     oracle=f"""
         WITH knn AS ({sql_knn_graph(planes=4, tables=8, dim=64, k=5)}),
-        und AS (
-            SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
-            FROM knn
-        ),
-        wedge AS (
-            SELECT x.a AS a, x.b AS b, y.b AS c
-            FROM und x JOIN und y ON x.b = y.a
-        ),
-        tri AS (
-            SELECT w.a, w.b, w.c
-            FROM wedge w JOIN und z ON z.a = w.a AND z.b = w.c
-        ),
-        corners AS (
-            SELECT a AS node FROM tri
-            UNION ALL SELECT b FROM tri
-            UNION ALL SELECT c FROM tri
-        )
+        {sql_triangle_corner_counts(
+            "SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM knn"
+        )}
         SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
-        FROM corners GROUP BY node
+        FROM tri_corners GROUP BY node
     """,
     doc="Per-node triangle counting over the kNN similarity graph — "
     "the clustering-coefficient primitive for community detection and "
     "semantic-neighborhood density (dense triangles = tight duplicate "
-    "clusters). The classic two-join spelling (Suri & Vassilvitskii, "
-    "WWW 2011 'Counting Triangles and the Curse of the Last Reducer'): "
-    "canonical a<b edges, wedge join on the shared middle vertex, "
-    "closure check as a semi join — every stage edge-relation-sized "
-    "(edges ~ n*k from the kNN build), no corner materializes a "
-    "neighborhood cross product beyond the bounded k-degree. Reuses "
-    "ann_knn_graph's build (planes=4, tables=8, k=5) so the oracle's "
-    "graph is bit-identical.",
+    "clusters). Degree-ordered enumeration (Suri & Vassilvitskii, WWW "
+    "2011 'Counting Triangles and the Curse of the Last Reducer' / "
+    "Chiba-Nishizeki, operators/graph.triangle_corner_counts): edges "
+    "orient low-degree -> high-degree, wedges form only at each "
+    "triangle's minimum corner, closure is a semi join — per-vertex "
+    "wedge volume is bounded by out-degree <= O(sqrt(m)) even at hub "
+    "vertices, where an id-ordered orientation would pile a hub\'s "
+    "whole neighborhood onto one corner. Reuses ann_knn_graph\'s "
+    "build (planes=4, tables=8, k=5) so the oracle\'s graph is "
+    "bit-identical.",
 )
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sql_engine_spark.operators.dedup import _persist
+    from sql_engine_spark.operators.graph import triangle_corner_counts
+
     emb = load(spark, sf_dir, "embeddings")
     g = knn_graph(
         emb, id_col="vec_id", vec_col="embedding", planes=4, tables=8, dim=64, k=5
     )
-    from sql_engine_spark.operators.dedup import _persist
-
     und = _persist(
         g.select(
             F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
         ).distinct()
     )
-    x, y = und.alias("x"), und.alias("y")
-    wedge = x.join(y, F.col("x.b") == F.col("y.a")).select(
-        F.col("x.a").alias("a"), F.col("x.b").alias("b"), F.col("y.b").alias("c")
-    )
-    tri = wedge.join(
-        und.select(F.col("a").alias("za"), F.col("b").alias("zb")),
-        (F.col("za") == F.col("a")) & (F.col("zb") == F.col("c")),
-        "left_semi",
-    )
-    corners = (
-        tri.select(F.col("a").alias("node"))
-        .unionAll(tri.select(F.col("b").alias("node")))
-        .unionAll(tri.select(F.col("c").alias("node")))
-    )
-    return corners.groupBy("node").agg(F.count("*").cast("long").alias("n_triangles"))
+    return triangle_corner_counts(und)
 
 
 _PCTS = (0.25, 0.5, 0.75)

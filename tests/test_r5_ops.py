@@ -81,6 +81,13 @@ def test_triangle_count_matches_naive(spark):
     )
     rows = {(r.a, r.b, r.c) for r in tri.collect()}
     assert rows == {(0, 1, 2), (0, 1, 3), (0, 2, 3), (1, 2, 3)}
+    # and the shipped degree-oriented operator agrees corner-for-corner
+    from sql_engine_spark.operators.graph import triangle_corner_counts
+
+    got = {
+        r.node: r.n_triangles for r in triangle_corner_counts(und).collect()
+    }
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
 
 
 def test_reservoir_sizes_and_mergeability(spark, sf_dir):
