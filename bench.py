@@ -157,6 +157,7 @@ EXTENSION_R5 = [
     "agg_corr_manual",
     "events_hourly_profile",
     "curation_shard_manifest",
+    "pipeline_dataset_build",
 ]
 
 

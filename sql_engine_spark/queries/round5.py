@@ -1205,3 +1205,101 @@ def curation_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("lang").cast("long").alias("n_langs"),
         )
     )
+
+
+@register(
+    "pipeline_dataset_build",
+    oracle=f"""
+        WITH scored AS ({sql_hashed_linear_score()}),
+        j AS (
+            SELECT d.doc_id, d.source, s.score
+            FROM documents d JOIN scored s USING (doc_id)
+        ),
+        capped AS (
+            SELECT doc_id, source, score FROM (
+                SELECT doc_id, source, score,
+                       row_number() OVER (
+                           PARTITION BY source
+                           ORDER BY score DESC, doc_id) AS rk
+                FROM j
+            ) WHERE rk <= {_CAP_PER_SOURCE}
+        ),
+        n AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM capped),
+        ranked AS (
+            SELECT doc_id, source, score,
+                   CAST(row_number() OVER (ORDER BY score, doc_id) AS BIGINT)
+                       AS curriculum_rank
+            FROM capped
+        )
+        SELECT doc_id, source, score, curriculum_rank,
+               CAST(FLOOR(((curriculum_rank - 1) * {_N_PHASES}) / total)
+                    AS BIGINT) AS phase,
+               list_reduce(list_transform(range(1, 9),
+                   i -> CAST(instr('0123456789abcdef',
+                        substring(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1
+                        AS BIGINT)), (a, b) -> a * 16 + b) % {_N_SHARDS}
+                   AS shard
+        FROM ranked CROSS JOIN n
+    """,
+    doc="End-to-end dataset build — the round-5 curation flagship "
+    "composing three operators into the shape a real pretraining-data "
+    "job ships: (1) per-source quality cap (salted two-level top-N, "
+    "no per-source funnel), (2) global curriculum rank over the kept "
+    "docs (bucketed two-level rank) with phase split, (3) "
+    "deterministic md5 shard assignment. ONE corpus scoring pass "
+    "feeds all three stages; every rank is the two-level spelling, "
+    "so the widest window in the plan is (key, salt/bucket)-"
+    "partitioned. Output is the per-document training manifest "
+    "(source, score, curriculum position, phase, shard).",
+)
+def pipeline_dataset_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sql_engine_spark.operators.dedup import _persist
+    from sql_engine_spark.operators.prefix import bucketed_running_sum, range_bucket
+    from sql_engine_spark.operators.similarity import two_level_topk
+
+    docs = load(spark, sf_dir, "documents")
+    scored = hashed_linear_score(
+        docs, id_col="doc_id", text_col="text", carry_cols=["source"]
+    ).select("doc_id", "source", "score")
+    capped = _persist(
+        two_level_topk(
+            scored,
+            score_col="score",
+            k=_CAP_PER_SOURCE,
+            query_col="source",
+            id_col="doc_id",
+        ).select("doc_id", "source", "score")
+    )
+    bounds = capped.agg(
+        F.min("score").alias("__lo"),
+        F.max("score").alias("__hi"),
+        F.count("*").cast("long").alias("__n"),
+    )
+    base = (
+        capped.crossJoin(F.broadcast(bounds))
+        .withColumn("__one", F.lit(1).cast("long"))
+        .withColumn("__ord", F.struct(F.col("score"), F.col("doc_id")))
+    )
+    ranked = bucketed_running_sum(
+        base,
+        part_cols=[],
+        order_col="__ord",
+        value_col="__one",
+        bucket=range_bucket(F.col("score"), F.col("__lo"), F.col("__hi"), 32),
+        out_col="curriculum_rank",
+    )
+    shard = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % _N_SHARDS
+    )
+    return ranked.select(
+        "doc_id",
+        "source",
+        "score",
+        "curriculum_rank",
+        (((F.col("curriculum_rank") - 1) * _N_PHASES) / F.col("__n"))
+        .cast("long")
+        .alias("phase"),
+        shard.alias("shard"),
+    )

@@ -414,3 +414,19 @@ def test_shard_manifest_conserves_and_balances(spark, sf_dir):
     assert total == load(spark, sf_dir, "documents").count()
     # hash sharding: no shard more than 3x the uniform share
     assert max(r.n_docs for r in rows) <= 3 * (total / 8)
+
+
+def test_dataset_build_composition_consistent(spark, sf_dir):
+    """The flagship equals its parts: capped set == source_cap's docs;
+    ranks form a permutation of the capped set; shard matches the
+    manifest hash."""
+    flag = {r.doc_id: r for r in _build(spark, sf_dir, "pipeline_dataset_build").collect()}
+    cap = {r.doc_id for r in _build(spark, sf_dir, "curation_source_cap").collect()}
+    assert set(flag) == cap
+    ranks = sorted(r.curriculum_rank for r in flag.values())
+    assert ranks == list(range(1, len(flag) + 1))
+    import hashlib
+
+    for doc_id, r in list(flag.items())[:20]:
+        h = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16) % 8
+        assert r.shard == h
