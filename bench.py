@@ -158,6 +158,7 @@ EXTENSION_R5 = [
     "events_hourly_profile",
     "curation_shard_manifest",
     "pipeline_dataset_build",
+    "streaming_ewma_half",
 ]
 
 

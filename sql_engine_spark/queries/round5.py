@@ -1303,3 +1303,44 @@ def pipeline_dataset_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("phase"),
         shard.alias("shard"),
     )
+
+
+@register(
+    "streaming_ewma_half",
+    oracle=f"""
+        WITH w AS (
+            SELECT event_id, user_id, ts, value,
+                   list(value) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN {_EWMA_W - 1} PRECEDING AND CURRENT ROW
+                   ) AS vals
+            FROM events
+        )
+        SELECT event_id, user_id, ts,
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE), vals),
+                           (a, x) -> a * 0.5 + x)
+               / list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                       list_transform(vals, x -> CAST(1.0 AS DOUBLE))),
+                           (a, x) -> a * 0.5 + x) AS ewma
+        FROM w
+    """,
+    doc="Streaming per-user EWMA (streaming/ewma.py): the batch "
+    "events_ewma_half window maintained ONLINE with "
+    "applyInPandasWithState — state per user is the trailing 15 "
+    "readings (constant size, user-sharded), every event emits its "
+    "smoothed value immediately in append mode (no watermark or "
+    "sentinel needed). The Python fold is the identical acc*0.5+x "
+    "halving arithmetic, so the drained stream converges to the batch "
+    "window — and the batch oracle — BIT-exactly.",
+)
+def streaming_ewma_half(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sql_engine_spark.queries.streaming import N_CHUNKS, _state_partitions
+    from sql_engine_spark.streaming.ewma import ewma_stateful
+    from sql_engine_spark.streaming.source import events_stream, run_to_memory
+
+    with _state_partitions(spark):
+        stream = events_stream(spark, sf_dir, N_CHUNKS)
+        res = run_to_memory(
+            ewma_stateful(stream, window=_EWMA_W), "stream_ewma_half", "append"
+        )
+    return res

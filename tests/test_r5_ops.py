@@ -430,3 +430,16 @@ def test_dataset_build_composition_consistent(spark, sf_dir):
     for doc_id, r in list(flag.items())[:20]:
         h = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16) % 8
         assert r.shard == h
+
+
+def test_streaming_ewma_bit_equals_batch(spark, sf_dir):
+    """The stateful streaming EWMA must equal the batch window result
+    BIT-exactly (same halving folds, cross-batch state)."""
+    batch = {
+        r.event_id: r.ewma for r in _build(spark, sf_dir, "events_ewma_half").collect()
+    }
+    stream = {
+        r.event_id: r.ewma
+        for r in _build(spark, sf_dir, "streaming_ewma_half").collect()
+    }
+    assert stream == batch and len(batch) > 0
