@@ -159,6 +159,8 @@ EXTENSION_R5 = [
     "curation_shard_manifest",
     "pipeline_dataset_build",
     "streaming_ewma_half",
+    "dedup_bloom_ingest",
+    "agg_histogram_fixed_bins",
 ]
 
 

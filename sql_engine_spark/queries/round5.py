@@ -1344,3 +1344,94 @@ def streaming_ewma_half(spark: SparkSession, sf_dir: str) -> DataFrame:
             ewma_stateful(stream, window=_EWMA_W), "stream_ewma_half", "append"
         )
     return res
+
+
+@register(
+    "dedup_bloom_ingest",
+    oracle="""
+        WITH base AS (
+            SELECT md5(text) AS h FROM documents WHERE doc_id % 3 <> 0
+        ),
+        new_docs AS (
+            SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 3 = 0
+        )
+        SELECT n.doc_id, n.h AS content_hash
+        FROM new_docs n
+        WHERE NOT EXISTS (SELECT 1 FROM base b WHERE b.h = n.h)
+    """,
+    doc="Bloom-gated ingest dedup: admit only NEW-content documents "
+    "from an arriving batch against the existing corpus — the "
+    "front-door exact dedup of a continuously-fed training store. The "
+    "corpus's content hashes fold into a Bloom bitset "
+    "(operators/bloom.py); most new docs are decided map-side by the "
+    "literal bit probe (a definite miss IS new — Bloom has no false "
+    "negatives, so no admitted duplicate can slip through), and only "
+    "probe-positive docs — duplicates plus the tunable false-positive "
+    "sliver — reach the exact anti join. Result equals the plain anti "
+    "join (the oracle) bit-for-bit; at 100 TB the anti join's shuffle "
+    "carries ~dup_rate x batch instead of the whole batch. The "
+    "even/odd-style doc_id split stands in for corpus-vs-arriving "
+    "batch (same device as dedup_minhash_incremental).",
+)
+def dedup_bloom_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sql_engine_spark.operators.bloom import (
+        bloom_might_contain,
+        build_bloom_bits,
+    )
+
+    docs = load(spark, sf_dir, "documents").withColumn("h", F.md5("text"))
+    base = docs.where(F.col("doc_id") % 3 != 0).select("h")
+    new_docs = docs.where(F.col("doc_id") % 3 == 0).select("doc_id", "h")
+    words = build_bloom_bits(base, "h")
+    probe = bloom_might_contain("h", words)
+    # definite misses are new by construction; probe-positives get the
+    # exact verify (anti join removes real dups AND false positives)
+    misses = new_docs.where(~probe)
+    maybe = new_docs.where(probe).join(base, "h", "left_anti")
+    return misses.unionByName(maybe).select(
+        "doc_id", F.col("h").alias("content_hash")
+    )
+
+
+_HIST_BINS = 10
+_HIST_LO, _HIST_HI = 0.0, 1000.0
+
+
+@register(
+    "agg_histogram_fixed_bins",
+    oracle=f"""
+        SELECT event_type,
+               CAST(least(FLOOR((value - {_HIST_LO})
+                          * {_HIST_BINS} / ({_HIST_HI} - {_HIST_LO})),
+                          {_HIST_BINS - 1}) AS BIGINT) AS bin,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               MIN(value) AS bin_min,
+               MAX(value) AS bin_max
+        FROM events
+        WHERE value >= {_HIST_LO} AND value <= {_HIST_HI}
+        GROUP BY 1, 2
+    """,
+    doc="Fixed-width histogram per event type (10 bins over the value "
+    "domain, top edge closed) — the profiling aggregate behind every "
+    "data-quality dashboard and the binned input to drift detection. "
+    "Bin assignment is exact integer-from-double FLOOR arithmetic "
+    "spelled identically in both engines; one map-side-combinable "
+    "aggregate, (type x bins) output rows, pushed-down range filter.",
+)
+def agg_histogram_fixed_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").where(
+        (F.col("value") >= _HIST_LO) & (F.col("value") <= _HIST_HI)
+    )
+    bin_col = F.least(
+        F.floor(
+            (F.col("value") - F.lit(_HIST_LO))
+            * F.lit(_HIST_BINS)
+            / F.lit(_HIST_HI - _HIST_LO)
+        ),
+        F.lit(_HIST_BINS - 1),
+    ).cast("long")
+    return ev.groupBy("event_type", bin_col.alias("bin")).agg(
+        F.count("*").cast("long").alias("n"),
+        F.min("value").alias("bin_min"),
+        F.max("value").alias("bin_max"),
+    )

@@ -443,3 +443,29 @@ def test_streaming_ewma_bit_equals_batch(spark, sf_dir):
         for r in _build(spark, sf_dir, "streaming_ewma_half").collect()
     }
     assert stream == batch and len(batch) > 0
+
+
+def test_bloom_ingest_admits_exactly_new_content(spark, sf_dir):
+    df = _build(spark, sf_dir, "dedup_bloom_ingest")
+    admitted = {r.doc_id for r in df.collect()}
+    docs = load(spark, sf_dir, "documents").withColumn("h", F.md5("text"))
+    base_hashes = {
+        r.h for r in docs.where(F.col("doc_id") % 3 != 0).collect()
+    }
+    new_rows = docs.where(F.col("doc_id") % 3 == 0).collect()
+    want = {r.doc_id for r in new_rows if r.h not in base_hashes}
+    assert admitted == want  # no dup admitted, no new doc dropped
+
+
+def test_histogram_conserves_and_bins_bound(spark, sf_dir):
+    df = _build(spark, sf_dir, "agg_histogram_fixed_bins")
+    rows = df.collect()
+    ev = load(spark, sf_dir, "events").where(
+        (F.col("value") >= 0.0) & (F.col("value") <= 1000.0)
+    )
+    assert sum(r.n for r in rows) == ev.count()
+    for r in rows:
+        assert 0 <= r.bin <= 9
+        lo, hi = r.bin * 100.0, (r.bin + 1) * 100.0
+        assert r.bin_min >= lo - 1e-9
+        assert r.bin_max <= hi + 1e-9 or (r.bin == 9 and r.bin_max <= 1000.0)
