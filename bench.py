@@ -161,6 +161,7 @@ EXTENSION_R5 = [
     "streaming_ewma_half",
     "dedup_bloom_ingest",
     "agg_histogram_fixed_bins",
+    "ann_pca_power_iteration",
 ]
 
 

@@ -1435,3 +1435,98 @@ def agg_histogram_fixed_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("value").alias("bin_min"),
         F.max("value").alias("bin_max"),
     )
+
+
+_PCA_ITERS = 3
+_PCA_DIM = 64
+
+
+def _sql_pca_iter(prev_v: str, tag: str) -> str:
+    """One power-iteration round: s = X^T (X v) with decimal-exact
+    per-dimension sums, then L2-normalize in dimension order."""
+    return f"""pca_xv_{tag} AS (
+            SELECT e,
+                   list_reduce(list_transform(list_zip(e, (SELECT l FROM {prev_v})),
+                                              p -> p[1] * p[2]),
+                               (a, b) -> a + b) AS xv
+            FROM pca_vecs
+        ),
+        pca_s_{tag} AS (
+            SELECT dim, CAST(SUM(CAST(x * xv AS DECIMAL(27,6))) AS DOUBLE) AS s
+            FROM (
+                SELECT unnest(e) AS x, generate_subscripts(e, 1) AS dim, xv
+                FROM pca_xv_{tag}
+            ) GROUP BY dim
+        ),
+        pca_raw_{tag} AS (
+            SELECT list_transform(list_sort(list(struct_pack(dim := dim, s := s))),
+                                  t -> t.s) AS raw
+            FROM pca_s_{tag}
+        ),
+        pca_n_{tag} AS (
+            SELECT raw,
+                   sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                            list_transform(raw, y -> y * y)), (a, b) -> a + b))
+                       AS nrm
+            FROM pca_raw_{tag}
+        ),
+        pca_v_{tag} AS (
+            SELECT list_transform(raw, x -> x / nrm) AS l FROM pca_n_{tag}
+        )"""
+
+
+def _pca_oracle() -> str:
+    iters = ",\n        ".join(
+        _sql_pca_iter("pca_v0" if i == 1 else f"pca_v_i{i - 1}", f"i{i}")
+        for i in range(1, _PCA_ITERS + 1)
+    )
+    last = f"i{_PCA_ITERS}"
+    return f"""
+        WITH pca_vecs AS MATERIALIZED (
+            SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+            FROM embeddings
+        ),
+        pca_v0 AS (
+            SELECT list_transform(range(1, {_PCA_DIM + 1}),
+                                  i -> CASE WHEN i = 1 THEN CAST(1.0 AS DOUBLE)
+                                            ELSE CAST(0.0 AS DOUBLE) END) AS l
+        ),
+        {iters},
+        pca_count AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM pca_vecs)
+        SELECT CAST(dim AS BIGINT) AS dim,
+               l[dim] AS component,
+               (SELECT nrm FROM pca_n_{last}) / n AS eigenvalue_est
+        FROM pca_v_{last}
+        CROSS JOIN pca_count
+        CROSS JOIN (SELECT unnest(range(1, {_PCA_DIM + 1})) AS dim)
+    """
+
+
+@register(
+    "ann_pca_power_iteration",
+    oracle=_pca_oracle(),
+    doc="Top principal direction of the embedding corpus by MATRIX-FREE "
+    "power iteration (3 rounds of v <- normalize(X^T (X v)) from the "
+    "e_1 start): the PCA/whitening primitive embedding pipelines run "
+    "before semantic clustering (SemDeDup-style) without ever "
+    "materializing the 64x64 covariance — each round is ONE "
+    "distributed pass (per-row dot with the LITERAL v, per-dim "
+    "DECIMAL-exact sums, 64 rows back to the driver: model-sized, the "
+    "k-means-literal discipline from operators/similarity.py). "
+    "Python-side normalization folds in dimension order with the same "
+    "IEEE doubles the oracle's list_reduce produces, so the component "
+    "is bit-identical cross-engine. Output: (dim, component, "
+    "eigenvalue_est = |X^T X v| / n).",
+)
+def ann_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sql_engine_spark.operators.dedup import _persist
+    from sql_engine_spark.operators.pca import pca_power_component
+
+    emb = _persist(load(spark, sf_dir, "embeddings").select("embedding"))
+    v, eig = pca_power_component(
+        emb, vec_col="embedding", dim=_PCA_DIM, iterations=_PCA_ITERS
+    )
+    rows = [(d + 1, v[d], eig) for d in range(_PCA_DIM)]
+    return spark.createDataFrame(
+        rows, "dim long, component double, eigenvalue_est double"
+    )

@@ -469,3 +469,30 @@ def test_histogram_conserves_and_bins_bound(spark, sf_dir):
         lo, hi = r.bin * 100.0, (r.bin + 1) * 100.0
         assert r.bin_min >= lo - 1e-9
         assert r.bin_max <= hi + 1e-9 or (r.bin == 9 and r.bin_max <= 1000.0)
+
+
+def test_pca_component_on_anisotropic_data(spark):
+    """On data with a dominant direction, 3 power rounds must align
+    with numpy's top right singular vector (|cos| >= 0.999); on the
+    registered query the oracle pins bit-equality instead (the
+    near-isotropic fixture corpus converges slowly by design)."""
+    import numpy as np
+
+    from sql_engine_spark.operators.pca import pca_power_component
+
+    rng = np.random.RandomState(7)
+    direction = rng.randn(16)
+    direction /= np.linalg.norm(direction)
+    X = rng.randn(400, 16) * 0.1 + np.outer(rng.randn(400) * 3.0, direction)
+    df = spark.createDataFrame(
+        [(row.tolist(),) for row in X.astype(np.float32)],
+        "embedding array<float>",
+    )
+    v, eig = pca_power_component(df, vec_col="embedding", dim=16, iterations=3)
+    v = np.array(v)
+    assert abs(np.linalg.norm(v) - 1.0) < 1e-9
+    Xd = X.astype(np.float32).astype(np.float64)
+    _, s, vt = np.linalg.svd(Xd, full_matrices=False)
+    assert abs(float(v @ vt[0])) >= 0.999
+    # eigenvalue estimate ~ top singular value^2 / n
+    assert eig == pytest.approx(s[0] ** 2 / len(Xd), rel=0.05)
