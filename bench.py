@@ -162,6 +162,7 @@ EXTENSION_R5 = [
     "dedup_bloom_ingest",
     "agg_histogram_fixed_bins",
     "ann_pca_power_iteration",
+    "streaming_histogram",
 ]
 
 

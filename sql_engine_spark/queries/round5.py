@@ -1530,3 +1530,66 @@ def ann_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "dim long, component double, eigenvalue_est double"
     )
+
+
+@register(
+    "streaming_histogram",
+    oracle=f"""
+        SELECT event_type,
+               CAST(least(FLOOR((value - {_HIST_LO})
+                          * {_HIST_BINS} / ({_HIST_HI} - {_HIST_LO})),
+                          {_HIST_BINS - 1}) AS BIGINT) AS bin,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events
+        WHERE value >= {_HIST_LO} AND value <= {_HIST_HI}
+        GROUP BY 1, 2
+    """,
+    doc="Streaming histogram: the fixed-bin value histogram maintained "
+    "incrementally across micro-batches through the idempotent "
+    "materialized view (streaming/matview.py) — per-batch partial bin "
+    "counts merge by addition (counts are a trivially mergeable "
+    "sketch), view state is (type x bins) rows, per-trigger cost "
+    "O(batch)+O(view). Converges exactly to the one-shot batch "
+    "histogram (agg_histogram_fixed_bins' counting side), retry-safe "
+    "under foreachBatch's at-least-once redelivery.",
+)
+def streaming_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from sql_engine_spark.queries.streaming import N_CHUNKS, _state_partitions
+    from sql_engine_spark.streaming.matview import IdempotentMatView
+    from sql_engine_spark.streaming.source import events_stream
+
+    bin_col = F.least(
+        F.floor(
+            (F.col("value") - F.lit(_HIST_LO))
+            * F.lit(_HIST_BINS)
+            / F.lit(_HIST_HI - _HIST_LO)
+        ),
+        F.lit(_HIST_BINS - 1),
+    ).cast("long")
+
+    view = IdempotentMatView(
+        tempfile.mkdtemp(prefix="hist_view_"),
+        partial_of=lambda b: (
+            b.where((F.col("value") >= _HIST_LO) & (F.col("value") <= _HIST_HI))
+            .groupBy("event_type", bin_col.alias("bin"))
+            .agg(F.count("*").cast("long").alias("n"))
+        ),
+        combine=lambda cur, partial: (
+            cur.unionByName(partial)
+            .groupBy("event_type", "bin")
+            .agg(F.sum("n").cast("long").alias("n"))
+        ),
+    )
+    with _state_partitions(spark):
+        stream = events_stream(spark, sf_dir, N_CHUNKS)
+        q = (
+            stream.select("event_type", "value")
+            .writeStream.outputMode("append")
+            .foreachBatch(view.merge)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return view.read(spark).select("event_type", "bin", "n")
