@@ -163,6 +163,7 @@ EXTENSION_R5 = [
     "agg_histogram_fixed_bins",
     "ann_pca_power_iteration",
     "streaming_histogram",
+    "text_rake_keywords",
 ]
 
 

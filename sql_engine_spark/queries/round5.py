@@ -1593,3 +1593,139 @@ def streaming_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination()
     return view.read(spark).select("event_type", "bin", "n")
+
+
+_RAKE_TOPN = 3
+
+
+def _rake_stop_sql() -> str:
+    from sql_engine_spark.operators.text import STOPWORDS
+
+    return "(" + ", ".join(f"'{w}'" for w in STOPWORDS) + ")"
+
+
+@register(
+    "text_rake_keywords",
+    oracle=f"""
+        WITH pos AS (
+            SELECT doc_id, CAST(i AS BIGINT) AS pos, t[i] AS tok,
+                   CASE WHEN t[i] IN {_rake_stop_sql()} THEN 1 ELSE 0 END
+                       AS is_stop
+            FROM (SELECT doc_id, {sql_tokens('text')} AS t FROM documents),
+                 unnest(range(1, len(t) + 1)) u(i)
+        ),
+        seg AS (
+            SELECT doc_id, pos, tok, is_stop,
+                   SUM(is_stop) OVER (
+                       PARTITION BY doc_id ORDER BY pos) AS phrase_id
+            FROM pos
+        ),
+        phrases AS (
+            SELECT doc_id, phrase_id,
+                   array_to_string(
+                       list_transform(
+                           list_sort(list(struct_pack(pos := pos, tok := tok))),
+                           s -> s.tok),
+                       ' ') AS phrase,
+                   CAST(COUNT(*) AS BIGINT) AS plen
+            FROM seg WHERE is_stop = 0
+            GROUP BY doc_id, phrase_id
+        ),
+        occ AS (
+            SELECT s.tok, p.plen
+            FROM seg s JOIN phrases p
+              ON p.doc_id = s.doc_id AND p.phrase_id = s.phrase_id
+            WHERE s.is_stop = 0
+        ),
+        wordstats AS (
+            SELECT tok,
+                   CAST(COUNT(*) AS DOUBLE) AS freq,
+                   CAST(SUM(plen) AS DOUBLE) AS deg
+            FROM occ GROUP BY tok
+        ),
+        scored AS (
+            SELECT s.doc_id, s.phrase_id,
+                   list_reduce(
+                       list_prepend(CAST(0.0 AS DOUBLE),
+                           list_transform(
+                               list_sort(list(struct_pack(pos := s.pos,
+                                                          sc := w.deg / w.freq))),
+                               t -> t.sc)),
+                       (a, x) -> a + x) AS score
+            FROM seg s JOIN wordstats w ON w.tok = s.tok
+            WHERE s.is_stop = 0
+            GROUP BY s.doc_id, s.phrase_id
+        )
+        SELECT doc_id, phrase, score, rank FROM (
+            SELECT p.doc_id, p.phrase, sc.score,
+                   CAST(row_number() OVER (
+                       PARTITION BY p.doc_id
+                       ORDER BY sc.score DESC, p.phrase) AS BIGINT) AS rank
+            FROM phrases p JOIN scored sc
+              ON sc.doc_id = p.doc_id AND sc.phrase_id = p.phrase_id
+        ) WHERE rank <= {_RAKE_TOPN}
+    """,
+    doc="RAKE keyword extraction (Rose et al. 2010 'Automatic Keyword "
+    "Extraction from Individual Documents'): token runs between "
+    "stopwords are candidate phrases; word score = corpus "
+    "degree/frequency over phrase co-occurrence; phrase score = sum "
+    "of word scores (folded in phrase position order for "
+    "cross-engine bit-equality); top-3 phrases per doc. Shape: one "
+    "position explode, a per-doc running stopword count (doc-keyed "
+    "window, high cardinality), a bounded word-stats aggregate joined "
+    "back, a per-doc rank — all corpus-linear. The per-doc windows "
+    "key on doc_id, never the corpus.",
+)
+def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sql_engine_spark.operators.dedup import _persist
+    from sql_engine_spark.operators.text import STOPWORDS
+
+    docs = load(spark, sf_dir, "documents").withColumn("__t", tokens("text"))
+    stop_arr = "array(" + ", ".join(f"'{w}'" for w in STOPWORDS) + ")"
+    pos = docs.select(
+        "doc_id",
+        F.posexplode("__t").alias("pos0", "tok"),
+    ).select(
+        "doc_id",
+        (F.col("pos0") + 1).cast("long").alias("pos"),
+        "tok",
+        F.expr(f"CASE WHEN array_contains({stop_arr}, tok) THEN 1 ELSE 0 END")
+        .alias("is_stop"),
+    )
+    w_seg = Window.partitionBy("doc_id").orderBy("pos")
+    seg = _persist(
+        pos.withColumn("phrase_id", F.sum("is_stop").over(w_seg))
+    )
+    nonstop = seg.where(F.col("is_stop") == 0)
+    phrases = nonstop.groupBy("doc_id", "phrase_id").agg(
+        F.expr(
+            "array_join(transform(array_sort(collect_list(struct(pos, tok))), "
+            "s -> s.tok), ' ')"
+        ).alias("phrase"),
+        F.count("*").cast("long").alias("plen"),
+    )
+    occ = nonstop.join(
+        phrases.select("doc_id", "phrase_id", "plen"), ["doc_id", "phrase_id"]
+    )
+    wordstats = occ.groupBy("tok").agg(
+        F.count("*").cast("double").alias("freq"),
+        F.sum("plen").cast("double").alias("deg"),
+    )
+    scored = (
+        nonstop.join(wordstats, "tok")
+        .withColumn("sc", F.col("deg") / F.col("freq"))
+        .groupBy("doc_id", "phrase_id")
+        .agg(
+            F.expr(
+                "aggregate(array_sort(collect_list(struct(pos, sc))), "
+                "CAST(0.0 AS DOUBLE), (a, s) -> a + s.sc)"
+            ).alias("score")
+        )
+    )
+    w_rank = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("phrase"))
+    return (
+        phrases.join(scored, ["doc_id", "phrase_id"])
+        .withColumn("rank", F.row_number().over(w_rank).cast("long"))
+        .where(F.col("rank") <= _RAKE_TOPN)
+        .select("doc_id", "phrase", "score", "rank")
+    )
