@@ -37,6 +37,26 @@ from pyspark.sql import functions as F
 BLOOM_BITS = 8192  # m: power of two, 128 longs
 BLOOM_HASHES = 4  # k
 
+# The literal-expression probe embeds m/64 longs into the plan, so m is
+# capped where the plan stays small (2^20 bits = 16k longs ~ 128 KB of
+# literals). Beyond ~100k dim keys (>= ~10 bits/key for ~1% fp at k=4),
+# switch to Spark's native runtime bloom (bloom_filter_agg/might_contain)
+# or a broadcast positions relation — this operator's probe is for
+# SELECTIVE dim sides, which is when a runtime filter pays anyway.
+BLOOM_MAX_BITS = 1 << 20
+_BLOOM_BITS_PER_KEY = 10
+
+
+def derived_bloom_bits(n_keys: int, *, floor: int = BLOOM_BITS) -> int:
+    """Bitset size for ~1% false positives at k=4: next power of two
+    >= 10 bits/key, floored at the 8192 default and capped at
+    BLOOM_MAX_BITS (past the cap fp rate degrades gracefully — never
+    correctness, the exact join downstream removes false positives)."""
+    bits = floor
+    while bits < n_keys * _BLOOM_BITS_PER_KEY and bits < BLOOM_MAX_BITS:
+        bits <<= 1
+    return bits
+
 
 def _positions(key: Column, *, bits: int, hashes: int) -> Column:
     """array of `hashes` bit positions for a key (xxhash64 seeded by
@@ -53,11 +73,16 @@ def build_bloom_bits(
     keys: DataFrame,
     key_col: str,
     *,
-    bits: int = BLOOM_BITS,
+    bits: int | None = BLOOM_BITS,
     hashes: int = BLOOM_HASHES,
-) -> list[int]:
-    """Distributed position generation, bounded driver fold: returns the
-    bitset as `bits/64` Python ints (for a literal array<long>)."""
+) -> tuple[list[int], int]:
+    """Distributed position generation, bounded driver fold: returns
+    (bitset as `bits/64` Python ints for a literal array<long>, bits).
+    ``bits=None`` derives the size from the key count (one cheap count
+    job) via derived_bloom_bits so the fp rate holds as the dim side
+    grows, instead of silently saturating a fixed bitset."""
+    if bits is None:
+        bits = derived_bloom_bits(keys.count())
     pos_rows = (
         keys.select(
             F.explode(_positions(F.col(key_col), bits=bits, hashes=hashes)).alias(
@@ -73,7 +98,7 @@ def build_bloom_bits(
         words[p // 64] |= 1 << (p % 64)
     # Python ints are unbounded; fold back into signed 64-bit for the
     # Spark LongType literal.
-    return [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+    return [w - (1 << 64) if w >= (1 << 63) else w for w in words], bits
 
 
 def bloom_might_contain(
@@ -102,14 +127,15 @@ def bloom_prefiltered_semi_join(
     *,
     fact_key: str,
     dim_key: str,
-    bits: int = BLOOM_BITS,
+    bits: int | None = BLOOM_BITS,
     hashes: int = BLOOM_HASHES,
 ) -> DataFrame:
     """fact LEFT SEMI JOIN dim, with a Bloom pre-filter dropping
     non-matching fact rows map-side before the join's exchange. The
     exact semi join removes Bloom false positives, so the result equals
-    the plain semi join bit-for-bit."""
-    words = build_bloom_bits(dim_keys, dim_key, bits=bits, hashes=hashes)
+    the plain semi join bit-for-bit. ``bits=None`` sizes the bitset to
+    the dim-key count (derived_bloom_bits)."""
+    words, bits = build_bloom_bits(dim_keys, dim_key, bits=bits, hashes=hashes)
     pre = fact.where(
         bloom_might_contain(fact_key, words, bits=bits, hashes=hashes)
     )

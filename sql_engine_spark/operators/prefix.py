@@ -31,6 +31,20 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def derived_rank_buckets(
+    n_rows: int, *, target_rows: int = 1_000_000, floor: int = 32
+) -> int:
+    """Bucket count for a two-level rank sized to the DATA: each bucket's
+    within-bucket window sorts ~target_rows through one task, so the
+    count must grow with the corpus (a fixed 32 puts corpus/32 through
+    one task at 100x — the funnel the two-level scan exists to avoid).
+    Floored at 32 so small corpora keep the multi-bucket plan shape the
+    tests pin."""
+    import math
+
+    return max(floor, math.ceil(max(n_rows, 1) / target_rows))
+
+
 def hex_prefix_bucket(order_col: Column | str, n_buckets: int) -> Column:
     """Range bucket for a lowercase-hex order column (e.g. an md5 hash):
     monotone non-decreasing in the column's lexicographic order, uniform

@@ -128,12 +128,19 @@ def curation_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         # score, doc_id — no lossy string encoding of the double.
         .withColumn("__ord", F.struct(F.col("score"), F.col("doc_id")))
     )
+    # Bucket count grows with the corpus (derived_rank_buckets): a
+    # fixed 32 would put corpus/32 rows through each within-bucket
+    # window task at 100x. scored is persisted, so the count is a
+    # cheap cached pass.
+    from sql_engine_spark.operators.prefix import derived_rank_buckets
+
+    nb = derived_rank_buckets(scored.count())
     ranked = bucketed_running_sum(
         base,
         part_cols=[],
         order_col="__ord",
         value_col="__one",
-        bucket=range_bucket(F.col("score"), F.col("__lo"), F.col("__hi"), 32),
+        bucket=range_bucket(F.col("score"), F.col("__lo"), F.col("__hi"), nb),
         out_col="curriculum_rank",
     )
     return ranked.select(
@@ -1280,12 +1287,15 @@ def pipeline_dataset_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("__one", F.lit(1).cast("long"))
         .withColumn("__ord", F.struct(F.col("score"), F.col("doc_id")))
     )
+    from sql_engine_spark.operators.prefix import derived_rank_buckets
+
+    nb = derived_rank_buckets(capped.count())
     ranked = bucketed_running_sum(
         base,
         part_cols=[],
         order_col="__ord",
         value_col="__one",
-        bucket=range_bucket(F.col("score"), F.col("__lo"), F.col("__hi"), 32),
+        bucket=range_bucket(F.col("score"), F.col("__lo"), F.col("__hi"), nb),
         out_col="curriculum_rank",
     )
     shard = (
@@ -1382,8 +1392,8 @@ def dedup_bloom_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").withColumn("h", F.md5("text"))
     base = docs.where(F.col("doc_id") % 3 != 0).select("h")
     new_docs = docs.where(F.col("doc_id") % 3 == 0).select("doc_id", "h")
-    words = build_bloom_bits(base, "h")
-    probe = bloom_might_contain("h", words)
+    words, bits = build_bloom_bits(base, "h", bits=None)
+    probe = bloom_might_contain("h", words, bits=bits)
     # definite misses are new by construction; probe-positives get the
     # exact verify (anti join removes real dups AND false positives)
     misses = new_docs.where(~probe)

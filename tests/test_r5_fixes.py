@@ -310,3 +310,27 @@ def test_perplexity_degenerate_group_is_middle(spark, tmp_path):
     assert out[1].z is None and out[1].bucket == "middle"  # n = 1
     assert out[2].z is None and out[2].bucket == "middle"  # zero variance
     assert out[3].z is None and out[3].bucket == "middle"
+
+
+def test_derived_rank_buckets_scales():
+    from sql_engine_spark.operators.prefix import derived_rank_buckets
+
+    assert derived_rank_buckets(0) == 32
+    assert derived_rank_buckets(10**6) == 32
+    assert derived_rank_buckets(32 * 10**6) == 32
+    assert derived_rank_buckets(10**8) == 100
+    assert derived_rank_buckets(10**10) == 10000
+    vals = [derived_rank_buckets(n) for n in (10, 10**6, 10**8, 10**10)]
+    assert vals == sorted(vals)
+
+
+def test_derived_bloom_bits_scales():
+    from sql_engine_spark.operators.bloom import (
+        BLOOM_MAX_BITS,
+        derived_bloom_bits,
+    )
+
+    assert derived_bloom_bits(0) == 8192
+    assert derived_bloom_bits(500) == 8192
+    assert derived_bloom_bits(10_000) == 131072  # >= 10 bits/key, pow2
+    assert derived_bloom_bits(10**9) == BLOOM_MAX_BITS  # capped

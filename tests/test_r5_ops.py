@@ -28,13 +28,17 @@ def test_bloom_has_no_false_negatives(spark, sf_dir):
         (F.col("c_mktsegment") == "BUILDING") & (F.col("c_acctbal") > 7000)
     )
     keys = cust.select("c_custkey")
-    words = build_bloom_bits(keys, "c_custkey")
+    words, bits = build_bloom_bits(keys, "c_custkey", bits=None)
     # no false negatives: every dim key probes true
-    misses = keys.where(~bloom_might_contain("c_custkey", words)).count()
+    misses = keys.where(
+        ~bloom_might_contain("c_custkey", words, bits=bits)
+    ).count()
     assert misses == 0
     # the probe drops a meaningful share of the fact side pre-join
     orders = load(spark, sf_dir, "orders")
-    pre = orders.where(bloom_might_contain("o_custkey", words)).count()
+    pre = orders.where(
+        bloom_might_contain("o_custkey", words, bits=bits)
+    ).count()
     assert pre < orders.count()
 
 
