@@ -164,6 +164,7 @@ EXTENSION_R5 = [
     "ann_pca_power_iteration",
     "streaming_histogram",
     "text_rake_keywords",
+    "multimodal_payload_simhash",
 ]
 
 

@@ -971,7 +971,6 @@ def simhash_hamming_pairs(
     flagged as quadratic. Narrower bits remain available for tests.
     """
     assert max_hamming < n_blocks, "pigeonhole completeness needs d < blocks"
-    width = bits // n_blocks
     src = df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__text"))
     # Narrow-file widening (see minhash_lsh_pairs): the 32-fold simhash
     # map is the dominant cost; give it every core.
@@ -979,10 +978,29 @@ def simhash_hamming_pairs(
     files = src.inputFiles()
     if 0 < len(files) < target and _total_file_bytes(files) >= _MIN_WIDEN_BYTES:
         src = src.repartition(target)
+    digs = src.select("__id", tokens("__text").alias("__tokens")).withColumn(
+        "__digs", F.expr("transform(__tokens, t -> md5(t))")
+    )
+    return simhash_hamming_pairs_from_digests(
+        digs, bits=bits, n_blocks=n_blocks, max_hamming=max_hamming
+    )
+
+
+def simhash_hamming_pairs_from_digests(
+    digs: DataFrame,
+    *,
+    bits: int = 16,
+    n_blocks: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Core of simhash_hamming_pairs over a relation already carrying
+    (__id, __digs: array<string> of md5 digests) — lets non-text
+    payloads (e.g. base64-chunked binary, multimodal.py) reuse the
+    block-pigeonhole pairing unchanged."""
+    assert max_hamming < n_blocks, "pigeonhole completeness needs d < blocks"
+    width = bits // n_blocks
     sigs = _persist(
-        src.select("__id", tokens("__text").alias("__tokens"))
-        .withColumn("__digs", F.expr("transform(__tokens, t -> md5(t))"))
-        .select("__id", simhash_bits_from_digests("__digs", bits).alias("__sig"))
+        digs.select("__id", simhash_bits_from_digests("__digs", bits).alias("__sig"))
     )
     block_cols = [
         F.substring("__sig", b * width + 1, width).alias(f"__b{b}")

@@ -1739,3 +1739,78 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= _RAKE_TOPN)
         .select("doc_id", "phrase", "score", "rank")
     )
+
+
+_PAY_BLOCK = 16  # base64 chars per digest block
+
+
+def _sql_payload_digs() -> str:
+    """Base64-chunk digests of the binary payload (DuckDB spelling).
+    Spark's base64 MIME-wraps with \\r\\n every 76 chars; the Spark side
+    strips them so both engines chunk the identical unwrapped string."""
+    b64 = "to_base64(CAST(text AS BLOB))"
+    return (
+        f"list_transform(range(1, CAST(ceil(length({b64}) / {_PAY_BLOCK}.0) "
+        f"AS BIGINT) + 1), i -> md5(substring({b64}, "
+        f"CAST((i - 1) * {_PAY_BLOCK} + 1 AS BIGINT), {_PAY_BLOCK})))"
+    )
+
+
+@register(
+    "multimodal_payload_simhash",
+    oracle=f"""
+        WITH sigs AS MATERIALIZED (
+            SELECT doc_id AS id,
+                   {{sig}} AS sig
+            FROM documents
+        ),
+        blocks AS (
+            SELECT id, b, substring(sig, b * 16 + 1, 16) AS key
+            FROM sigs CROSS JOIN range(0, 4) t(b)
+        ),
+        candidates AS (
+            SELECT DISTINCT a.id AS id_a, b.id AS id_b
+            FROM blocks a JOIN blocks b
+              ON a.b = b.b AND a.key = b.key AND a.id < b.id
+        )
+        SELECT id_a, id_b,
+               CAST({{ham}} AS BIGINT) AS hamming
+        FROM candidates
+        JOIN sigs sa ON id_a = sa.id
+        JOIN sigs sb ON id_b = sb.id
+        WHERE {{ham}} <= 2
+    """.format(
+        sig="concat((CASE WHEN (list_reduce(list_transform(list_transform(range(1, CAST(ceil(length(to_base64(CAST(text AS BLOB))) / 16.0) AS BIGINT) + 1), i -> md5(substring(to_base64(CAST(text AS BLOB)), CAST((i - 1) * 16 + 1 AS BIGINT), 16))), d -> CASE WHEN substring(d, 1, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END), (a, b) -> a + b)) > 0 THEN '1' ELSE '0' END), (CASE WHEN (list_reduce(list_transform(list_transform(range(1, CAST(ceil(length(to_base64(CAST(text AS BLOB))) / 16.0) AS BIGINT) + 1), i -> md5(substring(to_base64(CAST(text AS BLOB)), CAST((i - 1) * 16 + 1 AS BIGINT), 16))), d -> CASE WHEN substring(d, 2, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END), (a, b) -> a + b)) > 0 THEN '1' ELSE '0' END), (CASE WHEN (list_reduce(list_transform(list_transform(range(1, CAST(ceil(length(to_base64(CAST(text AS BLOB))) / 16.0) AS BIGINT) + 1), i -> md5(substring(to_base64(CAST(text AS BLOB)), CAST((i - 1) * 16 + 1 AS BIGINT), 16))), d -> CASE WHEN substring(d, 3, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END), (a, b) -> a + b)) > 0 THEN '1' ELSE '0' END), (CASE WHEN (list_reduce(list_transform(list_transform(range(1, CAST(ceil(length(to_base64(CAST(text AS BLOB))) / 16.0) AS BIGINT) + 1), i -> md5(substring(to_base64(CAST(text AS BLOB)), CAST((i - 1) * 16 + 1 AS BIGINT), 16))), d -> CASE WHEN substring(d, 4, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END), (a, b) -> a + b)) > 0 THEN '1' ELSE '0' END), (CASE WHEN (list_reduce(list_transform(list_transform(range(1, CAST(ceil(length(to_base64(CAST(text AS BLOB))) / 16.0) AS BIGINT) + 1), i -> md5(substring(to_base64(CAST(text AS BLOB)), CAST((i - 1) * 16 + 1 AS BIGINT), 16))), d -> CASE WHEN substring(d, 5, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END), (a, b) -> a + b)) > 0 THEN '1' ELSE '0' END), (CASE WHEN (list_reduce(list_transform(list_transform(range(1, CAST(ceil(length(to_base64(CAST(text AS BLOB))) / 16.0) AS BIGINT) + 1), i -> md5(substring(to_base64(CAST(text AS BLOB)), CAST((i - 1) * 16 + 1 AS BIGINT), 16))), d -> CASE WHEN substring(d, 6, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END), (a, b) -> a + b)) > 0 THEN '1' ELSE '0' END), (CASE WHEN (list_reduce(list_transform(list_transform(range(1, CAST(ceil(length(to_base64(CAST(text AS BLOB))) / 16.0) AS BIGINT) + 1), i -> md5(substring(to_base64(CAST(text AS BLOB)), CAST((i - 1) * 16 + 1 AS BIGINT), 16))), d -> CASE WHEN substring(d, 7, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END), (a, b) -> a + b)) > 0 THEN '1' ELSE '0' END), (CASE WHEN (list_reduce(list_transform(list_transform(range(1, CAST(ceil(length(to_base64(CAST(text AS BLOB))) / 16.0) AS BIGINT) + 1), i -> md5(substring(to_base64(CAST(text AS BLOB)), CAST((i - 1) * 16 + 1 AS BIGINT), 16))), d -> CASE WHEN substring(d, 8, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END), (a, b) -> a + b)) > 0 THEN '1' ELSE '0' END), (CASE WHEN (list_reduce(list_transform(list_transform(range(1, CAST(ceil(length(to_base64(CAST(text AS BLOB))) / 16.0) AS BIGINT) + 1), i -> md5(substring(to_base64(CAST(text AS BLOB)), CAST((i - 1) * 16 + 1 AS BIGINT), 16))), d -> CASE WHEN substring(d, 9, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END), (a, b) -> a + b)) > 0 THEN '1' ELSE '0' END), (CASE WHEN (list_reduce(list_transform(list_transform(range(1, CAST(ceil(length(to_base64(CAST(text AS BLOB))) / 16.0) AS BIGINT) + 1), i -> md5(substring(to_base64(CAST(text AS BLOB)), CAST((i - 1) * 16 + 1 AS BIGINT), 16))), d -> CASE WHEN substring(d, 10, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END), (a, b) -> a + b)) > 0 THEN '1' ELSE '0' END), (CASE WHEN (list_reduce(list_transform(list_transform(range(1, CAST(ceil(length(to_base64(CAST(text AS BLOB))) / 16.0) AS BIGINT) + 1), i -> md5(substring(to_base64(CAST(text AS BLOB)), CAST((i - 1) * 16 + 1 AS BIGINT), 16))), d -> CASE WHEN substring(d, 11, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END), (a, b) -> a + b)) > 0 THEN '1' ELSE '0' END), (CASE WHEN (list_reduce(list_transform(list_transform(range(1, CAST(ceil(length(to_base64(CAST(text AS BLOB))) / 16.0) AS BIGINT) + 1), i -> md5(substring(to_base64(CAST(text AS BLOB)), CAST((i - 1) * 16 + 1 AS BIGINT), 16))), d -> CASE WHEN substring(d, 12, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END), (a, b) -> a + b)) > 0 THEN '1' ELSE '0' END), (CASE WHEN (list_reduce(list_transform(list_transform(range(1, CAST(ceil(length(to_base64(CAST(text AS BLOB))) / 16.0) AS BIGINT) + 1), i -> md5(substring(to_base64(CAST(text AS BLOB)), CAST((i - 1) * 16 + 1 AS BIGINT), 16))), d -> CASE WHEN substring(d, 13, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END), (a, b) -> a + b)) > 0 THEN '1' ELSE '0' END), (CASE WHEN (list_reduce(list_transform(list_transform(range(1, CAST(ceil(length(to_base64(CAST(text AS BLOB))) / 16.0) AS BIGINT) + 1), i -> md5(substring(to_base64(CAST(text AS BLOB)), CAST((i - 1) * 16 + 1 AS BIGINT), 16))), d -> CASE WHEN substring(d, 14, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END), (a, b) -> a + b)) > 0 THEN '1' ELSE '0' END), (CASE WHEN (list_reduce(list_transform(list_transform(range(1, CAST(ceil(length(to_base64(CAST(text AS BLOB))) / 16.0) AS BIGINT) + 1), i -> md5(substring(to_base64(CAST(text AS BLOB)), CAST((i - 1) * 16 + 1 AS BIGINT), 16))), d -> CASE WHEN substring(d, 15, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END), (a, b) -> a + b)) > 0 THEN '1' ELSE '0' END), (CASE WHEN (list_reduce(list_transform(list_transform(range(1, CAST(ceil(length(to_base64(CAST(text AS BLOB))) / 16.0) AS BIGINT) + 1), i -> md5(substring(to_base64(CAST(text AS BLOB)), CAST((i - 1) * 16 + 1 AS BIGINT), 16))), d -> CASE WHEN substring(d, 16, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END), (a, b) -> a + b)) > 0 THEN '1' ELSE '0' END), (CASE WHEN (list_reduce(list_transform(list_transform(range(1, CAST(ceil(length(to_base64(CAST(text AS BLOB))) / 16.0) AS BIGINT) + 1), i -> md5(substring(to_base64(CAST(text AS BLOB)), CAST((i - 1) * 16 + 1 AS BIGINT), 16))), d -> CASE WHEN substring(d, 17, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END), (a, b) -> a + b)) > 0 THEN '1' ELSE '0' END), (CASE WHEN (list_reduce(list_transform(list_transform(range(1, CAST(ceil(length(to_base64(CAST(text AS BLOB))) / 16.0) AS BIGINT) + 1), i -> md5(substring(to_base64(CAST(text AS BLOB)), CAST((i - 1) * 16 + 1 AS BIGINT), 16))), d -> CASE WHEN substring(d, 18, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END), (a, b) -> a + b)) > 0 THEN '1' ELSE '0' END), (CASE WHEN (list_reduce(list_transform(list_transform(range(1, CAST(ceil(length(to_base64(CAST(text AS BLOB))) / 16.0) AS BIGINT) + 1), i -> md5(substring(to_base64(CAST(text AS BLOB)), CAST((i - 1) * 16 + 1 AS BIGINT), 16))), d -> CASE WHEN substring(d, 19, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END), (a, b) -> a + b)) > 0 THEN '1' ELSE '0' END), (CASE WHEN (list_reduce(list_transform(list_transform(range(1, CAST(ceil(length(to_base64(CAST(text AS BLOB))) / 16.0) AS BIGINT) + 1), i -> md5(substring(to_base64(CAST(text AS BLOB)), CAST((i - 1) * 16 + 1 AS BIGINT), 16))), d -> CASE WHEN substring(d, 20, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END), (a, b) -> a + b)) > 0 THEN '1' ELSE '0' END), (CASE WHEN (list_reduce(list_transform(list_transform(range(1, CAST(ceil(length(to_base64(CAST(text AS BLOB))) / 16.0) AS BIGINT) + 1), i -> md5(substring(to_base64(CAST(text AS BLOB)), CAST((i - 1) * 16 + 1 AS BIGINT), 16))), d -> CASE WHEN substring(d, 21, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END), (a, b) -> a + b)) > 0 THEN '1' ELSE '0' END), (CASE WHEN (list_reduce(list_transform(list_transform(range(1, CAST(ceil(length(to_base64(CAST(text AS BLOB))) / 16.0) AS BIGINT) + 1), i -> md5(substring(to_base64(CAST(text AS BLOB)), CAST((i - 1) * 16 + 1 AS BIGINT), 16))), d -> CASE WHEN substring(d, 22, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END), (a, b) -> a + b)) > 0 THEN '1' ELSE '0' END), (CASE WHEN (list_reduce(list_transform(list_transform(range(1, CAST(ceil(length(to_base64(CAST(text AS BLOB))) / 16.0) AS BIGINT) + 1), i -> md5(substring(to_base64(CAST(text AS BLOB)), CAST((i - 1) * 16 + 1 AS BIGINT), 16))), d -> CASE WHEN substring(d, 23, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END), (a, b) -> a + b)) > 0 THEN '1' ELSE '0' END), (CASE WHEN (list_reduce(list_transform(list_transform(range(1, CAST(ceil(length(to_base64(CAST(text AS BLOB))) / 16.0) AS BIGINT) + 1), i -> md5(substring(to_base64(CAST(text AS BLOB)), CAST((i - 1) * 16 + 1 AS BIGINT), 16))), d -> CASE WHEN substring(d, 24, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END), (a, b) -> a + b)) > 0 THEN '1' ELSE '0' END), (CASE WHEN (list_reduce(list_transform(list_transform(range(1, CAST(ceil(length(to_base64(CAST(text AS BLOB))) / 16.0) AS BIGINT) + 1), i -> md5(substring(to_base64(CAST(text AS BLOB)), CAST((i - 1) * 16 + 1 AS BIGINT), 16))), d -> CASE WHEN substring(d, 25, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END), (a, b) -> a + b)) > 0 THEN '1' ELSE '0' END), (CASE WHEN (list_reduce(list_transform(list_transform(range(1, CAST(ceil(length(to_base64(CAST(text AS BLOB))) / 16.0) AS BIGINT) + 1), i -> md5(substring(to_base64(CAST(text AS BLOB)), CAST((i - 1) * 16 + 1 AS BIGINT), 16))), d -> CASE WHEN substring(d, 26, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END), (a, b) -> a + b)) > 0 THEN '1' ELSE '0' END), (CASE WHEN (list_reduce(list_transform(list_transform(range(1, CAST(ceil(length(to_base64(CAST(text AS BLOB))) / 16.0) AS BIGINT) + 1), i -> md5(substring(to_base64(CAST(text AS BLOB)), CAST((i - 1) * 16 + 1 AS BIGINT), 16))), d -> CASE WHEN substring(d, 27, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END), (a, b) -> a + b)) > 0 THEN '1' ELSE '0' END), (CASE WHEN (list_reduce(list_transform(list_transform(range(1, CAST(ceil(length(to_base64(CAST(text AS BLOB))) / 16.0) AS BIGINT) + 1), i -> md5(substring(to_base64(CAST(text AS BLOB)), CAST((i - 1) * 16 + 1 AS BIGINT), 16))), d -> CASE WHEN substring(d, 28, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END), (a, b) -> a + b)) > 0 THEN '1' ELSE '0' END), (CASE WHEN (list_reduce(list_transform(list_transform(range(1, CAST(ceil(length(to_base64(CAST(text AS BLOB))) / 16.0) AS BIGINT) + 1), i -> md5(substring(to_base64(CAST(text AS BLOB)), CAST((i - 1) * 16 + 1 AS BIGINT), 16))), d -> CASE WHEN substring(d, 29, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END), (a, b) -> a + b)) > 0 THEN '1' ELSE '0' END), (CASE WHEN (list_reduce(list_transform(list_transform(range(1, CAST(ceil(length(to_base64(CAST(text AS BLOB))) / 16.0) AS BIGINT) + 1), i -> md5(substring(to_base64(CAST(text AS BLOB)), CAST((i - 1) * 16 + 1 AS BIGINT), 16))), d -> CASE WHEN substring(d, 30, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END), (a, b) -> a + b)) > 0 THEN '1' ELSE '0' END), (CASE WHEN (list_reduce(list_transform(list_transform(range(1, CAST(ceil(length(to_base64(CAST(text AS BLOB))) / 16.0) AS BIGINT) + 1), i -> md5(substring(to_base64(CAST(text AS BLOB)), CAST((i - 1) * 16 + 1 AS BIGINT), 16))), d -> CASE WHEN substring(d, 31, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END), (a, b) -> a + b)) > 0 THEN '1' ELSE '0' END), (CASE WHEN (list_reduce(list_transform(list_transform(range(1, CAST(ceil(length(to_base64(CAST(text AS BLOB))) / 16.0) AS BIGINT) + 1), i -> md5(substring(to_base64(CAST(text AS BLOB)), CAST((i - 1) * 16 + 1 AS BIGINT), 16))), d -> CASE WHEN substring(d, 32, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END), (a, b) -> a + b)) > 0 THEN '1' ELSE '0' END), (CASE WHEN (list_reduce(list_transform(list_transform(range(1, CAST(ceil(length(to_base64(CAST(text AS BLOB))) / 16.0) AS BIGINT) + 1), i -> md5(substring(to_base64(CAST(text AS BLOB)), CAST((i - 1) * 16 + 1 AS BIGINT), 16))), d -> CASE WHEN substring(d, 1, 1) IN ('4','5','6','7','c','d','e','f') THEN 1 ELSE -1 END), (a, b) -> a + b)) > 0 THEN '1' ELSE '0' END), (CASE WHEN (list_reduce(list_transform(list_transform(range(1, CAST(ceil(length(to_base64(CAST(text AS BLOB))) / 16.0) AS BIGINT) + 1), i -> md5(substring(to_base64(CAST(text AS BLOB)), CAST((i - 1) * 16 + 1 AS BIGINT), 16))), d -> CASE WHEN substring(d, 2, 1) IN ('4','5','6','7','c','d','e','f') THEN 1 ELSE -1 END), (a, b) -> a + b)) > 0 THEN '1' ELSE '0' END), (CASE WHEN (list_reduce(list_transform(list_transform(range(1, CAST(ceil(length(to_base64(CAST(text AS BLOB))) / 16.0) AS BIGINT) + 1), i -> md5(substring(to_base64(CAST(text AS BLOB)), CAST((i - 1) * 16 + 1 AS BIGINT), 16))), d -> CASE WHEN substring(d, 3, 1) IN ('4','5','6','7','c','d','e','f') THEN 1 ELSE -1 END), (a, b) -> a + b)) > 0 THEN '1' ELSE '0' END), (CASE WHEN (list_reduce(list_transform(list_transform(range(1, CAST(ceil(length(to_base64(CAST(text AS BLOB))) / 16.0) AS BIGINT) + 1), i -> md5(substring(to_base64(CAST(text AS BLOB)), CAST((i - 1) * 16 + 1 AS BIGINT), 16))), d -> CASE WHEN substring(d, 4, 1) IN ('4','5','6','7','c','d','e','f') THEN 1 ELSE -1 END), (a, b) -> a + b)) > 0 THEN '1' ELSE '0' END), (CASE WHEN (list_reduce(list_transform(list_transform(range(1, CAST(ceil(length(to_base64(CAST(text AS BLOB))) / 16.0) AS BIGINT) + 1), i -> md5(substring(to_base64(CAST(text AS BLOB)), CAST((i - 1) * 16 + 1 AS BIGINT), 16))), d -> CASE WHEN substring(d, 5, 1) IN ('4','5','6','7','c','d','e','f') THEN 1 ELSE -1 END), (a, b) -> a + b)) > 0 THEN '1' ELSE '0' END), (CASE WHEN (list_reduce(list_transform(list_transform(range(1, CAST(ceil(length(to_base64(CAST(text AS BLOB))) / 16.0) AS BIGINT) + 1), i -> md5(substring(to_base64(CAST(text AS BLOB)), CAST((i - 1) * 16 + 1 AS BIGINT), 16))), d -> CASE WHEN substring(d, 6, 1) IN ('4','5','6','7','c','d','e','f') THEN 1 ELSE -1 END), (a, b) -> a + b)) > 0 THEN '1' ELSE '0' END), (CASE WHEN (list_reduce(list_transform(list_transform(range(1, CAST(ceil(length(to_base64(CAST(text AS BLOB))) / 16.0) AS BIGINT) + 1), i -> md5(substring(to_base64(CAST(text AS BLOB)), CAST((i - 1) * 16 + 1 AS BIGINT), 16))), d -> CASE WHEN substring(d, 7, 1) IN ('4','5','6','7','c','d','e','f') THEN 1 ELSE -1 END), (a, b) -> a + b)) > 0 THEN '1' ELSE '0' END), (CASE WHEN (list_reduce(list_transform(list_transform(range(1, CAST(ceil(length(to_base64(CAST(text AS BLOB))) / 16.0) AS BIGINT) + 1), i -> md5(substring(to_base64(CAST(text AS BLOB)), CAST((i - 1) * 16 + 1 AS BIGINT), 16))), d -> CASE WHEN substring(d, 8, 1) IN ('4','5','6','7','c','d','e','f') THEN 1 ELSE -1 END), (a, b) -> a + b)) > 0 THEN '1' ELSE '0' END), (CASE WHEN (list_reduce(list_transform(list_transform(range(1, CAST(ceil(length(to_base64(CAST(text AS BLOB))) / 16.0) AS BIGINT) + 1), i -> md5(substring(to_base64(CAST(text AS BLOB)), CAST((i - 1) * 16 + 1 AS BIGINT), 16))), d -> CASE WHEN substring(d, 9, 1) IN ('4','5','6','7','c','d','e','f') THEN 1 ELSE -1 END), (a, b) -> a + b)) > 0 THEN '1' ELSE '0' END), (CASE WHEN (list_reduce(list_transform(list_transform(range(1, CAST(ceil(length(to_base64(CAST(text AS BLOB))) / 16.0) AS BIGINT) + 1), i -> md5(substring(to_base64(CAST(text AS BLOB)), CAST((i - 1) * 16 + 1 AS BIGINT), 16))), d -> CASE WHEN substring(d, 10, 1) IN ('4','5','6','7','c','d','e','f') THEN 1 ELSE -1 END), (a, b) -> a + b)) > 0 THEN '1' ELSE '0' END), (CASE WHEN (list_reduce(list_transform(list_transform(range(1, CAST(ceil(length(to_base64(CAST(text AS BLOB))) / 16.0) AS BIGINT) + 1), i -> md5(substring(to_base64(CAST(text AS BLOB)), CAST((i - 1) * 16 + 1 AS BIGINT), 16))), d -> CASE WHEN substring(d, 11, 1) IN ('4','5','6','7','c','d','e','f') THEN 1 ELSE -1 END), (a, b) -> a + b)) > 0 THEN '1' ELSE '0' END), (CASE WHEN (list_reduce(list_transform(list_transform(range(1, CAST(ceil(length(to_base64(CAST(text AS BLOB))) / 16.0) AS BIGINT) + 1), i -> md5(substring(to_base64(CAST(text AS BLOB)), CAST((i - 1) * 16 + 1 AS BIGINT), 16))), d -> CASE WHEN substring(d, 12, 1) IN ('4','5','6','7','c','d','e','f') THEN 1 ELSE -1 END), (a, b) -> a + b)) > 0 THEN '1' ELSE '0' END), (CASE WHEN (list_reduce(list_transform(list_transform(range(1, CAST(ceil(length(to_base64(CAST(text AS BLOB))) / 16.0) AS BIGINT) + 1), i -> md5(substring(to_base64(CAST(text AS BLOB)), CAST((i - 1) * 16 + 1 AS BIGINT), 16))), d -> CASE WHEN substring(d, 13, 1) IN ('4','5','6','7','c','d','e','f') THEN 1 ELSE -1 END), (a, b) -> a + b)) > 0 THEN '1' ELSE '0' END), (CASE WHEN (list_reduce(list_transform(list_transform(range(1, CAST(ceil(length(to_base64(CAST(text AS BLOB))) / 16.0) AS BIGINT) + 1), i -> md5(substring(to_base64(CAST(text AS BLOB)), CAST((i - 1) * 16 + 1 AS BIGINT), 16))), d -> CASE WHEN substring(d, 14, 1) IN ('4','5','6','7','c','d','e','f') THEN 1 ELSE -1 END), (a, b) -> a + b)) > 0 THEN '1' ELSE '0' END), (CASE WHEN (list_reduce(list_transform(list_transform(range(1, CAST(ceil(length(to_base64(CAST(text AS BLOB))) / 16.0) AS BIGINT) + 1), i -> md5(substring(to_base64(CAST(text AS BLOB)), CAST((i - 1) * 16 + 1 AS BIGINT), 16))), d -> CASE WHEN substring(d, 15, 1) IN ('4','5','6','7','c','d','e','f') THEN 1 ELSE -1 END), (a, b) -> a + b)) > 0 THEN '1' ELSE '0' END), (CASE WHEN (list_reduce(list_transform(list_transform(range(1, CAST(ceil(length(to_base64(CAST(text AS BLOB))) / 16.0) AS BIGINT) + 1), i -> md5(substring(to_base64(CAST(text AS BLOB)), CAST((i - 1) * 16 + 1 AS BIGINT), 16))), d -> CASE WHEN substring(d, 16, 1) IN ('4','5','6','7','c','d','e','f') THEN 1 ELSE -1 END), (a, b) -> a + b)) > 0 THEN '1' ELSE '0' END), (CASE WHEN (list_reduce(list_transform(list_transform(range(1, CAST(ceil(length(to_base64(CAST(text AS BLOB))) / 16.0) AS BIGINT) + 1), i -> md5(substring(to_base64(CAST(text AS BLOB)), CAST((i - 1) * 16 + 1 AS BIGINT), 16))), d -> CASE WHEN substring(d, 17, 1) IN ('4','5','6','7','c','d','e','f') THEN 1 ELSE -1 END), (a, b) -> a + b)) > 0 THEN '1' ELSE '0' END), (CASE WHEN (list_reduce(list_transform(list_transform(range(1, CAST(ceil(length(to_base64(CAST(text AS BLOB))) / 16.0) AS BIGINT) + 1), i -> md5(substring(to_base64(CAST(text AS BLOB)), CAST((i - 1) * 16 + 1 AS BIGINT), 16))), d -> CASE WHEN substring(d, 18, 1) IN ('4','5','6','7','c','d','e','f') THEN 1 ELSE -1 END), (a, b) -> a + b)) > 0 THEN '1' ELSE '0' END), (CASE WHEN (list_reduce(list_transform(list_transform(range(1, CAST(ceil(length(to_base64(CAST(text AS BLOB))) / 16.0) AS BIGINT) + 1), i -> md5(substring(to_base64(CAST(text AS BLOB)), CAST((i - 1) * 16 + 1 AS BIGINT), 16))), d -> CASE WHEN substring(d, 19, 1) IN ('4','5','6','7','c','d','e','f') THEN 1 ELSE -1 END), (a, b) -> a + b)) > 0 THEN '1' ELSE '0' END), (CASE WHEN (list_reduce(list_transform(list_transform(range(1, CAST(ceil(length(to_base64(CAST(text AS BLOB))) / 16.0) AS BIGINT) + 1), i -> md5(substring(to_base64(CAST(text AS BLOB)), CAST((i - 1) * 16 + 1 AS BIGINT), 16))), d -> CASE WHEN substring(d, 20, 1) IN ('4','5','6','7','c','d','e','f') THEN 1 ELSE -1 END), (a, b) -> a + b)) > 0 THEN '1' ELSE '0' END), (CASE WHEN (list_reduce(list_transform(list_transform(range(1, CAST(ceil(length(to_base64(CAST(text AS BLOB))) / 16.0) AS BIGINT) + 1), i -> md5(substring(to_base64(CAST(text AS BLOB)), CAST((i - 1) * 16 + 1 AS BIGINT), 16))), d -> CASE WHEN substring(d, 21, 1) IN ('4','5','6','7','c','d','e','f') THEN 1 ELSE -1 END), (a, b) -> a + b)) > 0 THEN '1' ELSE '0' END), (CASE WHEN (list_reduce(list_transform(list_transform(range(1, CAST(ceil(length(to_base64(CAST(text AS BLOB))) / 16.0) AS BIGINT) + 1), i -> md5(substring(to_base64(CAST(text AS BLOB)), CAST((i - 1) * 16 + 1 AS BIGINT), 16))), d -> CASE WHEN substring(d, 22, 1) IN ('4','5','6','7','c','d','e','f') THEN 1 ELSE -1 END), (a, b) -> a + b)) > 0 THEN '1' ELSE '0' END), (CASE WHEN (list_reduce(list_transform(list_transform(range(1, CAST(ceil(length(to_base64(CAST(text AS BLOB))) / 16.0) AS BIGINT) + 1), i -> md5(substring(to_base64(CAST(text AS BLOB)), CAST((i - 1) * 16 + 1 AS BIGINT), 16))), d -> CASE WHEN substring(d, 23, 1) IN ('4','5','6','7','c','d','e','f') THEN 1 ELSE -1 END), (a, b) -> a + b)) > 0 THEN '1' ELSE '0' END), (CASE WHEN (list_reduce(list_transform(list_transform(range(1, CAST(ceil(length(to_base64(CAST(text AS BLOB))) / 16.0) AS BIGINT) + 1), i -> md5(substring(to_base64(CAST(text AS BLOB)), CAST((i - 1) * 16 + 1 AS BIGINT), 16))), d -> CASE WHEN substring(d, 24, 1) IN ('4','5','6','7','c','d','e','f') THEN 1 ELSE -1 END), (a, b) -> a + b)) > 0 THEN '1' ELSE '0' END), (CASE WHEN (list_reduce(list_transform(list_transform(range(1, CAST(ceil(length(to_base64(CAST(text AS BLOB))) / 16.0) AS BIGINT) + 1), i -> md5(substring(to_base64(CAST(text AS BLOB)), CAST((i - 1) * 16 + 1 AS BIGINT), 16))), d -> CASE WHEN substring(d, 25, 1) IN ('4','5','6','7','c','d','e','f') THEN 1 ELSE -1 END), (a, b) -> a + b)) > 0 THEN '1' ELSE '0' END), (CASE WHEN (list_reduce(list_transform(list_transform(range(1, CAST(ceil(length(to_base64(CAST(text AS BLOB))) / 16.0) AS BIGINT) + 1), i -> md5(substring(to_base64(CAST(text AS BLOB)), CAST((i - 1) * 16 + 1 AS BIGINT), 16))), d -> CASE WHEN substring(d, 26, 1) IN ('4','5','6','7','c','d','e','f') THEN 1 ELSE -1 END), (a, b) -> a + b)) > 0 THEN '1' ELSE '0' END), (CASE WHEN (list_reduce(list_transform(list_transform(range(1, CAST(ceil(length(to_base64(CAST(text AS BLOB))) / 16.0) AS BIGINT) + 1), i -> md5(substring(to_base64(CAST(text AS BLOB)), CAST((i - 1) * 16 + 1 AS BIGINT), 16))), d -> CASE WHEN substring(d, 27, 1) IN ('4','5','6','7','c','d','e','f') THEN 1 ELSE -1 END), (a, b) -> a + b)) > 0 THEN '1' ELSE '0' END), (CASE WHEN (list_reduce(list_transform(list_transform(range(1, CAST(ceil(length(to_base64(CAST(text AS BLOB))) / 16.0) AS BIGINT) + 1), i -> md5(substring(to_base64(CAST(text AS BLOB)), CAST((i - 1) * 16 + 1 AS BIGINT), 16))), d -> CASE WHEN substring(d, 28, 1) IN ('4','5','6','7','c','d','e','f') THEN 1 ELSE -1 END), (a, b) -> a + b)) > 0 THEN '1' ELSE '0' END), (CASE WHEN (list_reduce(list_transform(list_transform(range(1, CAST(ceil(length(to_base64(CAST(text AS BLOB))) / 16.0) AS BIGINT) + 1), i -> md5(substring(to_base64(CAST(text AS BLOB)), CAST((i - 1) * 16 + 1 AS BIGINT), 16))), d -> CASE WHEN substring(d, 29, 1) IN ('4','5','6','7','c','d','e','f') THEN 1 ELSE -1 END), (a, b) -> a + b)) > 0 THEN '1' ELSE '0' END), (CASE WHEN (list_reduce(list_transform(list_transform(range(1, CAST(ceil(length(to_base64(CAST(text AS BLOB))) / 16.0) AS BIGINT) + 1), i -> md5(substring(to_base64(CAST(text AS BLOB)), CAST((i - 1) * 16 + 1 AS BIGINT), 16))), d -> CASE WHEN substring(d, 30, 1) IN ('4','5','6','7','c','d','e','f') THEN 1 ELSE -1 END), (a, b) -> a + b)) > 0 THEN '1' ELSE '0' END), (CASE WHEN (list_reduce(list_transform(list_transform(range(1, CAST(ceil(length(to_base64(CAST(text AS BLOB))) / 16.0) AS BIGINT) + 1), i -> md5(substring(to_base64(CAST(text AS BLOB)), CAST((i - 1) * 16 + 1 AS BIGINT), 16))), d -> CASE WHEN substring(d, 31, 1) IN ('4','5','6','7','c','d','e','f') THEN 1 ELSE -1 END), (a, b) -> a + b)) > 0 THEN '1' ELSE '0' END), (CASE WHEN (list_reduce(list_transform(list_transform(range(1, CAST(ceil(length(to_base64(CAST(text AS BLOB))) / 16.0) AS BIGINT) + 1), i -> md5(substring(to_base64(CAST(text AS BLOB)), CAST((i - 1) * 16 + 1 AS BIGINT), 16))), d -> CASE WHEN substring(d, 32, 1) IN ('4','5','6','7','c','d','e','f') THEN 1 ELSE -1 END), (a, b) -> a + b)) > 0 THEN '1' ELSE '0' END))",
+        ham="((CASE WHEN substring(sa.sig, 1, 1) <> substring(sb.sig, 1, 1) THEN 1 ELSE 0 END) + (CASE WHEN substring(sa.sig, 2, 1) <> substring(sb.sig, 2, 1) THEN 1 ELSE 0 END) + (CASE WHEN substring(sa.sig, 3, 1) <> substring(sb.sig, 3, 1) THEN 1 ELSE 0 END) + (CASE WHEN substring(sa.sig, 4, 1) <> substring(sb.sig, 4, 1) THEN 1 ELSE 0 END) + (CASE WHEN substring(sa.sig, 5, 1) <> substring(sb.sig, 5, 1) THEN 1 ELSE 0 END) + (CASE WHEN substring(sa.sig, 6, 1) <> substring(sb.sig, 6, 1) THEN 1 ELSE 0 END) + (CASE WHEN substring(sa.sig, 7, 1) <> substring(sb.sig, 7, 1) THEN 1 ELSE 0 END) + (CASE WHEN substring(sa.sig, 8, 1) <> substring(sb.sig, 8, 1) THEN 1 ELSE 0 END) + (CASE WHEN substring(sa.sig, 9, 1) <> substring(sb.sig, 9, 1) THEN 1 ELSE 0 END) + (CASE WHEN substring(sa.sig, 10, 1) <> substring(sb.sig, 10, 1) THEN 1 ELSE 0 END) + (CASE WHEN substring(sa.sig, 11, 1) <> substring(sb.sig, 11, 1) THEN 1 ELSE 0 END) + (CASE WHEN substring(sa.sig, 12, 1) <> substring(sb.sig, 12, 1) THEN 1 ELSE 0 END) + (CASE WHEN substring(sa.sig, 13, 1) <> substring(sb.sig, 13, 1) THEN 1 ELSE 0 END) + (CASE WHEN substring(sa.sig, 14, 1) <> substring(sb.sig, 14, 1) THEN 1 ELSE 0 END) + (CASE WHEN substring(sa.sig, 15, 1) <> substring(sb.sig, 15, 1) THEN 1 ELSE 0 END) + (CASE WHEN substring(sa.sig, 16, 1) <> substring(sb.sig, 16, 1) THEN 1 ELSE 0 END) + (CASE WHEN substring(sa.sig, 17, 1) <> substring(sb.sig, 17, 1) THEN 1 ELSE 0 END) + (CASE WHEN substring(sa.sig, 18, 1) <> substring(sb.sig, 18, 1) THEN 1 ELSE 0 END) + (CASE WHEN substring(sa.sig, 19, 1) <> substring(sb.sig, 19, 1) THEN 1 ELSE 0 END) + (CASE WHEN substring(sa.sig, 20, 1) <> substring(sb.sig, 20, 1) THEN 1 ELSE 0 END) + (CASE WHEN substring(sa.sig, 21, 1) <> substring(sb.sig, 21, 1) THEN 1 ELSE 0 END) + (CASE WHEN substring(sa.sig, 22, 1) <> substring(sb.sig, 22, 1) THEN 1 ELSE 0 END) + (CASE WHEN substring(sa.sig, 23, 1) <> substring(sb.sig, 23, 1) THEN 1 ELSE 0 END) + (CASE WHEN substring(sa.sig, 24, 1) <> substring(sb.sig, 24, 1) THEN 1 ELSE 0 END) + (CASE WHEN substring(sa.sig, 25, 1) <> substring(sb.sig, 25, 1) THEN 1 ELSE 0 END) + (CASE WHEN substring(sa.sig, 26, 1) <> substring(sb.sig, 26, 1) THEN 1 ELSE 0 END) + (CASE WHEN substring(sa.sig, 27, 1) <> substring(sb.sig, 27, 1) THEN 1 ELSE 0 END) + (CASE WHEN substring(sa.sig, 28, 1) <> substring(sb.sig, 28, 1) THEN 1 ELSE 0 END) + (CASE WHEN substring(sa.sig, 29, 1) <> substring(sb.sig, 29, 1) THEN 1 ELSE 0 END) + (CASE WHEN substring(sa.sig, 30, 1) <> substring(sb.sig, 30, 1) THEN 1 ELSE 0 END) + (CASE WHEN substring(sa.sig, 31, 1) <> substring(sb.sig, 31, 1) THEN 1 ELSE 0 END) + (CASE WHEN substring(sa.sig, 32, 1) <> substring(sb.sig, 32, 1) THEN 1 ELSE 0 END) + (CASE WHEN substring(sa.sig, 33, 1) <> substring(sb.sig, 33, 1) THEN 1 ELSE 0 END) + (CASE WHEN substring(sa.sig, 34, 1) <> substring(sb.sig, 34, 1) THEN 1 ELSE 0 END) + (CASE WHEN substring(sa.sig, 35, 1) <> substring(sb.sig, 35, 1) THEN 1 ELSE 0 END) + (CASE WHEN substring(sa.sig, 36, 1) <> substring(sb.sig, 36, 1) THEN 1 ELSE 0 END) + (CASE WHEN substring(sa.sig, 37, 1) <> substring(sb.sig, 37, 1) THEN 1 ELSE 0 END) + (CASE WHEN substring(sa.sig, 38, 1) <> substring(sb.sig, 38, 1) THEN 1 ELSE 0 END) + (CASE WHEN substring(sa.sig, 39, 1) <> substring(sb.sig, 39, 1) THEN 1 ELSE 0 END) + (CASE WHEN substring(sa.sig, 40, 1) <> substring(sb.sig, 40, 1) THEN 1 ELSE 0 END) + (CASE WHEN substring(sa.sig, 41, 1) <> substring(sb.sig, 41, 1) THEN 1 ELSE 0 END) + (CASE WHEN substring(sa.sig, 42, 1) <> substring(sb.sig, 42, 1) THEN 1 ELSE 0 END) + (CASE WHEN substring(sa.sig, 43, 1) <> substring(sb.sig, 43, 1) THEN 1 ELSE 0 END) + (CASE WHEN substring(sa.sig, 44, 1) <> substring(sb.sig, 44, 1) THEN 1 ELSE 0 END) + (CASE WHEN substring(sa.sig, 45, 1) <> substring(sb.sig, 45, 1) THEN 1 ELSE 0 END) + (CASE WHEN substring(sa.sig, 46, 1) <> substring(sb.sig, 46, 1) THEN 1 ELSE 0 END) + (CASE WHEN substring(sa.sig, 47, 1) <> substring(sb.sig, 47, 1) THEN 1 ELSE 0 END) + (CASE WHEN substring(sa.sig, 48, 1) <> substring(sb.sig, 48, 1) THEN 1 ELSE 0 END) + (CASE WHEN substring(sa.sig, 49, 1) <> substring(sb.sig, 49, 1) THEN 1 ELSE 0 END) + (CASE WHEN substring(sa.sig, 50, 1) <> substring(sb.sig, 50, 1) THEN 1 ELSE 0 END) + (CASE WHEN substring(sa.sig, 51, 1) <> substring(sb.sig, 51, 1) THEN 1 ELSE 0 END) + (CASE WHEN substring(sa.sig, 52, 1) <> substring(sb.sig, 52, 1) THEN 1 ELSE 0 END) + (CASE WHEN substring(sa.sig, 53, 1) <> substring(sb.sig, 53, 1) THEN 1 ELSE 0 END) + (CASE WHEN substring(sa.sig, 54, 1) <> substring(sb.sig, 54, 1) THEN 1 ELSE 0 END) + (CASE WHEN substring(sa.sig, 55, 1) <> substring(sb.sig, 55, 1) THEN 1 ELSE 0 END) + (CASE WHEN substring(sa.sig, 56, 1) <> substring(sb.sig, 56, 1) THEN 1 ELSE 0 END) + (CASE WHEN substring(sa.sig, 57, 1) <> substring(sb.sig, 57, 1) THEN 1 ELSE 0 END) + (CASE WHEN substring(sa.sig, 58, 1) <> substring(sb.sig, 58, 1) THEN 1 ELSE 0 END) + (CASE WHEN substring(sa.sig, 59, 1) <> substring(sb.sig, 59, 1) THEN 1 ELSE 0 END) + (CASE WHEN substring(sa.sig, 60, 1) <> substring(sb.sig, 60, 1) THEN 1 ELSE 0 END) + (CASE WHEN substring(sa.sig, 61, 1) <> substring(sb.sig, 61, 1) THEN 1 ELSE 0 END) + (CASE WHEN substring(sa.sig, 62, 1) <> substring(sb.sig, 62, 1) THEN 1 ELSE 0 END) + (CASE WHEN substring(sa.sig, 63, 1) <> substring(sb.sig, 63, 1) THEN 1 ELSE 0 END) + (CASE WHEN substring(sa.sig, 64, 1) <> substring(sb.sig, 64, 1) THEN 1 ELSE 0 END))",
+    ),
+    doc="Near-duplicate BINARY payloads by SimHash over fixed-width "
+    "base64 chunks — the perceptual-hash posture for opaque media "
+    "blobs (catches payloads differing in a localized byte region, "
+    "where exact digest dedup sees two distinct files): chunk the "
+    "payload's base64 into 16-char blocks, md5 each, 64-bit simhash "
+    "over chunk digests, Manku pigeonhole block pairing (d <= 2), "
+    "unrolled Hamming verify. Reuses the text pipeline's entire "
+    "simhash machinery via simhash_hamming_pairs_from_digests "
+    "(operators/dedup.py); one map pass + 4 bounded-key equi-joins. "
+    "Spark's MIME base64 wrapping is stripped so both engines chunk "
+    "the identical string.",
+)
+def multimodal_payload_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sql_engine_spark.operators.dedup import (
+        simhash_hamming_pairs_from_digests,
+    )
+    from sql_engine_spark.operators.multimodal import with_binary_payload
+
+    docs = with_binary_payload(load(spark, sf_dir, "documents"), "text")
+    b64 = "regexp_replace(base64(payload), '[\\r\\n]', '')"
+    digs = docs.select(
+        F.col("doc_id").alias("__id"),
+        F.expr(
+            f"transform(sequence(1, CAST(ceil(length({b64}) / {_PAY_BLOCK}.0) "
+            f"AS INT)), i -> md5(substring({b64}, ({_PAY_BLOCK} * (i - 1)) + 1, "
+            f"{_PAY_BLOCK})))"
+        ).alias("__digs"),
+    )
+    return simhash_hamming_pairs_from_digests(
+        digs, bits=64, n_blocks=4, max_hamming=2
+    )
