@@ -165,6 +165,7 @@ EXTENSION_R5 = [
     "streaming_histogram",
     "text_rake_keywords",
     "multimodal_payload_simhash",
+    "events_time_to_convert",
 ]
 
 

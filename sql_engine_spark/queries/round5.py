@@ -1814,3 +1814,96 @@ def multimodal_payload_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_hamming_pairs_from_digests(
         digs, bits=64, n_blocks=4, max_hamming=2
     )
+
+
+@register(
+    "events_time_to_convert",
+    oracle="""
+        WITH p AS (
+            SELECT event_id, user_id, ts FROM events
+            WHERE event_type = 'purchase'
+        ),
+        v AS (
+            SELECT user_id, ts FROM events WHERE event_type = 'view'
+        ),
+        matched AS (
+            SELECT p.event_id,
+                   epoch_us(p.ts) - max(epoch_us(v.ts)) AS delay_us
+            FROM p JOIN v
+              ON v.user_id = p.user_id AND v.ts <= p.ts
+            GROUP BY p.event_id, p.ts
+        ),
+        d AS (
+            SELECT list_sort(list(CAST(delay_us AS DOUBLE) / 1000000.0))
+                       AS vals
+            FROM matched
+        )
+        SELECT CAST(len(vals) AS BIGINT) AS n_converted,
+               vals[CAST(FLOOR((len(vals) - 1) * 0.5) AS BIGINT) + 1]
+               + ((len(vals) - 1) * 0.5 - FLOOR((len(vals) - 1) * 0.5))
+                 * (vals[least(CAST(FLOOR((len(vals) - 1) * 0.5) AS BIGINT) + 2,
+                               len(vals))]
+                    - vals[CAST(FLOOR((len(vals) - 1) * 0.5) AS BIGINT) + 1])
+                   AS p50_seconds,
+               vals[CAST(FLOOR((len(vals) - 1) * 0.9) AS BIGINT) + 1]
+               + ((len(vals) - 1) * 0.9 - FLOOR((len(vals) - 1) * 0.9))
+                 * (vals[least(CAST(FLOOR((len(vals) - 1) * 0.9) AS BIGINT) + 2,
+                               len(vals))]
+                    - vals[CAST(FLOOR((len(vals) - 1) * 0.9) AS BIGINT) + 1])
+                   AS p90_seconds,
+               vals[len(vals)] AS max_seconds
+        FROM d
+    """,
+    doc="View-to-purchase conversion latency: each purchase matched to "
+    "the user's LATEST prior view (the as-of semantics, spelled as a "
+    "max-per-purchase group in the oracle and the union+window as-of "
+    "join in Spark — two independent spellings), delays summarized as "
+    "exact interpolated p50/p90/max in integer-microsecond-derived "
+    "seconds. Funnel *latency* is the metric product teams pair with "
+    "funnel *counts* (events_user_funnel). The final exact percentile "
+    "necessarily materializes the converted-purchase delays in one "
+    "list (bounded by purchase count; the 100 TB posture is "
+    "approx_percentile, as in agg_percentile_exact).",
+)
+def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sql_engine_spark.operators.asof import asof_join
+
+    ev = load(spark, sf_dir, "events")
+    micros = F.unix_micros(F.col("ts").cast("timestamp"))
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", micros.alias("tm")
+    )
+    v = ev.where(F.col("event_type") == "view").select(
+        "user_id", micros.alias("v_tm")
+    )
+    matched = (
+        asof_join(
+            p,
+            v.withColumn("__one", F.lit(1)),
+            key="user_id",
+            left_ts="tm",
+            right_ts="v_tm",
+            right_payload=["__one"],
+        )
+        .where(F.col("asof_ts").isNotNull())
+        .select(
+            ((F.col("tm") - F.col("asof_ts")).cast("double") / 1e6).alias(
+                "delay_s"
+            )
+        )
+    )
+    d = matched.agg(F.array_sort(F.collect_list("delay_s")).alias("__vals"))
+    cols = [F.size("__vals").cast("long").alias("n_converted")]
+    for p_, name in ((0.5, "p50_seconds"), (0.9, "p90_seconds")):
+        h = f"CAST((size(__vals) - 1) AS DOUBLE) * {p_}D"
+        lo = f"CAST(FLOOR({h}) AS INT) + 1"
+        hi = f"least({lo} + 1, size(__vals))"
+        frac = f"({h} - FLOOR({h}))"
+        cols.append(
+            F.expr(
+                f"element_at(__vals, {lo}) + {frac} * "
+                f"(element_at(__vals, {hi}) - element_at(__vals, {lo}))"
+            ).alias(name)
+        )
+    cols.append(F.expr("element_at(__vals, size(__vals))").alias("max_seconds"))
+    return d.select(*cols)
