@@ -166,6 +166,8 @@ EXTENSION_R5 = [
     "text_rake_keywords",
     "multimodal_payload_simhash",
     "events_time_to_convert",
+    "privacy_k_anonymity",
+    "text_bpe_train_merges",
 ]
 
 

@@ -1907,3 +1907,182 @@ def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     cols.append(F.expr("element_at(__vals, size(__vals))").alias("max_seconds"))
     return d.select(*cols)
+
+
+_KANON_K = 5
+
+
+@register(
+    "privacy_k_anonymity",
+    oracle=f"""
+        WITH g AS (
+            SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS group_size
+            FROM documents GROUP BY lang, source
+        )
+        SELECT lang, source, group_size,
+               group_size >= {_KANON_K} AS k_anonymous,
+               CASE WHEN group_size >= {_KANON_K} THEN lang
+                    ELSE '*' END AS lang_released,
+               CASE WHEN group_size >= {_KANON_K} THEN source
+                    ELSE '*' END AS source_released
+        FROM g
+    """,
+    doc="k-anonymity audit + suppression over the quasi-identifier "
+    "tuple (lang, source): groups smaller than k=5 are re-"
+    "identification risks and get their quasi-identifiers suppressed "
+    "to '*' (generalization's simplest form) — the data-governance "
+    "gate run before releasing per-document metadata alongside a "
+    "corpus. One map-side-combinable aggregate; the released view "
+    "derives per group, never per row.",
+)
+def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    g = docs.groupBy("lang", "source").agg(
+        F.count("*").cast("long").alias("group_size")
+    )
+    anon = F.col("group_size") >= _KANON_K
+    return g.select(
+        "lang",
+        "source",
+        "group_size",
+        anon.alias("k_anonymous"),
+        F.when(anon, F.col("lang")).otherwise("*").alias("lang_released"),
+        F.when(anon, F.col("source")).otherwise("*").alias("source_released"),
+    )
+
+
+_BPE_ROUNDS = 5
+
+
+def _sql_bpe_round(prev_vocab: str, r: int) -> str:
+    """One BPE round: weighted adjacent-pair counts over the symbol
+    vocabulary, deterministic argmax pick, string-replace merge."""
+    return f"""bpe_p{r} AS (
+            SELECT pr[1] AS l, pr[2] AS rr, SUM(wcount) AS cnt
+            FROM (
+                SELECT unnest(list_transform(
+                           range(1, len(syms)),
+                           i -> [syms[i], syms[i + 1]])) AS pr,
+                       wcount
+                FROM (
+                    SELECT string_split(trim(sym_str), ' ') AS syms, wcount
+                    FROM {prev_vocab}
+                )
+            ) GROUP BY 1, 2
+        ),
+        bpe_pick{r} AS (
+            SELECT l, rr, CAST(cnt AS BIGINT) AS cnt,
+                   CAST({r} AS BIGINT) AS round
+            FROM (
+                SELECT l, rr, cnt,
+                       row_number() OVER (ORDER BY cnt DESC, l, rr) AS k
+                FROM bpe_p{r}
+            ) WHERE k = 1
+        ),
+        bpe_v{r} AS (
+            SELECT replace(v.sym_str, ' ' || p.l || ' ' || p.rr || ' ',
+                           ' ' || p.l || p.rr || ' ') AS sym_str,
+                   v.wcount
+            FROM {prev_vocab} v CROSS JOIN bpe_pick{r} p
+        )"""
+
+
+def _bpe_oracle() -> str:
+    rounds = ",\n        ".join(
+        _sql_bpe_round("bpe_v0" if r == 1 else f"bpe_v{r - 1}", r)
+        for r in range(1, _BPE_ROUNDS + 1)
+    )
+    picks = " UNION ALL ".join(
+        f"SELECT round, l AS left_sym, rr AS right_sym, l || rr AS merged, cnt "
+        f"FROM bpe_pick{r}"
+        for r in range(1, _BPE_ROUNDS + 1)
+    )
+    return f"""
+        WITH bpe_words AS (
+            SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS wcount
+            FROM (SELECT unnest({sql_tokens('text')}) AS w FROM documents)
+            WHERE w <> '' GROUP BY w
+        ),
+        bpe_v0 AS MATERIALIZED (
+            SELECT ' ' || array_to_string(
+                       list_transform(range(1, length(word) + 1),
+                                      i -> substring(word, i, 1)), ' ')
+                   || ' ' AS sym_str,
+                   wcount
+            FROM bpe_words
+        ),
+        {rounds}
+        SELECT * FROM ({picks})
+    """
+
+
+@register(
+    "text_bpe_train_merges",
+    oracle=_bpe_oracle(),
+    doc="Byte-pair-encoding tokenizer training, 5 merge rounds "
+    "(Sennrich et al. 2016): per round, ONE weighted adjacent-pair "
+    "count over the word-frequency VOCABULARY (bounded relation, not "
+    "the corpus — the standard BPE trick), a deterministic argmax "
+    "pick (count desc, pair asc — a TakeOrdered top-1, no global "
+    "sort), and the merge applied as a delimiter-guarded string "
+    "replace whose left-to-right non-overlapping semantics are "
+    "identical in the JVM and DuckDB — so both engines learn the "
+    "IDENTICAL merge table, which is the output (round, left, right, "
+    "merged, count). The picked pair returns to the driver per round "
+    "(1 row — the kmeans-literal discipline); corpus-sized work is "
+    "exactly one tokenize + word count.",
+)
+def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sql_engine_spark.operators.dedup import _persist
+
+    docs = load(spark, sf_dir, "documents").withColumn("__t", tokens("text"))
+    words = (
+        docs.select(F.explode("__t").alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("wcount"))
+    )
+    vocab = _persist(
+        words.select(
+            F.expr(
+                "concat(' ', array_join(transform(sequence(1, length(w)), "
+                "i -> substring(w, i, 1)), ' '), ' ')"
+            ).alias("sym_str"),
+            "wcount",
+        )
+    )
+    merges = []
+    for r in range(1, _BPE_ROUNDS + 1):
+        pairs = (
+            # single-symbol words contribute no pairs; the filter also
+            # dodges Spark's sequence(1, 0) yielding a DESCENDING [1,0]
+            # instead of empty
+            vocab.where(F.expr("size(split(trim(sym_str), ' ')) >= 2"))
+            .select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(split(trim(sym_str), ' ')) - 1), "
+                        "i -> struct(element_at(split(trim(sym_str), ' '), i) AS l, "
+                        "element_at(split(trim(sym_str), ' '), i + 1) AS rr))"
+                    )
+                ).alias("pr"),
+                "wcount",
+            )
+            .groupBy("pr.l", "pr.rr")
+            .agg(F.sum("wcount").cast("long").alias("cnt"))
+        )
+        pick = pairs.orderBy(F.desc("cnt"), F.asc("l"), F.asc("rr")).limit(1).collect()[0]
+        merges.append((r, pick.l, pick.rr, pick.l + pick.rr, pick.cnt))
+        old_vocab = vocab
+        vocab = _persist(
+            vocab.select(
+                F.expr(
+                    f"replace(sym_str, ' {pick.l} {pick.rr} ', ' {pick.l}{pick.rr} ')"
+                ).alias("sym_str"),
+                "wcount",
+            )
+        )
+        old_vocab.unpersist()
+    return spark.createDataFrame(
+        merges, "round long, left_sym string, right_sym string, merged string, cnt long"
+    )

@@ -500,3 +500,58 @@ def test_pca_component_on_anisotropic_data(spark):
     assert abs(float(v @ vt[0])) >= 0.999
     # eigenvalue estimate ~ top singular value^2 / n
     assert eig == pytest.approx(s[0] ** 2 / len(Xd), rel=0.05)
+
+
+def test_bpe_merges_match_reference_implementation(spark, sf_dir):
+    """The learned merge table must equal a pure-Python greedy BPE on
+    the same word counts (count desc, pair asc tie-break)."""
+    from collections import Counter
+
+    from sql_engine_spark.operators.textprep import tokens as _tokens
+
+    docs = load(spark, sf_dir, "documents").withColumn("__t", _tokens("text"))
+    words = Counter()
+    for r in docs.select(F.explode("__t").alias("w")).collect():
+        if r.w:
+            words[r.w] += 1
+    vocab = {tuple(w): c for w, c in words.items()}
+    got = [
+        (r.round, r.left_sym, r.right_sym, r.cnt)
+        for r in sorted(
+            _build(spark, sf_dir, "text_bpe_train_merges").collect(),
+            key=lambda r: r.round,
+        )
+    ]
+    want = []
+    for rnd in range(1, 6):
+        pairs = Counter()
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += c
+        (l, rr), cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        want.append((rnd, l, rr, cnt))
+        new_vocab = {}
+        for syms, c in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == rr:
+                    out.append(l + rr)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            key = tuple(out)
+            new_vocab[key] = new_vocab.get(key, 0) + c
+        vocab = new_vocab
+    assert got == want
+
+
+def test_k_anonymity_suppression_complete(spark, sf_dir):
+    df = _build(spark, sf_dir, "privacy_k_anonymity")
+    for r in df.collect():
+        if r.group_size < 5:
+            assert (r.lang_released, r.source_released) == ("*", "*")
+            assert not r.k_anonymous
+        else:
+            assert (r.lang_released, r.source_released) == (r.lang, r.source)
+            assert r.k_anonymous
