@@ -168,6 +168,7 @@ EXTENSION_R5 = [
     "events_time_to_convert",
     "privacy_k_anonymity",
     "text_bpe_train_merges",
+    "text_bpe_encode",
 ]
 
 

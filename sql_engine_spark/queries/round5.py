@@ -2016,23 +2016,9 @@ def _bpe_oracle() -> str:
     """
 
 
-@register(
-    "text_bpe_train_merges",
-    oracle=_bpe_oracle(),
-    doc="Byte-pair-encoding tokenizer training, 5 merge rounds "
-    "(Sennrich et al. 2016): per round, ONE weighted adjacent-pair "
-    "count over the word-frequency VOCABULARY (bounded relation, not "
-    "the corpus — the standard BPE trick), a deterministic argmax "
-    "pick (count desc, pair asc — a TakeOrdered top-1, no global "
-    "sort), and the merge applied as a delimiter-guarded string "
-    "replace whose left-to-right non-overlapping semantics are "
-    "identical in the JVM and DuckDB — so both engines learn the "
-    "IDENTICAL merge table, which is the output (round, left, right, "
-    "merged, count). The picked pair returns to the driver per round "
-    "(1 row — the kmeans-literal discipline); corpus-sized work is "
-    "exactly one tokenize + word count.",
-)
-def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _bpe_train(spark: SparkSession, sf_dir: str) -> list[tuple]:
+    """Run the 5 BPE rounds; returns [(round, l, r, merged, cnt)].
+    Shared by the trainer query and the encoder."""
     from sql_engine_spark.operators.dedup import _persist
 
     docs = load(spark, sf_dir, "documents").withColumn("__t", tokens("text"))
@@ -2083,6 +2069,131 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         old_vocab.unpersist()
+    return merges
+
+
+
+@register(
+    "text_bpe_train_merges",
+    oracle=_bpe_oracle(),
+    doc="Byte-pair-encoding tokenizer training, 5 merge rounds "
+    "(Sennrich et al. 2016): per round, ONE weighted adjacent-pair "
+    "count over the word-frequency VOCABULARY (bounded relation, not "
+    "the corpus — the standard BPE trick), a deterministic argmax "
+    "pick (count desc, pair asc — a TakeOrdered top-1, no global "
+    "sort), and the merge applied as a delimiter-guarded string "
+    "replace whose left-to-right non-overlapping semantics are "
+    "identical in the JVM and DuckDB — so both engines learn the "
+    "IDENTICAL merge table, which is the output (round, left, right, "
+    "merged, count). The picked pair returns to the driver per round "
+    "(1 row — the kmeans-literal discipline); corpus-sized work is "
+    "exactly one tokenize + word count.",
+)
+def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    merges = _bpe_train(spark, sf_dir)
     return spark.createDataFrame(
         merges, "round long, left_sym string, right_sym string, merged string, cnt long"
+    )
+
+
+def _bpe_encode_oracle() -> str:
+    """Training CTEs (identical to the trainer) + per-doc encoding: each
+    word's symbol string passes through the 5 learned replaces, then
+    symbols are summed per document."""
+    rounds = ",\n        ".join(
+        _sql_bpe_round("bpe_v0" if r == 1 else f"bpe_v{r - 1}", r)
+        for r in range(1, _BPE_ROUNDS + 1)
+    )
+    enc = "enc0"
+    steps = []
+    for r in range(1, _BPE_ROUNDS + 1):
+        steps.append(
+            f"""enc{r} AS (
+            SELECT doc_id,
+                   replace(sym_str,
+                           ' ' || (SELECT l FROM bpe_pick{r}) || ' '
+                               || (SELECT rr FROM bpe_pick{r}) || ' ',
+                           ' ' || (SELECT l FROM bpe_pick{r})
+                               || (SELECT rr FROM bpe_pick{r}) || ' ')
+                       AS sym_str
+            FROM enc{r - 1}
+        )"""
+        )
+        enc = f"enc{r}"
+    steps_sql = ",\n        ".join(steps)
+    return f"""
+        WITH bpe_words AS (
+            SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS wcount
+            FROM (SELECT unnest({sql_tokens('text')}) AS w FROM documents)
+            WHERE w <> '' GROUP BY w
+        ),
+        bpe_v0 AS MATERIALIZED (
+            SELECT ' ' || array_to_string(
+                       list_transform(range(1, length(word) + 1),
+                                      i -> substring(word, i, 1)), ' ')
+                   || ' ' AS sym_str,
+                   wcount
+            FROM bpe_words
+        ),
+        {rounds},
+        enc0 AS MATERIALIZED (
+            SELECT doc_id,
+                   ' ' || array_to_string(
+                       list_transform(range(1, length(w) + 1),
+                                      i -> substring(w, i, 1)), ' ')
+                   || ' ' AS sym_str
+            FROM (SELECT doc_id, unnest({sql_tokens('text')}) AS w
+                  FROM documents)
+            WHERE w <> ''
+        ),
+        {steps_sql}
+        SELECT doc_id,
+               CAST(SUM(length(trim(sym_str))
+                        - length(replace(trim(sym_str), ' ', '')) + 1)
+                    AS BIGINT) AS n_bpe_tokens,
+               CAST(SUM(length(replace(trim(sym_str), ' ', ''))) AS BIGINT)
+                   AS n_chars
+        FROM {enc}
+        GROUP BY doc_id
+    """
+
+
+@register(
+    "text_bpe_encode",
+    oracle=_bpe_encode_oracle(),
+    doc="Apply the corpus-trained BPE merges to ENCODE every document: "
+    "each word's character-symbol string passes through the 5 learned "
+    "merge replaces (literal patterns — the merge table is model-"
+    "sized driver state, exactly like trained centroids), then "
+    "per-doc BPE token and character counts come from delimiter "
+    "arithmetic. Train-then-apply in one pipeline: the token-count "
+    "ratio n_chars/n_bpe_tokens is the compression the tokenizer "
+    "bought — the metric tokenizer ablations report. Encoding is a "
+    "pure map stage (5 string replaces per word), one explode + one "
+    "per-doc aggregate around it.",
+)
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    merges = _bpe_train(spark, sf_dir)
+    docs = load(spark, sf_dir, "documents").withColumn("__t", tokens("text"))
+    enc = docs.select(
+        "doc_id", F.explode("__t").alias("w")
+    ).where(F.col("w") != "").select(
+        "doc_id",
+        F.expr(
+            "concat(' ', array_join(transform(sequence(1, length(w)), "
+            "i -> substring(w, i, 1)), ' '), ' ')"
+        ).alias("sym_str"),
+    )
+    for _, l, rr, merged, _cnt in merges:
+        enc = enc.withColumn(
+            "sym_str", F.expr(f"replace(sym_str, ' {l} {rr} ', ' {merged} ')")
+        )
+    return enc.groupBy("doc_id").agg(
+        F.expr(
+            "CAST(SUM(length(trim(sym_str)) "
+            "- length(replace(trim(sym_str), ' ', '')) + 1) AS BIGINT)"
+        ).alias("n_bpe_tokens"),
+        F.expr(
+            "CAST(SUM(length(replace(trim(sym_str), ' ', ''))) AS BIGINT)"
+        ).alias("n_chars"),
     )
