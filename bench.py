@@ -169,6 +169,8 @@ EXTENSION_R5 = [
     "privacy_k_anonymity",
     "text_bpe_train_merges",
     "text_bpe_encode",
+    "events_anomaly_mad",
+    "curation_gini_balance",
 ]
 
 

@@ -2197,3 +2197,147 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(SUM(length(replace(trim(sym_str), ' ', ''))) AS BIGINT)"
         ).alias("n_chars"),
     )
+
+
+def _median_from_sorted(vals_expr: str, spark_side: bool) -> str:
+    """Exact interpolated median over a sorted array column — the one
+    shared formula (see agg_percentile_exact)."""
+    size = f"size({vals_expr})" if spark_side else f"len({vals_expr})"
+    el = (
+        (lambda i: f"element_at({vals_expr}, {i})")
+        if spark_side
+        else (lambda i: f"({vals_expr})[{i}]")
+    )
+    h = f"CAST(({size} - 1) AS DOUBLE) * 0.5"
+    lo = f"CAST(FLOOR({h}) AS {'INT' if spark_side else 'BIGINT'}) + 1"
+    hi = f"least({lo} + 1, {size})"
+    frac = f"({h} - FLOOR({h}))"
+    return f"({el(lo)} + {frac} * ({el(hi)} - {el(lo)}))"
+
+
+_MAD_K = 3.0
+
+
+@register(
+    "events_anomaly_mad",
+    oracle=f"""
+        WITH med AS (
+            SELECT event_type,
+                   {_median_from_sorted('list_sort(list(value))', False)} AS med
+            FROM events GROUP BY event_type
+        ),
+        mad AS (
+            SELECT e.event_type,
+                   {_median_from_sorted(
+                       'list_sort(list(abs(e.value - m.med)))', False)} AS mad,
+                   MIN(m.med) AS med
+            FROM events e JOIN med m USING (event_type)
+            GROUP BY e.event_type
+        )
+        SELECT e.event_id, e.event_type, e.value, m.med, m.mad,
+               CASE WHEN m.mad > 0.0
+                        AND abs(e.value - m.med) / m.mad > {_MAD_K}
+                    THEN TRUE ELSE FALSE END AS is_outlier
+        FROM events e JOIN mad m USING (event_type)
+    """,
+    doc="Robust outlier detection by median absolute deviation: flag "
+    "events where |value - median| / MAD > 3 per event type — the "
+    "robust alternative to z-scores (events_anomaly_zscore), immune "
+    "to the outliers it hunts inflating the threshold. Two exact "
+    "grouped medians (the shared interpolation formula of "
+    "agg_percentile_exact; per-group lists are the honest cost of "
+    "exactness — approx_percentile at 100 TB) then a broadcast "
+    "stats join; zero-MAD groups flag nothing, explicitly, in both "
+    "engines.",
+)
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.array_sort(F.collect_list("value")).alias("__v")
+    ).select(
+        "event_type", F.expr(_median_from_sorted("__v", True)).alias("med")
+    )
+    mad = (
+        ev.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.abs(F.col("value") - F.col("med")))
+            ).alias("__d"),
+            F.min("med").alias("med"),
+        )
+        .select(
+            "event_type",
+            F.expr(_median_from_sorted("__d", True)).alias("mad"),
+            "med",
+        )
+    )
+    return ev.join(F.broadcast(mad), "event_type").select(
+        "event_id",
+        "event_type",
+        "value",
+        "med",
+        "mad",
+        (
+            (F.col("mad") > 0.0)
+            & (F.abs(F.col("value") - F.col("med")) / F.col("mad") > _MAD_K)
+        ).alias("is_outlier"),
+    )
+
+
+@register(
+    "curation_gini_balance",
+    oracle="""
+        WITH c AS (
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+            FROM documents GROUP BY source
+        ),
+        r AS (
+            SELECT n,
+                   CAST(row_number() OVER (ORDER BY n, source) AS BIGINT) AS i
+            FROM c
+        ),
+        t AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(n) AS BIGINT) AS tot
+            FROM r
+        )
+        SELECT k AS n_sources, tot AS n_docs,
+               CAST(SUM((2 * i - k - 1) * n) AS DOUBLE)
+                   / (CAST(k AS DOUBLE) * CAST(tot AS DOUBLE)) AS gini
+        FROM r CROSS JOIN t
+        GROUP BY k, tot
+    """,
+    doc="Gini coefficient of the per-source document distribution — "
+    "the one-number balance report for a training mixture (0 = "
+    "perfectly uniform sources, ->1 = one source dominates; the "
+    "dataset-card companion to curation_mixture_sample's rebalancing)."
+    " Exact integer arithmetic until the final division (the classic "
+    "sum((2i-k-1)*n) identity over counts ranked ascending), windows "
+    "only over the bounded source-count relation.",
+)
+def curation_gini_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    c = docs.groupBy("source").agg(F.count("*").cast("long").alias("n"))
+    w = Window.orderBy("n", "source")
+    r = c.withColumn("i", F.row_number().over(w).cast("long"))
+    t = r.agg(
+        F.count("*").cast("long").alias("k"),
+        F.sum("n").cast("long").alias("tot"),
+    )
+    return (
+        r.crossJoin(F.broadcast(t))
+        .groupBy("k", "tot")
+        .agg(
+            F.sum((2 * F.col("i") - F.col("k") - 1) * F.col("n"))
+            .cast("double")
+            .alias("__s")
+        )
+        .select(
+            F.col("k").alias("n_sources"),
+            F.col("tot").alias("n_docs"),
+            (
+                F.col("__s")
+                / (F.col("k").cast("double") * F.col("tot").cast("double"))
+            ).alias("gini"),
+        )
+    )
