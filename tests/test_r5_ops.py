@@ -555,3 +555,98 @@ def test_k_anonymity_suppression_complete(spark, sf_dir):
         else:
             assert (r.lang_released, r.source_released) == (r.lang, r.source)
             assert r.k_anonymous
+
+
+def test_payload_simhash_complete_vs_naive(spark, sf_dir):
+    """Block pairing over payload digests == naive all-pairs Hamming
+    <= 2 (pigeonhole completeness transfers to the binary path)."""
+    from sql_engine_spark.operators.dedup import _hamming_expr
+
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in _build(spark, sf_dir, "multimodal_payload_simhash").collect()
+    }
+    from sql_engine_spark.operators.dedup import simhash_bits_from_digests
+    from sql_engine_spark.operators.multimodal import with_binary_payload
+
+    docs = with_binary_payload(load(spark, sf_dir, "documents"), "text")
+    b64 = "regexp_replace(base64(payload), '[\\r\\n]', '')"
+    sigs = docs.select(
+        F.col("doc_id").alias("id"),
+        F.expr(
+            f"transform(sequence(1, CAST(ceil(length({b64}) / 16.0) AS INT)), "
+            f"i -> md5(substring({b64}, (16 * (i - 1)) + 1, 16)))"
+        ).alias("__digs"),
+    ).select("id", simhash_bits_from_digests("__digs", 64).alias("sig"))
+    a, b = sigs.alias("a"), sigs.alias("b")
+    naive = {
+        (r.id_a, r.id_b): r.hamming
+        for r in a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.expr(_hamming_expr("a.sig", "b.sig", 64)).cast("long").alias("hamming"),
+        )
+        .where(F.col("hamming") <= 2)
+        .collect()
+    }
+    assert got == naive
+
+
+def test_time_to_convert_known_delays(spark, tmp_path):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0)
+
+    def row(eid, mins, typ, uid=1):
+        return (eid, t0 + dt.timedelta(minutes=mins), uid, 1.0, typ, None)
+
+    rows = [
+        row(1, 0, "view"),
+        row(2, 10, "purchase"),   # delay 600 s
+        row(3, 30, "purchase"),   # delay 1800 s (same prior view)
+        row(4, 0, "purchase", 2), # no prior view: excluded
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, value double, "
+        "event_type string, props string",
+    )
+    ev.write.mode("overwrite").parquet(str(tmp_path) + "/events.parquet")
+    out = _build(spark, str(tmp_path), "events_time_to_convert").collect()[0]
+    assert out.n_converted == 2
+    assert out.p50_seconds == pytest.approx(1200.0)  # midpoint 600..1800
+    assert out.max_seconds == pytest.approx(1800.0)
+
+
+def test_gini_known_distributions(spark, tmp_path):
+    """Uniform sources -> 0; extreme concentration -> close to 1."""
+    uniform = [(i, f"s{i % 4}", "en", "x", 1) for i in range(400)]
+    skewed = [(i, "s0" if i < 397 else f"s{i - 396}", "en", "x", 1) for i in range(400)]
+    for name, rows, lo, hi in (
+        ("u", uniform, -1e-9, 1e-9),
+        ("s", skewed, 0.70, 1.0),
+    ):
+        df = spark.createDataFrame(
+            rows, "doc_id long, source string, lang string, text string, n_chars long"
+        )
+        path = str(tmp_path / name)
+        df.write.mode("overwrite").parquet(path + "/documents.parquet")
+        g = _build(spark, path, "curation_gini_balance").collect()[0]
+        assert lo <= g.gini <= hi, (name, g.gini)
+
+
+def test_mad_outliers_robust_to_extremes(spark, tmp_path):
+    """A single wild value must be flagged without dragging the
+    threshold (the failure mode of mean/std z-scores)."""
+    rows = [(i, f"2024-01-01 00:{i:02d}:00", 1, v, "view", None)
+            for i, v in enumerate([10.0] * 20 + [10.5] * 20 + [10000.0])]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, value double, "
+        "event_type string, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    ev.write.mode("overwrite").parquet(str(tmp_path) + "/events.parquet")
+    out = {r.event_id: r.is_outlier for r in _build(spark, str(tmp_path), "events_anomaly_mad").collect()}
+    assert out[40] is True
+    assert sum(out.values()) == 1
