@@ -171,6 +171,7 @@ EXTENSION_R5 = [
     "text_bpe_encode",
     "events_anomaly_mad",
     "curation_gini_balance",
+    "events_dau_wau_stickiness",
 ]
 
 

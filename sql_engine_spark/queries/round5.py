@@ -2341,3 +2341,68 @@ def curation_gini_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("gini"),
         )
     )
+
+
+@register(
+    "events_dau_wau_stickiness",
+    oracle="""
+        WITH du AS (
+            SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day,
+                            user_id
+            FROM events
+        ),
+        days AS (SELECT DISTINCT day FROM du),
+        dau AS (
+            SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM du GROUP BY day
+        ),
+        contrib AS (
+            SELECT d.day AS target_day, u.user_id
+            FROM du u JOIN days d
+              ON u.day <= d.day AND u.day >= d.day - INTERVAL 6 DAY
+        ),
+        wau AS (
+            SELECT target_day AS day,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+            FROM contrib GROUP BY target_day
+        )
+        SELECT day, dau, wau,
+               CAST(dau AS DOUBLE) / CAST(wau AS DOUBLE) AS stickiness
+        FROM dau JOIN wau USING (day)
+    """,
+    doc="DAU / trailing-7-day WAU / stickiness per day — the product-"
+    "analytics staple, spelled EXACTLY (no sketch): daily (day, user) "
+    "distinct pairs, each contributing to its 7 covering target days "
+    "via a bounded interval join (a 7-day band keyed on the day "
+    "column, day-cardinality relation — never a row-level window, "
+    "and COUNT(DISTINCT) inside a window is invalid SQL anyway). "
+    "Corpus-sized work is ONE distinct over (day, user); everything "
+    "after is day x users-per-day scale. Stickiness = DAU/WAU, the "
+    "engagement ratio.",
+)
+def events_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sql_engine_spark.operators.dedup import _persist
+
+    ev = load(spark, sf_dir, "events")
+    du = _persist(
+        ev.select(
+            F.date_trunc("day", "ts").cast("date").alias("day"), "user_id"
+        ).distinct()
+    )
+    days = du.select("day").distinct()
+    dau = du.groupBy("day").agg(F.count("*").cast("long").alias("dau"))
+    contrib = du.alias("u").join(
+        days.alias("d"),
+        (F.col("u.day") <= F.col("d.day"))
+        & (F.col("u.day") >= F.date_sub(F.col("d.day"), 6)),
+    ).select(F.col("d.day").alias("day"), "user_id")
+    wau = contrib.groupBy("day").agg(
+        F.countDistinct("user_id").cast("long").alias("wau")
+    )
+    return dau.join(wau, "day").select(
+        "day",
+        "dau",
+        "wau",
+        (F.col("dau").cast("double") / F.col("wau").cast("double")).alias(
+            "stickiness"
+        ),
+    )
