@@ -172,6 +172,7 @@ EXTENSION_R5 = [
     "events_anomaly_mad",
     "curation_gini_balance",
     "events_dau_wau_stickiness",
+    "text_source_drift_tv",
 ]
 
 

@@ -2406,3 +2406,98 @@ def events_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             "stickiness"
         ),
     )
+
+
+@register(
+    "text_source_drift_tv",
+    oracle=f"""
+        WITH toks AS (
+            SELECT source, w
+            FROM (SELECT source, unnest({sql_tokens('text')}) AS w
+                  FROM documents)
+            WHERE w <> ''
+        ),
+        per_source AS (
+            SELECT source, w, CAST(COUNT(*) AS BIGINT) AS nsw
+            FROM toks GROUP BY source, w
+        ),
+        source_totals AS (
+            SELECT source, CAST(SUM(nsw) AS BIGINT) AS ns
+            FROM per_source GROUP BY source
+        ),
+        corpus AS (
+            SELECT w, CAST(SUM(nsw) AS BIGINT) AS nw FROM per_source GROUP BY w
+        ),
+        corpus_total AS (SELECT CAST(SUM(nw) AS BIGINT) AS n FROM corpus),
+        sums AS (
+            SELECT s.source, t.ns, ct.n,
+                   SUM(abs(CAST(s.nsw AS DECIMAL(19,0)) * CAST(ct.n AS DECIMAL(19,0))
+                           - CAST(c.nw AS DECIMAL(19,0)) * CAST(t.ns AS DECIMAL(19,0))))
+                       AS a,
+                   CAST(SUM(c.nw) AS BIGINT) AS b
+            FROM per_source s
+            JOIN source_totals t USING (source)
+            JOIN corpus c USING (w)
+            CROSS JOIN corpus_total ct
+            GROUP BY s.source, t.ns, ct.n
+        )
+        SELECT source, ns AS n_tokens,
+               CAST(a AS DOUBLE)
+                   / (2.0 * CAST(ns AS DOUBLE) * CAST(n AS DOUBLE))
+               + (1.0 - CAST(b AS DOUBLE) / CAST(n AS DOUBLE)) / 2.0
+                   AS tv_distance
+        FROM sums
+    """,
+    doc="Per-source distribution drift as TOTAL-VARIATION distance "
+    "from the corpus unigram distribution: TV = 0.5 * sum |p_s(w) - "
+    "p(w)| — the log-free drift/contamination monitor (KL/JS need "
+    "libm log, which is not cross-engine bit-stable; TV is a proper "
+    "metric with only abs/ratios). Words absent from a source "
+    "contribute p(w)/2, folded in CLOSED FORM: over present words sum "
+    "|p_s-p|/2 and add (1 - sum_present p)/2 — no per-source "
+    "materialization of the full vocabulary. The sums are EXACT "
+    "integers (TV numerators scaled by ns*n as decimal products — "
+    "order-free, overflow-safe), converted to double once at the end: "
+    "per-term decimal->double conversions round differently across "
+    "engines in the last ulp, which a first draft of this operator "
+    "hit on one source.",
+)
+def text_source_drift_tv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sql_engine_spark.operators.dedup import _persist
+
+    docs = load(spark, sf_dir, "documents").withColumn("__t", tokens("text"))
+    toks = docs.select("source", F.explode("__t").alias("w")).where(
+        F.col("w") != ""
+    )
+    per_source = _persist(
+        toks.groupBy("source", "w").agg(F.count("*").cast("long").alias("nsw"))
+    )
+    source_totals = per_source.groupBy("source").agg(
+        F.sum("nsw").cast("long").alias("ns")
+    )
+    corpus = per_source.groupBy("w").agg(F.sum("nsw").cast("long").alias("nw"))
+    corpus_total = corpus.agg(F.sum("nw").cast("long").alias("n"))
+    D19 = "decimal(19,0)"
+    term = F.abs(
+        F.col("nsw").cast(D19) * F.col("n").cast(D19)
+        - F.col("nw").cast(D19) * F.col("ns").cast(D19)
+    )
+    sums = (
+        per_source.join(source_totals, "source")
+        .join(corpus, "w")
+        .crossJoin(F.broadcast(corpus_total))
+        .groupBy("source", "ns", "n")
+        .agg(
+            F.sum(term).alias("a"),
+            F.sum("nw").cast("long").alias("b"),
+        )
+    )
+    return sums.select(
+        "source",
+        F.col("ns").alias("n_tokens"),
+        (
+            F.col("a").cast("double")
+            / (2.0 * F.col("ns").cast("double") * F.col("n").cast("double"))
+            + (1.0 - F.col("b").cast("double") / F.col("n").cast("double")) / 2.0
+        ).alias("tv_distance"),
+    )

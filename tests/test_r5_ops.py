@@ -650,3 +650,29 @@ def test_mad_outliers_robust_to_extremes(spark, tmp_path):
     out = {r.event_id: r.is_outlier for r in _build(spark, str(tmp_path), "events_anomaly_mad").collect()}
     assert out[40] is True
     assert sum(out.values()) == 1
+
+
+def test_tv_distance_bounds_and_identity(spark, tmp_path):
+    """TV in [0, 1]; a source identical to the corpus distribution has
+    TV 0; a disjoint-vocabulary source approaches 1."""
+    rows = (
+        [(i, "same", "en", "alpha beta gamma", 1) for i in range(50)]
+        + [(100 + i, "disjoint", "en", "zeta eta theta", 1) for i in range(50)]
+    )
+    df = spark.createDataFrame(
+        rows, "doc_id long, source string, lang string, text string, n_chars long"
+    )
+    path = str(tmp_path)
+    df.write.mode("overwrite").parquet(path + "/documents.parquet")
+    out = {r.source: r.tv_distance for r in _build(spark, path, "text_source_drift_tv").collect()}
+    # two equal-mass disjoint sources: each is TV 0.5 from the mixture
+    assert out["same"] == pytest.approx(0.5)
+    assert out["disjoint"] == pytest.approx(0.5)
+    rows2 = [(i, f"s{i % 2}", "en", "alpha beta", 1) for i in range(40)]
+    df2 = spark.createDataFrame(
+        rows2, "doc_id long, source string, lang string, text string, n_chars long"
+    )
+    path2 = str(tmp_path / "u")
+    df2.write.mode("overwrite").parquet(path2 + "/documents.parquet")
+    out2 = {r.source: r.tv_distance for r in _build(spark, path2, "text_source_drift_tv").collect()}
+    assert all(abs(v) < 1e-12 for v in out2.values())
