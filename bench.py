@@ -173,6 +173,8 @@ EXTENSION_R5 = [
     "curation_gini_balance",
     "events_dau_wau_stickiness",
     "text_source_drift_tv",
+    "text_vocab_coverage_curve",
+    "curation_dedup_rate_report",
 ]
 
 

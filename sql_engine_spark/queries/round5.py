@@ -2501,3 +2501,141 @@ def text_source_drift_tv(spark: SparkSession, sf_dir: str) -> DataFrame:
             + (1.0 - F.col("b").cast("double") / F.col("n").cast("double")) / 2.0
         ).alias("tv_distance"),
     )
+
+
+@register(
+    "text_vocab_coverage_curve",
+    oracle=f"""
+        WITH sh AS (
+            SELECT doc_id, unnest(list_distinct(
+                       {sql_shingles(sql_tokens('text'), _NOVEL_K)})) AS g
+            FROM documents
+        ),
+        first_doc AS (SELECT g, MIN(doc_id) AS first_id FROM sh GROUP BY g),
+        per_doc AS (
+            SELECT sh.doc_id,
+                   CAST(SUM(CASE WHEN f.first_id = sh.doc_id THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_novel
+            FROM sh JOIN first_doc f USING (g)
+            GROUP BY sh.doc_id
+        ),
+        tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS vocab FROM first_doc)
+        SELECT doc_id, n_novel,
+               CAST(SUM(n_novel) OVER (ORDER BY doc_id) AS BIGINT)
+                   AS cum_novel,
+               CAST(SUM(n_novel) OVER (ORDER BY doc_id) AS DOUBLE)
+                   / CAST(vocab AS DOUBLE) AS vocab_frac
+        FROM per_doc CROSS JOIN tot
+    """,
+    doc="Vocabulary-coverage curve: cumulative distinct 5-grams as the "
+    "corpus is consumed in doc_id order — the saturation curve that "
+    "tells a data buyer when additional documents stop contributing "
+    "new content (the marginal-value sibling of text_ngram_novelty, "
+    "whose per-doc counts feed it). The cumulative sum is the "
+    "bucketed two-level prefix scan over a doc_id range bucket "
+    "(operators/prefix) with corpus-scaled bucket count — never a "
+    "bare ORDER BY window; the oracle is the single-window spelling, "
+    "identical by the associativity argument.",
+)
+def text_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sql_engine_spark.operators.dedup import _persist
+    from sql_engine_spark.operators.prefix import (
+        bucketed_running_sum,
+        derived_rank_buckets,
+        range_bucket,
+    )
+    from sql_engine_spark.operators.textprep import shingles
+
+    docs = load(spark, sf_dir, "documents").withColumn("__t", tokens("text"))
+    sh = _persist(
+        docs.select(
+            "doc_id",
+            F.explode(F.array_distinct(shingles("__t", _NOVEL_K))).alias("g"),
+        )
+    )
+    first_doc = sh.groupBy("g").agg(F.min("doc_id").alias("first_id"))
+    per_doc = _persist(
+        sh.join(first_doc, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.sum((F.col("first_id") == F.col("doc_id")).cast("long"))
+            .cast("long")
+            .alias("n_novel")
+        )
+    )
+    vocab = first_doc.agg(F.count("*").cast("long").alias("vocab"))
+    bounds = per_doc.agg(
+        F.min("doc_id").alias("__lo"), F.max("doc_id").alias("__hi")
+    )
+    nb = derived_rank_buckets(per_doc.count())
+    cum = bucketed_running_sum(
+        per_doc.crossJoin(F.broadcast(bounds)),
+        part_cols=[],
+        order_col="doc_id",
+        value_col="n_novel",
+        bucket=range_bucket(F.col("doc_id"), F.col("__lo"), F.col("__hi"), nb),
+        out_col="cum_novel",
+    )
+    return cum.crossJoin(F.broadcast(vocab)).select(
+        "doc_id",
+        "n_novel",
+        F.col("cum_novel").cast("long").alias("cum_novel"),
+        (F.col("cum_novel").cast("double") / F.col("vocab").cast("double")).alias(
+            "vocab_frac"
+        ),
+    )
+
+
+from sql_engine_spark.queries.dedup import _sql_minhash_lsh  # noqa: E402
+
+
+@register(
+    "curation_dedup_rate_report",
+    oracle=f"""
+        WITH pairs AS ({_sql_minhash_lsh(3, 8, 4, 0.2)}),
+        dup_docs AS (
+            SELECT DISTINCT id FROM (
+                SELECT id_a AS id FROM pairs
+                UNION ALL SELECT id_b FROM pairs
+            )
+        )
+        SELECT d.source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(COUNT(dd.id) AS BIGINT) AS n_in_dup_pair,
+               CAST(COUNT(dd.id) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                   AS dup_rate
+        FROM documents d LEFT JOIN dup_docs dd ON dd.id = d.doc_id
+        GROUP BY d.source
+    """,
+    doc="Per-source near-duplicate rate report: the fraction of each "
+    "source's documents that participate in at least one MinHash-LSH "
+    "duplicate pair (same 3-shingle/8-hash/4-band parameters as "
+    "dedup_minhash_lsh) — the dataset-card number that tells a "
+    "curator WHICH feed is polluting the corpus, not just that "
+    "duplicates exist. Shape: the LSH pair pipeline + one distinct + "
+    "one broadcast-joined per-source count; nothing quadratic.",
+)
+def curation_dedup_rate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sql_engine_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, "doc_id", "text", shingle_k=3, num_hashes=8, bands=4, threshold=0.2
+    )
+    dup_docs = (
+        pairs.select(F.col("id_a").alias("id"))
+        .unionAll(pairs.select(F.col("id_b").alias("id")))
+        .distinct()
+        .withColumn("__dup", F.lit(1).cast("long"))
+    )
+    return (
+        docs.join(dup_docs, docs["doc_id"] == dup_docs["id"], "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.count("id").cast("long").alias("n_in_dup_pair"),
+            (
+                F.count("id").cast("double") / F.count("*").cast("double")
+            ).alias("dup_rate"),
+        )
+    )
