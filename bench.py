@@ -175,6 +175,7 @@ EXTENSION_R5 = [
     "text_source_drift_tv",
     "text_vocab_coverage_curve",
     "curation_dedup_rate_report",
+    "privacy_pii_density_report",
 ]
 
 

@@ -2639,3 +2639,57 @@ def curation_dedup_rate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_rate"),
         )
     )
+
+
+from sql_engine_spark.operators import text as _T  # noqa: E402
+from sql_engine_spark.queries.text import _PII_SYNTH_SQL, _pii_synth_col  # noqa: E402
+
+_PII_EXPRS = _T.sql_pii_redact_exprs("synth")
+
+
+@register(
+    "privacy_pii_density_report",
+    oracle=f"""
+        WITH s AS (
+            SELECT doc_id, source,
+                   CAST(len({sql_tokens('text')}) AS BIGINT) AS n_toks,
+                   {_PII_SYNTH_SQL} AS synth
+            FROM documents
+        )
+        SELECT source,
+               CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+               CAST(SUM({_PII_EXPRS['n_emails']}) AS BIGINT) AS n_emails,
+               CAST(SUM({_PII_EXPRS['n_ips']}) AS BIGINT) AS n_ips,
+               CAST(SUM({_PII_EXPRS['n_emails']} + {_PII_EXPRS['n_ips']})
+                    AS DOUBLE) * 1000.0 / CAST(SUM(n_toks) AS DOUBLE)
+                   AS pii_per_1k_tokens
+        FROM s GROUP BY source
+    """,
+    doc="PII density report per source: email + IPv4 hits per 1,000 "
+    "tokens (same synthesized PII column and Java/RE2-identical "
+    "regexes as text_pii_redact) — the governance dashboard that "
+    "ranks feeds by redaction burden BEFORE the redaction pass runs. "
+    "One map pass (regex counts + token counts), one bounded "
+    "per-source aggregate; integer sums until the final ratio.",
+)
+def privacy_pii_density_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(tokens("text")).cast("long").alias("n_toks"),
+        _pii_synth_col().alias("__synth"),
+    )
+    counted = _T.pii_redact(docs, "__synth", "doc_id").select(
+        "doc_id", "n_emails", "n_ips"
+    )
+    j = docs.select("doc_id", "source", "n_toks").join(counted, "doc_id")
+    return j.groupBy("source").agg(
+        F.sum("n_toks").cast("long").alias("n_tokens"),
+        F.sum("n_emails").cast("long").alias("n_emails"),
+        F.sum("n_ips").cast("long").alias("n_ips"),
+        (
+            F.sum(F.col("n_emails") + F.col("n_ips")).cast("double")
+            * 1000.0
+            / F.sum("n_toks").cast("double")
+        ).alias("pii_per_1k_tokens"),
+    )
