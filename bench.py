@@ -176,6 +176,7 @@ EXTENSION_R5 = [
     "text_vocab_coverage_curve",
     "curation_dedup_rate_report",
     "privacy_pii_density_report",
+    "streaming_source_drift",
 ]
 
 

@@ -2693,3 +2693,113 @@ def privacy_pii_density_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("n_toks").cast("double")
         ).alias("pii_per_1k_tokens"),
     )
+
+
+@register(
+    "streaming_source_drift",
+    oracle=f"""
+        WITH toks AS (
+            SELECT source, w
+            FROM (SELECT source, unnest({sql_tokens('text')}) AS w
+                  FROM documents)
+            WHERE w <> ''
+        ),
+        per_source AS (
+            SELECT source, w, CAST(COUNT(*) AS BIGINT) AS nsw
+            FROM toks GROUP BY source, w
+        ),
+        source_totals AS (
+            SELECT source, CAST(SUM(nsw) AS BIGINT) AS ns
+            FROM per_source GROUP BY source
+        ),
+        corpus AS (
+            SELECT w, CAST(SUM(nsw) AS BIGINT) AS nw FROM per_source GROUP BY w
+        ),
+        corpus_total AS (SELECT CAST(SUM(nw) AS BIGINT) AS n FROM corpus),
+        sums AS (
+            SELECT s.source, t.ns, ct.n,
+                   SUM(abs(CAST(s.nsw AS DECIMAL(19,0)) * CAST(ct.n AS DECIMAL(19,0))
+                           - CAST(c.nw AS DECIMAL(19,0)) * CAST(t.ns AS DECIMAL(19,0))))
+                       AS a,
+                   CAST(SUM(c.nw) AS BIGINT) AS b
+            FROM per_source s
+            JOIN source_totals t USING (source)
+            JOIN corpus c USING (w)
+            CROSS JOIN corpus_total ct
+            GROUP BY s.source, t.ns, ct.n
+        )
+        SELECT source, ns AS n_tokens,
+               CAST(a AS DOUBLE)
+                   / (2.0 * CAST(ns AS DOUBLE) * CAST(n AS DOUBLE))
+               + (1.0 - CAST(b AS DOUBLE) / CAST(n AS DOUBLE)) / 2.0
+                   AS tv_distance
+        FROM sums
+    """,
+    doc="Streaming drift monitor: the per-(source, word) count relation "
+    "is maintained across document micro-batches through the "
+    "idempotent matview (counts merge by addition — the same "
+    "mergeable-sketch argument as streaming_histogram), and the "
+    "total-variation computation of text_source_drift_tv runs over "
+    "the drained view — converging EXACTLY to the batch TV since the "
+    "exact-integer sums are a pure function of the final counts. "
+    "View state is vocabulary-sized; per-trigger cost O(batch) + "
+    "O(view).",
+)
+def streaming_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from sql_engine_spark.queries.streaming import _state_partitions
+    from sql_engine_spark.streaming.matview import IdempotentMatView
+    from sql_engine_spark.streaming.source import table_stream
+
+    view = IdempotentMatView(
+        tempfile.mkdtemp(prefix="drift_view_"),
+        partial_of=lambda b: (
+            b.select("source", F.explode(tokens("text")).alias("w"))
+            .where(F.col("w") != "")
+            .groupBy("source", "w")
+            .agg(F.count("*").cast("long").alias("nsw"))
+        ),
+        combine=lambda cur, partial: (
+            cur.unionByName(partial)
+            .groupBy("source", "w")
+            .agg(F.sum("nsw").cast("long").alias("nsw"))
+        ),
+    )
+    with _state_partitions(spark):
+        stream = table_stream(spark, sf_dir, "documents", ["doc_id"], 4)
+        q = (
+            stream.select("source", "text")
+            .writeStream.outputMode("append")
+            .foreachBatch(view.merge)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    per_source = view.read(spark)
+    source_totals = per_source.groupBy("source").agg(
+        F.sum("nsw").cast("long").alias("ns")
+    )
+    corpus = per_source.groupBy("w").agg(F.sum("nsw").cast("long").alias("nw"))
+    corpus_total = corpus.agg(F.sum("nw").cast("long").alias("n"))
+    D19 = "decimal(19,0)"
+    term = F.abs(
+        F.col("nsw").cast(D19) * F.col("n").cast(D19)
+        - F.col("nw").cast(D19) * F.col("ns").cast(D19)
+    )
+    sums = (
+        per_source.join(source_totals, "source")
+        .join(corpus, "w")
+        .crossJoin(F.broadcast(corpus_total))
+        .groupBy("source", "ns", "n")
+        .agg(F.sum(term).alias("a"), F.sum("nw").cast("long").alias("b"))
+    )
+    return sums.select(
+        "source",
+        F.col("ns").alias("n_tokens"),
+        (
+            F.col("a").cast("double")
+            / (2.0 * F.col("ns").cast("double") * F.col("n").cast("double"))
+            + (1.0 - F.col("b").cast("double") / F.col("n").cast("double")) / 2.0
+        ).alias("tv_distance"),
+    )
