@@ -61,14 +61,19 @@ def int8_quantize(
         F.expr("transform(array_sort(collect_list(struct(dim, scale))), s -> s.scale)")
         .alias("__scales")
     )
+    # Spark's sequence(1, 0) yields a DESCENDING [1, 0] — not empty —
+    # so an empty embedding would index element_at(v, 0) and crash.
+    # filter() to i <= size(v) makes the empty-vector index list [],
+    # matching the oracle's empty range(1, 1).
+    idx = "filter(sequence(1, greatest(size({v}), 1)), i -> i <= size({v}))"
     q = (
-        "transform(sequence(1, size({v})), i -> "
+        "transform(" + idx + ", i -> "
         "CASE WHEN element_at(__scales, i) = CAST(0.0 AS DOUBLE) THEN 0L "
         "ELSE CAST(round(CAST(element_at({v}, i) AS DOUBLE) "
         "/ element_at(__scales, i)) AS BIGINT) END)"
     ).format(v=vec_col)
     recon_sq = (
-        "aggregate(sequence(1, size({v})), CAST(0.0 AS DOUBLE), (a, i) -> "
+        "aggregate(" + idx + ", CAST(0.0 AS DOUBLE), (a, i) -> "
         "a + (CAST(element_at({v}, i) AS DOUBLE) "
         "- CAST(element_at(__q, i) AS DOUBLE) * element_at(__scales, i)) "
         "* (CAST(element_at({v}, i) AS DOUBLE) "
@@ -85,7 +90,11 @@ def int8_quantize(
             ).alias("q_l1"),
             F.array_min("__q").cast("long").alias("q_min"),
             F.array_max("__q").cast("long").alias("q_max"),
-            (F.expr(recon_sq) / F.size(vec_col).cast("double")).alias("recon_mse"),
+            # NULL mse for empty vectors (ANSI division by zero raises).
+            F.when(
+                F.size(vec_col) > 0,
+                F.expr(recon_sq) / F.size(vec_col).cast("double"),
+            ).alias("recon_mse"),
         )
     )
 
@@ -127,10 +136,12 @@ def sql_int8_quantize(
                    list_transform(qv, x -> abs(x))), (a, x) -> a + x) AS q_l1,
                CAST(list_min(qv) AS BIGINT) AS q_min,
                CAST(list_max(qv) AS BIGINT) AS q_max,
-               list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-                   list_transform(range(1, len(v) + 1), i ->
-                       (CAST(v[i] AS DOUBLE) - CAST(qv[i] AS DOUBLE) * scales[i])
-                       * (CAST(v[i] AS DOUBLE) - CAST(qv[i] AS DOUBLE) * scales[i]))),
-                   (a, x) -> a + x) / CAST(len(v) AS DOUBLE) AS recon_mse
+               CASE WHEN len(v) = 0 THEN NULL ELSE
+                   list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                       list_transform(range(1, len(v) + 1), i ->
+                           (CAST(v[i] AS DOUBLE) - CAST(qv[i] AS DOUBLE) * scales[i])
+                           * (CAST(v[i] AS DOUBLE) - CAST(qv[i] AS DOUBLE) * scales[i]))),
+                       (a, x) -> a + x) / CAST(len(v) AS DOUBLE)
+               END AS recon_mse
         FROM q
     """

@@ -456,6 +456,11 @@ def text_trigram_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sql_engine_spark.operators.dedup import _persist
 
     docs = load(spark, sf_dir, "documents").withColumn("__t", tokens("text"))
+    # Docs under 3 tokens yield no trigrams (the oracle's range(1, n-1)
+    # is empty for them) — and Spark's sequence(1, n) DESCENDS when
+    # n < 1, so an unguarded transform would index out of range on a
+    # 2-token doc. Pre-filter, matching the oracle's empty result.
+    docs = docs.where(F.size("__t") >= 3)
     tg = docs.select(
         "doc_id",
         F.explode(
@@ -646,34 +651,110 @@ _PCTS = (0.25, 0.5, 0.75)
         FROM g
     """,
     doc="Exact interpolated percentiles (p25/p50/p75) per event type, "
-    "spelled with ONE shared formula in both engines — sorted value "
-    "list, h = (n-1)p, linear interpolation v[lo] + frac*(v[hi]-v[lo]) "
-    "— instead of trusting each engine's quantile_cont/percentile "
-    "implementation to round identically (their interpolation "
-    "spellings differ by an ulp). Exact percentiles inherently "
-    "materialize each group's values (the per-group list); that is "
-    "the honest cost of exactness and the reason the 100 TB posture "
-    "is approx_percentile sketches (approx_quantile_check) — this "
-    "operator is the small-group/dashboard-grade exact companion.",
+    "spelled with ONE shared formula in both engines — h = (n-1)p, "
+    "linear interpolation v[lo] + frac*(v[hi]-v[lo]) over the sorted "
+    "multiset — instead of trusting each engine's quantile_cont to "
+    "round identically (their interpolation spellings differ by an "
+    "ulp). The oracle materializes each group's sorted list (DuckDB-"
+    "side, fine at oracle scale); the SPARK plan must not — "
+    "event_type cardinality is tiny, so a per-group collect_list "
+    "funnels billions of doubles through single aggregation buffers "
+    "at 100x. Exact percentiles only need the VALUES AT TWO RANKS "
+    "per (group, p): rank every row with the bucketed two-level rank "
+    "(operators/prefix.bucketed_running_sum of 1 over a range bucket "
+    "of value — widest window is (event_type, bucket)-partitioned), "
+    "derive the target ranks floor((n-1)p)+1 / +2 from the per-group "
+    "counts (a broadcast-sized relation), and pick the ranked rows "
+    "that hit them with a broadcast join. No per-group list anywhere; "
+    "identical result by construction.",
 )
 def agg_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load(spark, sf_dir, "events")
-    g = ev.groupBy("event_type").agg(
-        F.array_sort(F.collect_list("value")).alias("__vals")
+    from sql_engine_spark.operators.dedup import _persist
+    from sql_engine_spark.operators.prefix import (
+        bucketed_running_sum,
+        derived_rank_buckets,
+        range_bucket,
     )
-    cols = [F.col("event_type"), F.size("__vals").cast("long").alias("n")]
-    for p in _PCTS:
-        h = f"CAST((size(__vals) - 1) AS DOUBLE) * {p}D"
-        lo = f"CAST(FLOOR({h}) AS INT) + 1"
-        hi = f"least({lo} + 1, size(__vals))"
-        frac = f"({h} - FLOOR({h}))"
-        cols.append(
-            F.expr(
-                f"element_at(__vals, {lo}) + {frac} * "
-                f"(element_at(__vals, {hi}) - element_at(__vals, {lo}))"
-            ).alias(f"p{int(p * 100)}")
+
+    ev = _persist(
+        load(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    )
+    bounds = ev.agg(F.min("value").alias("__lo"), F.max("value").alias("__hi"))
+    nb = derived_rank_buckets(ev.count())
+    base = (
+        ev.crossJoin(F.broadcast(bounds))
+        .withColumn("__one", F.lit(1).cast("long"))
+        # Total order (value, event_id): ties on value must get SOME
+        # fixed order for ranking; the value at a given rank in the
+        # sorted multiset is independent of how ties are broken.
+        .withColumn("__ord", F.struct(F.col("value"), F.col("event_id")))
+    )
+    ranked = bucketed_running_sum(
+        base,
+        part_cols=["event_type"],
+        order_col="__ord",
+        value_col="__one",
+        bucket=range_bucket(F.col("value"), F.col("__lo"), F.col("__hi"), nb),
+        out_col="__rank",
+    )
+    # Target ranks per (event_type, p): h = (n-1)p, lo = floor(h)+1,
+    # hi = min(lo+1, n) — one row per group per percentile, built from
+    # the per-group counts (group-cardinality relation, broadcast).
+    counts = ev.groupBy(F.col("event_type").alias("__g")).agg(
+        F.count("*").cast("long").alias("n")
+    )
+    h_structs = F.array(
+        *[
+            F.struct(
+                F.lit(int(p * 100)).alias("pct"),
+                ((F.col("n") - 1).cast("double") * F.lit(p)).alias("h"),
+            )
+            for p in _PCTS
+        ]
+    )
+    targets = (
+        counts.select("__g", "n", F.explode(h_structs).alias("t"))
+        .select(
+            "__g",
+            "n",
+            F.col("t.pct").alias("pct"),
+            (F.floor("t.h").cast("long") + 1).alias("lo_rank"),
+            F.least(F.floor("t.h").cast("long") + 2, F.col("n")).alias("hi_rank"),
+            (F.col("t.h") - F.floor("t.h")).alias("frac"),
         )
-    return g.select(*cols)
+    )
+    hits = ranked.join(
+        F.broadcast(targets),
+        (F.col("event_type") == F.col("__g"))
+        & (
+            (F.col("__rank") == F.col("lo_rank"))
+            | (F.col("__rank") == F.col("hi_rank"))
+        ),
+    )
+    per_p = hits.groupBy("__g", "n", "pct", "lo_rank", "hi_rank", "frac").agg(
+        F.max(F.when(F.col("__rank") == F.col("lo_rank"), F.col("value"))).alias(
+            "v_lo"
+        ),
+        F.max(F.when(F.col("__rank") == F.col("hi_rank"), F.col("value"))).alias(
+            "v_hi"
+        ),
+    )
+    pv = per_p.select(
+        "__g",
+        "n",
+        "pct",
+        (F.col("v_lo") + F.col("frac") * (F.col("v_hi") - F.col("v_lo"))).alias(
+            "pv"
+        ),
+    )
+    return pv.groupBy(F.col("__g").alias("event_type"), "n").agg(
+        *[
+            F.max(F.when(F.col("pct") == int(p * 100), F.col("pv"))).alias(
+                f"p{int(p * 100)}"
+            )
+            for p in _PCTS
+        ]
+    )
 
 
 @register(
@@ -2016,9 +2097,22 @@ def _bpe_oracle() -> str:
     """
 
 
-def _bpe_train(spark: SparkSession, sf_dir: str) -> list[tuple]:
-    """Run the 5 BPE rounds; returns [(round, l, r, merged, cnt)].
-    Shared by the trainer query and the encoder."""
+def _bpe_train(
+    spark: SparkSession, sf_dir: str, rounds: int = _BPE_ROUNDS
+) -> list[tuple]:
+    """Run `rounds` BPE merge rounds; returns [(round, l, r, merged, cnt)].
+    Shared by the trainer query and the encoder.
+
+    Scale posture: the corpus-sized work is exactly ONE tokenize + word
+    count; every merge round runs over the word-frequency VOCABULARY
+    (bounded, ~100k rows for web-scale corpora) with a 1-row argmax
+    collect. At a real operating point (10k+ merges) the per-round
+    Spark-job overhead dominates — by then the vocabulary relation is
+    model-sized, so the right move is to collect it ONCE and run the
+    merge loop driver-side (as reference BPE trainers do), or batch k
+    non-overlapping merges per Spark round. The distributed loop here
+    is the corpus-to-vocab bridge, not the inner trainer.
+    """
     from sql_engine_spark.operators.dedup import _persist
 
     docs = load(spark, sf_dir, "documents").withColumn("__t", tokens("text"))
@@ -2038,7 +2132,7 @@ def _bpe_train(spark: SparkSession, sf_dir: str) -> list[tuple]:
         )
     )
     merges = []
-    for r in range(1, _BPE_ROUNDS + 1):
+    for r in range(1, rounds + 1):
         pairs = (
             # single-symbol words contribute no pairs; the filter also
             # dodges Spark's sequence(1, 0) yielding a DESCENDING [1,0]
@@ -2062,8 +2156,13 @@ def _bpe_train(spark: SparkSession, sf_dir: str) -> list[tuple]:
         old_vocab = vocab
         vocab = _persist(
             vocab.select(
-                F.expr(
-                    f"replace(sym_str, ' {pick.l} {pick.rr} ', ' {pick.l}{pick.rr} ')"
+                # Column-safe literals (never f-string SQL): a learned
+                # symbol can contain quotes/backslashes ("don't"), which
+                # would break an interpolated expression string.
+                F.replace(
+                    F.col("sym_str"),
+                    F.lit(f" {pick.l} {pick.rr} "),
+                    F.lit(f" {pick.l}{pick.rr} "),
                 ).alias("sym_str"),
                 "wcount",
             )
@@ -2185,8 +2284,12 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("sym_str"),
     )
     for _, l, rr, merged, _cnt in merges:
+        # Column-safe literals — see _bpe_train's merge apply.
         enc = enc.withColumn(
-            "sym_str", F.expr(f"replace(sym_str, ' {l} {rr} ', ' {merged} ')")
+            "sym_str",
+            F.replace(
+                F.col("sym_str"), F.lit(f" {l} {rr} "), F.lit(f" {merged} ")
+            ),
         )
     return enc.groupBy("doc_id").agg(
         F.expr(
@@ -2388,13 +2491,20 @@ def events_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_trunc("day", "ts").cast("date").alias("day"), "user_id"
         ).distinct()
     )
-    days = du.select("day").distinct()
     dau = du.groupBy("day").agg(F.count("*").cast("long").alias("dau"))
-    contrib = du.alias("u").join(
-        days.alias("d"),
-        (F.col("u.day") <= F.col("d.day"))
-        & (F.col("u.day") >= F.date_sub(F.col("d.day"), 6)),
-    ).select(F.col("d.day").alias("day"), "user_id")
+    # Each (day, user) contributes to exactly the 7 target days
+    # [day, day+6]: GENERATE them (explode of a 7-element sequence — a
+    # pure map stage, constant 7 rows out per row in) instead of a
+    # range-predicate join against the distinct-days relation, which
+    # Catalyst plans as a broadcast nested loop whose per-row probe
+    # count grows with history length. Target days with no activity
+    # of their own drop at the final inner join with dau.
+    contrib = du.select(
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+        ).alias("day"),
+        "user_id",
+    )
     wau = contrib.groupBy("day").agg(
         F.countDistinct("user_id").cast("long").alias("wau")
     )

@@ -465,13 +465,19 @@ def tpch_q20_like(spark: SparkSession, sf_dir: str) -> DataFrame:
     "supplier — EXISTS plus NOT EXISTS over self-joined lineitem "
     "(shipped >60 days after order stands in for receipt-after-commit; "
     "no l_receiptdate/l_commitdate in the synthetic schema). The Spark "
-    "plan replaces both correlated quantifiers with one per-order "
-    "aggregate — count of distinct suppliers and of distinct late "
-    "suppliers — joined back to the late lines: the same single-shuffle "
-    "shape Catalyst's decorrelation produces, but with one aggregate "
-    "pass instead of two semi joins.",
+    "plan replaces both correlated quantifiers with ONE pass: reduce "
+    "lineitem to a (order, supplier, late-line count) aggregate, then "
+    "read the per-order supplier/late-supplier counts off an order-"
+    "keyed window over that aggregated relation (groups are bounded "
+    "by suppliers-per-order). lineitem is scanned ONCE and shuffles "
+    "ONCE — the earlier spelling joined the late lines back to a "
+    "separately-aggregated per-order relation, scanning and shuffling "
+    "the corpus-sized side twice. numwait folds up from the late-line "
+    "counts instead of re-counting rows.",
 )
 def tpch_q21_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
     s = load(spark, sf_dir, "supplier")
     o = load(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
     li = load(spark, sf_dir, "lineitem")
@@ -482,19 +488,32 @@ def tpch_q21_like(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_late"
         ),
     )
-    per_order = lines.groupBy(F.col("l_orderkey").alias("po_orderkey")).agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias(
-            "n_late_supp"
-        ),
+    # Pre-partition by the order key alone: HashPartitioning(l_orderkey)
+    # satisfies the clustering of BOTH the (order, supplier) aggregate
+    # and the order window, so the corpus crosses the wire exactly once.
+    per_supp = (
+        lines.repartition("l_orderkey")
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.sum(F.when(F.col("is_late"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_late_lines")
+        )
     )
-    late_lines = lines.where(F.col("is_late"))
+    w = Window.partitionBy("l_orderkey")
+    flagged = per_supp.withColumn("n_supp", F.count("*").over(w)).withColumn(
+        "n_late_supp",
+        F.sum(F.when(F.col("n_late_lines") > 0, 1).otherwise(0)).over(w),
+    )
     return (
-        late_lines.join(per_order, F.col("l_orderkey") == F.col("po_orderkey"))
-        .where((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+        flagged.where(
+            (F.col("n_supp") > 1)
+            & (F.col("n_late_supp") == 1)
+            & (F.col("n_late_lines") > 0)
+        )
         .join(s, F.col("l_suppkey") == s.s_suppkey)
         .groupBy("s_name")
-        .agg(F.count("*").alias("numwait"))
+        .agg(F.sum("n_late_lines").alias("numwait"))
     )
 
 

@@ -67,12 +67,15 @@ def _ewma_group(
         out_tms.append(tm)
         out_ewma.append(_ewma([b[2] for b in buf]))
 
-    # keep only the trailing window-1 readings: the next event's frame
+    # keep only the trailing window-1 readings: the next event's frame.
+    # window == 1 needs its own branch: buf[-(1 - 1):] is buf[-0:] ==
+    # buf[0:], the WHOLE buffer — unbounded state growth.
+    tail = buf[-(window - 1):] if window > 1 else []
     state.update(
         (
-            [b[0] for b in buf[-(window - 1):]],
-            [b[1] for b in buf[-(window - 1):]],
-            [b[2] for b in buf[-(window - 1):]],
+            [b[0] for b in tail],
+            [b[1] for b in tail],
+            [b[2] for b in tail],
         )
     )
 

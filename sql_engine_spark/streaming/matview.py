@@ -9,9 +9,16 @@ of the view's own atomic commit:
 
 - the marker file (`_applied_batch`, underscore-prefixed so parquet
   directory reads ignore it) is written INTO the new view directory
-  BEFORE the directory rename, so data + id swap as one unit — either
-  the whole merge landed or none of it did;
-- a batch whose id is <= the recorded id is dropped on arrival.
+  BEFORE the directory rename, so data + id travel as one unit;
+- a batch whose id is <= the recorded id is dropped on arrival;
+- the commit itself is TWO renames (current -> current.old, then
+  swap_<id> -> current), so a crash can land between them. Recovery is
+  deterministic from what survives on disk and runs on every entry
+  (`_recover`): a fully-written swap directory (its marker exists)
+  with `current` missing rolls FORWARD; `current.old` with neither
+  `current` nor a complete swap rolls BACK; everything stale is
+  removed. Either way the view is a consistent committed state and
+  `last_applied` tells the stream exactly which batches to refold.
 
 Batch ids from one streaming query are strictly increasing, so the
 "<= last applied" test is exactly the dedup condition.
@@ -49,15 +56,63 @@ class IdempotentMatView:
         self.target = os.path.join(view_dir, "current")
         self._partial_of = partial_of
         self._combine = combine
+        self._recover()
 
-    def last_applied(self) -> int:
+    @staticmethod
+    def _marker_id(d: str) -> int | None:
+        """Batch id from a directory's marker, or None if the marker is
+        absent/garbled (an incompletely-written swap)."""
         try:
-            with open(os.path.join(self.target, _MARKER)) as fh:
+            with open(os.path.join(d, _MARKER)) as fh:
                 return int(fh.read().strip())
         except (OSError, ValueError):
-            return -1
+            return None
+
+    def _swap_dirs(self) -> list[tuple[int, str]]:
+        try:
+            names = os.listdir(self.view_dir)
+        except OSError:
+            return []
+        out = []
+        for n in names:
+            if not n.startswith("swap_"):
+                continue
+            d = os.path.join(self.view_dir, n)
+            bid = self._marker_id(d)
+            if bid is not None:
+                out.append((bid, d))
+        return sorted(out)
+
+    def _recover(self) -> None:
+        """Make the on-disk state a consistent committed view again after
+        a crash anywhere in merge()'s two-rename commit (see module
+        docstring). Idempotent; called on every entry point."""
+        old = self.target + ".old"
+        if not os.path.isdir(self.target):
+            swaps = self._swap_dirs()
+            if swaps:
+                # Crash BETWEEN the renames: the new view was fully
+                # written (marker present) — roll forward.
+                _, newest = swaps[-1]
+                os.rename(newest, self.target)
+            elif os.path.isdir(old):
+                # No complete swap to roll forward to — roll back.
+                os.rename(old, self.target)
+        # Stale leftovers: a .old surviving a completed commit (crash
+        # before the rmtree) and swaps at-or-below the committed id
+        # (crash before the first rename, or roll-forward losers).
+        shutil.rmtree(old, ignore_errors=True)
+        applied = self.last_applied()
+        for bid, d in self._swap_dirs():
+            if bid <= applied:
+                shutil.rmtree(d, ignore_errors=True)
+
+    def last_applied(self) -> int:
+        bid = self._marker_id(self.target)
+        return -1 if bid is None else bid
 
     def merge(self, batch_df: DataFrame, batch_id: int) -> None:
+        self._recover()
         if batch_id <= self.last_applied():
             return  # retried / replayed batch: already folded in
         partial = self._partial_of(batch_df)
@@ -77,4 +132,5 @@ class IdempotentMatView:
         shutil.rmtree(old, ignore_errors=True)
 
     def read(self, spark) -> DataFrame:
+        self._recover()
         return spark.read.parquet(self.target)
