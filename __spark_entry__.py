@@ -15,7 +15,12 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from sql_engine_spark.registry import all_queries  # noqa: E402
+from sql_engine_spark.registry import all_queries, resolve_oracle  # noqa: E402
+
+# The driver's correctness gate runs at sf0.01 (TESTDATA.md); callable
+# oracles (SQL parameterized by a data-derived size, e.g. derived LSH
+# plane counts) are rendered against that directory.
+_DRIVER_SF_DIR = "/root/testdata/sf0.01"
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -31,4 +36,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL for every oracle-expressible query."""
-    return {name: q.oracle for name, q in all_queries().items() if q.oracle is not None}
+    out = {}
+    for name, q in all_queries().items():
+        sql = resolve_oracle(q.oracle, _DRIVER_SF_DIR)
+        if sql is not None:
+            out[name] = sql
+    return out

