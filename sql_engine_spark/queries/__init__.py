@@ -16,4 +16,8 @@ import sql_engine_spark.queries.sampling  # noqa: F401
 import sql_engine_spark.queries.pipeline  # noqa: F401
 import sql_engine_spark.queries.curation  # noqa: F401
 import sql_engine_spark.queries.retrieval  # noqa: F401
-import sql_engine_spark.queries.round5  # noqa: F401
+import sql_engine_spark.queries.round5_curation  # noqa: F401
+import sql_engine_spark.queries.round5_events  # noqa: F401
+import sql_engine_spark.queries.round5_text  # noqa: F401
+import sql_engine_spark.queries.round5_graph  # noqa: F401
+import sql_engine_spark.queries.round5_stream  # noqa: F401

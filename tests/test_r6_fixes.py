@@ -42,7 +42,7 @@ def _write_single_parquet(df, path: str) -> None:
 def test_trigram_backoff_short_docs_do_not_crash(spark, tmp_path):
     """2-token and empty docs yield no trigram rows (the oracle's
     range(1, n-1) is empty) instead of ArrayIndexOutOfBounds."""
-    from sql_engine_spark.queries.round5 import text_trigram_backoff
+    from sql_engine_spark.queries.round5_text import text_trigram_backoff
 
     docs = spark.createDataFrame(
         [
@@ -212,7 +212,7 @@ def test_matview_cleans_stale_old_and_swaps(spark, tmp_path):
 
 
 def test_dau_wau_plan_has_no_nested_loop(spark, sf_dir):
-    from sql_engine_spark.queries.round5 import events_dau_wau_stickiness
+    from sql_engine_spark.queries.round5_events import events_dau_wau_stickiness
 
     plan = events_dau_wau_stickiness(
         spark, sf_dir
@@ -222,7 +222,7 @@ def test_dau_wau_plan_has_no_nested_loop(spark, sf_dir):
 
 
 def test_percentile_exact_plan_has_no_collect_list(spark, sf_dir):
-    from sql_engine_spark.queries.round5 import agg_percentile_exact
+    from sql_engine_spark.queries.round5_events import agg_percentile_exact
 
     qe = agg_percentile_exact(spark, sf_dir)._jdf.queryExecution()
     assert "collect_list" not in qe.optimizedPlan().toString()
@@ -258,7 +258,7 @@ def test_bpe_twenty_merges_match_reference(spark, sf_dir):
     from collections import Counter
 
     from sql_engine_spark.operators.textprep import tokens as _tokens
-    from sql_engine_spark.queries.round5 import _bpe_train
+    from sql_engine_spark.queries.round5_text import _bpe_train
 
     from sql_engine_spark.io import load
 
