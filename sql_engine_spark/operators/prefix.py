@@ -65,6 +65,50 @@ def range_bucket(order_col: Column | str, lo: Column, hi: Column, n_buckets: int
     return F.floor(((c - lo) * F.lit(n_buckets)) / span).cast("int")
 
 
+def bucketed_value_rank(
+    df: DataFrame,
+    *,
+    part_cols: list[str],
+    value_col: str,
+    tie_col: str,
+    n_rows: int,
+    out_col: str = "__rank",
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Rank every row by `value_col` (ties broken by `tie_col`) within
+    `part_cols` — or the cumulative `weight_col` at each row, when given
+    — WITHOUT a per-key global window: the two-level bucketed scan over
+    a range bucket of the value (bounds from one global aggregate,
+    bucket count derived from `n_rows`). The caller should persist `df`
+    when it feeds multiple passes (bounds + ranked base).
+
+    This is the engine behind exact percentiles, trimmed means, and
+    weighted medians: all of them need only values AT RANKS, never a
+    per-group materialized list."""
+    bounds = df.agg(
+        F.min(value_col).alias("__vr_lo"), F.max(value_col).alias("__vr_hi")
+    )
+    wcol = weight_col
+    base = df.crossJoin(F.broadcast(bounds)).withColumn(
+        "__vr_ord", F.struct(F.col(value_col), F.col(tie_col))
+    )
+    if wcol is None:
+        base = base.withColumn("__vr_w", F.lit(1).cast("long"))
+        wcol = "__vr_w"
+    nb = derived_rank_buckets(n_rows)
+    ranked = bucketed_running_sum(
+        base,
+        part_cols=part_cols,
+        order_col="__vr_ord",
+        value_col=wcol,
+        bucket=range_bucket(
+            F.col(value_col), F.col("__vr_lo"), F.col("__vr_hi"), nb
+        ),
+        out_col=out_col,
+    )
+    return ranked.drop("__vr_lo", "__vr_hi", "__vr_ord", "__vr_w")
+
+
 def bucketed_running_sum(
     df: DataFrame,
     *,

@@ -21,3 +21,4 @@ import sql_engine_spark.queries.round5_events  # noqa: F401
 import sql_engine_spark.queries.round5_text  # noqa: F401
 import sql_engine_spark.queries.round5_graph  # noqa: F401
 import sql_engine_spark.queries.round5_stream  # noqa: F401
+import sql_engine_spark.queries.round6_stats  # noqa: F401
