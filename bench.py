@@ -180,6 +180,28 @@ EXTENSION_R5 = [
 ]
 
 
+# Round-6 additions: own section, same contract.
+EXTENSION_R6 = [
+    "ann_lsh_topk_derived",
+    "agg_trimmed_mean_exact",
+    "agg_skew_kurtosis_exact",
+    "agg_weighted_median_bytes",
+    "events_changepoint_cusum",
+    "events_rfm_segments",
+    "events_interarrival_profile",
+    "events_seasonality_profile",
+    "ann_lsh_recall_report",
+    "emb_centroid_shift",
+    "graph_kcore_peel2",
+    "graph_common_neighbors",
+    "curation_mixture_reweight",
+    "text_lexical_diversity",
+    "text_cooccurrence_lift",
+    "scan_footer_stats",
+    "streaming_cusum_alarm",
+]
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -194,7 +216,7 @@ def main() -> int:
     qs["scan_project"].build(spark, sf_dir).write.mode("overwrite").format("noop").save()
     warm_dir = "/root/testdata/sf0.001"
     if os.path.isdir(warm_dir):
-        for wq in HEADLINE + EXTENSION + EXTENSION_R4 + EXTENSION_R5:
+        for wq in HEADLINE + EXTENSION + EXTENSION_R4 + EXTENSION_R5 + EXTENSION_R6:
             qs[wq].build(spark, warm_dir).write.mode("overwrite").format("noop").save()
 
     # Best-of-2 full passes: one transient stall (GC, page cache miss,
@@ -248,6 +270,16 @@ def main() -> int:
             r5_timings[name] = min(r5_timings.get(name, float("inf")), t)
     r5_total = round(sum(r5_timings.values()), 3)
 
+    r6_timings: dict[str, float] = {}
+    for _ in range(2):
+        for name in EXTENSION_R6:
+            spark.catalog.clearCache()
+            t0 = time.time()
+            qs[name].build(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            t = round(time.time() - t0, 3)
+            r6_timings[name] = min(r6_timings.get(name, float("inf")), t)
+    r6_total = round(sum(r6_timings.values()), 3)
+
     # Curation flagships: best-of-2, own stable total (r3 comparison
     # base: extension_queries.dedup_keep_best / pipeline_curate_full).
     cur_timings: dict[str, float] = {}
@@ -288,6 +320,8 @@ def main() -> int:
         "extension_r4_queries": r4_timings,
         "extension_r5_total": r5_total,
         "extension_r5_queries": r5_timings,
+        "extension_r6_total": r6_total,
+        "extension_r6_queries": r6_timings,
     }
     if companion:
         out["companion_sf"] = 0.01
@@ -309,6 +343,7 @@ def main() -> int:
         "extension_total": ext_total,
         "extension_r4_total": r4_total,
         "extension_r5_total": r5_total,
+        "extension_r6_total": r6_total,
     }
     if companion:
         summary["companion_total"] = out["companion_total"]

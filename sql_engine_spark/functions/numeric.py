@@ -43,3 +43,28 @@ def sql_dsum(expr: str) -> str:
 
 def sql_davg(expr: str) -> str:
     return f"(CAST(SUM(CAST(({expr}) AS DECIMAL(27,6))) AS DOUBLE) / COUNT({expr}))"
+
+
+def ssum(col: Column, *, scale: float = 1_000_000.0) -> Column:
+    """Deterministic SUM for WIDE-RANGE per-row doubles (x^3, x^4 moment
+    terms): round to 6 decimals IN IEEE DOUBLE arithmetic (round(x*1e6),
+    ties away from zero in both engines), sum the resulting integers
+    exactly in DECIMAL(38,0), scale back once. `dsum`'s CAST(double AS
+    DECIMAL) delegates the rounding to each engine's decimal converter —
+    Spark rounds the double's shortest decimal representation, DuckDB
+    the exact binary expansion, and for high-power terms the two sit on
+    opposite sides of the .5 boundary often enough to move the sum
+    (observed on SUM(value^4) at sf0.01). Doing the rounding in shared
+    double arithmetic removes the seam; the reduction stays map-side
+    combinable JVM codegen."""
+    return F.sum(
+        F.round(col * F.lit(scale)).cast("decimal(38,0)")
+    ).cast("double") / F.lit(scale)
+
+
+def sql_ssum(expr: str, *, scale: str = "1000000.0") -> str:
+    """DuckDB spelling of `ssum`."""
+    return (
+        f"(CAST(SUM(CAST(round(({expr}) * {scale}) AS DECIMAL(38,0))) "
+        f"AS DOUBLE) / {scale})"
+    )

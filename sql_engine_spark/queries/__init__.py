@@ -22,3 +22,5 @@ import sql_engine_spark.queries.round5_text  # noqa: F401
 import sql_engine_spark.queries.round5_graph  # noqa: F401
 import sql_engine_spark.queries.round5_stream  # noqa: F401
 import sql_engine_spark.queries.round6_stats  # noqa: F401
+import sql_engine_spark.queries.round6_vectors  # noqa: F401
+import sql_engine_spark.queries.round6_curation  # noqa: F401

@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from sql_engine_spark.functions.numeric import dsum, sql_dsum
+from sql_engine_spark.functions.numeric import dsum, sql_dsum, sql_ssum, ssum
 from sql_engine_spark.io import load
 from sql_engine_spark.operators.dedup import _persist
 from sql_engine_spark.operators.prefix import bucketed_value_rank
@@ -90,59 +90,87 @@ def agg_trimmed_mean_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "agg_skew_kurtosis_exact",
     oracle=f"""
-        WITH m AS (
+        WITH s AS (
             SELECT event_type,
-                   {sql_dsum('value')} / COUNT(*) AS mu,
-                   CAST(COUNT(*) AS BIGINT) AS n
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   {sql_dsum('value')} AS s1,
+                   {sql_dsum('value * value')} AS s2,
+                   {sql_ssum('(value * value) * value')} AS s3,
+                   {sql_ssum('(value * value) * (value * value)')} AS s4
             FROM events GROUP BY event_type
         ),
-        d AS (
-            SELECT e.event_type, m.n,
-                   {sql_dsum('(value - mu) * (value - mu)')} AS m2s,
-                   {sql_dsum('(value - mu) * (value - mu) * (value - mu)')} AS m3s,
-                   {sql_dsum('((value - mu) * (value - mu)) * ((value - mu) * (value - mu))')} AS m4s
-            FROM events e JOIN m ON e.event_type = m.event_type
-            GROUP BY e.event_type, m.n
+        m AS (
+            SELECT event_type, n,
+                   s1 / CAST(n AS DOUBLE) AS mu,
+                   s2 / CAST(n AS DOUBLE) AS r2,
+                   s3 / CAST(n AS DOUBLE) AS r3,
+                   s4 / CAST(n AS DOUBLE) AS r4
+            FROM s
+        ),
+        c AS (
+            SELECT event_type, n,
+                   r2 - mu * mu AS m2,
+                   r3 - 3.0 * mu * r2 + 2.0 * mu * mu * mu AS m3,
+                   r4 - 4.0 * mu * r3 + 6.0 * mu * mu * r2
+                      - 3.0 * mu * mu * mu * mu AS m4
+            FROM m
         )
         SELECT event_type, n,
-               (sqrt(CAST(n AS DOUBLE)) * m3s) / (m2s * sqrt(m2s)) AS skewness,
-               (CAST(n AS DOUBLE) * m4s) / (m2s * m2s) AS kurtosis
-        FROM d
+               m3 / (m2 * sqrt(m2)) AS skewness,
+               m4 / (m2 * m2) AS kurtosis
+        FROM c
     """,
-    doc="Exact sample skewness and kurtosis per event type — the "
-    "distribution-shape moments a data-quality monitor tracks. Two "
-    "map-side-combinable aggregate passes (mean, then centered moment "
-    "sums), with every reduction through DECIMAL(27,6) so partial-"
-    "aggregation order cannot move the result; the final ratios and "
-    "sqrt (IEEE correctly-rounded, engine-stable) share one op order "
-    "with the oracle. g1 = sqrt(n)*m3/m2^1.5, g2 = n*m4/m2^2 (biased "
-    "sample moments — the formula is part of the contract). No libm "
-    "log/pow anywhere.",
+    doc="Sample skewness and kurtosis per event type — the "
+    "distribution-shape moments a data-quality monitor tracks. ONE "
+    "map-side-combinable aggregate pass collecting the raw power sums "
+    "s1/s2 through DECIMAL(27,6) and the wide-range s3/s4 through the "
+    "scaled-integer ssum (functions/numeric.ssum — the double->decimal "
+    "cast itself rounds differently across engines for high powers, "
+    "so the 6-decimal rounding runs in shared IEEE arithmetic), "
+    "then the closed-form central moments evaluate in deterministic "
+    "double arithmetic with one shared op order. g1 = m3/m2^1.5, "
+    "g2 = m4/m2^2 (biased sample moments — the formula is part of the "
+    "contract); sqrt is IEEE correctly-rounded, no libm log/pow.",
 )
 def agg_skew_kurtosis_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
-    m = ev.groupBy(F.col("event_type").alias("__g")).agg(
-        (dsum("value") / F.count("*")).alias("mu"),
+    v = F.col("value")
+    s = ev.groupBy("event_type").agg(
         F.count("*").cast("long").alias("n"),
-    )
-    d = F.col("value") - F.col("mu")
-    agg = (
-        ev.join(F.broadcast(m), F.col("event_type") == F.col("__g"))
-        .groupBy("event_type", "n")
-        .agg(
-            dsum(d * d).alias("m2s"),
-            dsum(d * d * d).alias("m3s"),
-            dsum((d * d) * (d * d)).alias("m4s"),
-        )
+        dsum(v).alias("s1"),
+        dsum(v * v).alias("s2"),
+        ssum((v * v) * v).alias("s3"),
+        ssum((v * v) * (v * v)).alias("s4"),
     )
     nD = F.col("n").cast("double")
-    return agg.select(
+    m = s.select(
         "event_type",
         "n",
-        ((F.sqrt(nD) * F.col("m3s")) / (F.col("m2s") * F.sqrt(F.col("m2s")))).alias(
-            "skewness"
+        (F.col("s1") / nD).alias("mu"),
+        (F.col("s2") / nD).alias("r2"),
+        (F.col("s3") / nD).alias("r3"),
+        (F.col("s4") / nD).alias("r4"),
+    )
+    mu = F.col("mu")
+    c = m.select(
+        "event_type",
+        "n",
+        (F.col("r2") - mu * mu).alias("m2"),
+        (F.col("r3") - F.lit(3.0) * mu * F.col("r2") + F.lit(2.0) * mu * mu * mu).alias(
+            "m3"
         ),
-        ((nD * F.col("m4s")) / (F.col("m2s") * F.col("m2s"))).alias("kurtosis"),
+        (
+            F.col("r4")
+            - F.lit(4.0) * mu * F.col("r3")
+            + F.lit(6.0) * mu * mu * F.col("r2")
+            - F.lit(3.0) * mu * mu * mu * mu
+        ).alias("m4"),
+    )
+    return c.select(
+        "event_type",
+        "n",
+        (F.col("m3") / (F.col("m2") * F.sqrt(F.col("m2")))).alias("skewness"),
+        (F.col("m4") / (F.col("m2") * F.col("m2"))).alias("kurtosis"),
     )
 
 
