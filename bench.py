@@ -199,6 +199,9 @@ EXTENSION_R6 = [
     "text_cooccurrence_lift",
     "scan_footer_stats",
     "streaming_cusum_alarm",
+    "approx_hll_manual",
+    "text_feature_hashing",
+    "events_bounce_rate",
 ]
 
 

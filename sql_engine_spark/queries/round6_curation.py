@@ -408,3 +408,233 @@ def streaming_cusum_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_changepoint"
         ),
     )
+
+
+# --- manual HyperLogLog -----------------------------------------------------
+# Cross-engine hex-digit value: instr('0123456789abcdef', ch) - 1 runs
+# unchanged in Spark SQL and DuckDB (the SimHash voting primitive,
+# operators/dedup.py:_HEX_BIT_SETS).
+_HEXVAL = "(instr('0123456789abcdef', {ch}) - 1)"
+
+_HLL_M = 64  # 2^6 buckets
+_HLL_SPAN = 13  # hex digits scanned for the leading-zero count (52 bits)
+_HLL_RMAX = 4 * _HLL_SPAN + 1  # rho when all scanned bits are zero
+
+
+def _sql_hll_parts(h: str) -> tuple[str, str]:
+    """(bucket, rho) expressions over an md5-hex column `h` — identical
+    text in both engines. Bucket = first 8 bits mod 64; rho = 1-based
+    position of the first set bit in the next 52 bits, computed with
+    string ops (TRIM(LEADING '0')) and integer compares — no log2."""
+    d0 = _HEXVAL.format(ch=f"substring({h}, 1, 1)")
+    d1 = _HEXVAL.format(ch=f"substring({h}, 2, 1)")
+    bucket = f"(({d0} * 16 + {d1}) % {_HLL_M})"
+    tail = f"substring({h}, 3, {_HLL_SPAN})"
+    stripped = f"trim(LEADING '0' FROM {tail})"
+    zeros = f"({_HLL_SPAN} - length({stripped}))"
+    first = _HEXVAL.format(ch=f"substring({stripped}, 1, 1)")
+    rho = (
+        f"(CASE WHEN length({stripped}) = 0 THEN {_HLL_RMAX} "
+        f"ELSE {zeros} * 4 + (CASE WHEN {first} >= 8 THEN 1 "
+        f"WHEN {first} >= 4 THEN 2 WHEN {first} >= 2 THEN 3 ELSE 4 END) END)"
+    )
+    return bucket, rho
+
+
+_HLL_ALPHA = "(0.7213 / (1.0 + 1.079 / 64.0))"
+_HLL_P53 = 9007199254740992.0  # 2^53
+
+
+def _hll_oracle() -> str:
+    bucket, rho = _sql_hll_parts("h")
+    return f"""
+        WITH hx AS (
+            SELECT DISTINCT lang, md5(text) AS h FROM documents
+        ),
+        br AS (
+            SELECT lang, {bucket} AS bucket, {rho} AS rho FROM hx
+        ),
+        regs AS (
+            SELECT lang, bucket, CAST(MAX(rho) AS BIGINT) AS r
+            FROM br GROUP BY lang, bucket
+        ),
+        z AS (
+            SELECT lang,
+                   CAST(SUM(1::BIGINT << (53 - r)) AS BIGINT)
+                       + ({_HLL_M} - CAST(COUNT(*) AS BIGINT))
+                         * (1::BIGINT << 53) AS z_num
+            FROM regs GROUP BY lang
+        ),
+        exact AS (
+            SELECT lang, CAST(COUNT(DISTINCT text) AS BIGINT) AS n_exact
+            FROM documents GROUP BY lang
+        )
+        SELECT lang, n_exact,
+               ({_HLL_ALPHA} * 4096.0) * {_HLL_P53}
+                   / CAST(z_num AS DOUBLE) AS hll_estimate,
+               (({_HLL_ALPHA} * 4096.0) * {_HLL_P53} / CAST(z_num AS DOUBLE))
+                   / CAST(n_exact AS DOUBLE) AS est_over_exact
+        FROM exact JOIN z USING (lang)
+    """
+
+
+@register(
+    "approx_hll_manual",
+    oracle=_hll_oracle(),
+    doc="HyperLogLog from first principles (Flajolet et al. 2007), "
+    "bit-identical in BOTH engines — unlike approx_hll_mergeable_"
+    "rollup (engine sketch + tolerance claim), every intermediate here "
+    "is shared arithmetic so the ESTIMATE ITSELF is oracle-hashed: "
+    "md5 buckets (first 8 bits mod 64), rho from the next 52 bits via "
+    "TRIM(LEADING '0') + integer compares (no log2 anywhere), "
+    "registers = per-(lang, bucket) MAX rho (order-free, mergeable — "
+    "the whole point of HLL at 100 TB), and the raw estimator "
+    "alpha*m^2/Z with Z as an EXACT scaled integer (sum of "
+    "1<<(53-rho), empty buckets contributing 1<<53). Raw estimator by "
+    "design — the small-range linear-counting correction needs libm "
+    "log and is deliberately omitted; est_over_exact documents the "
+    "resulting bias against the exact NDV.",
+)
+def approx_hll_manual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    bucket, rho = _sql_hll_parts("h")
+    hx = docs.select("lang", F.md5("text").alias("h")).distinct()
+    br = hx.select(
+        "lang", F.expr(bucket).alias("bucket"), F.expr(rho).alias("rho")
+    )
+    regs = br.groupBy("lang", "bucket").agg(F.max("rho").cast("long").alias("r"))
+    z = regs.groupBy("lang").agg(
+        (
+            F.sum(F.expr("shiftleft(1L, 53 - CAST(r AS INT))"))
+            + (F.lit(_HLL_M) - F.count("*")) * F.expr("shiftleft(1L, 53)")
+        )
+        .cast("long")
+        .alias("z_num")
+    )
+    exact = docs.groupBy("lang").agg(
+        F.countDistinct("text").cast("long").alias("n_exact")
+    )
+    alpha = F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(64.0))
+    est = (alpha * F.lit(4096.0)) * F.lit(_HLL_P53) / F.col("z_num").cast("double")
+    return exact.join(z, "lang").select(
+        "lang",
+        "n_exact",
+        est.alias("hll_estimate"),
+        (est / F.col("n_exact").cast("double")).alias("est_over_exact"),
+    )
+
+
+_FH_BUCKETS = 16
+
+
+@register(
+    "text_feature_hashing",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, w FROM (
+                SELECT doc_id, unnest({sql_tokens('text')}) AS w FROM documents
+            ) WHERE w <> ''
+        ),
+        hashed AS (
+            SELECT doc_id,
+                   ({_HEXVAL.format(ch="substring(md5(w), 1, 1)")})
+                       % {_FH_BUCKETS} AS bucket,
+                   CASE WHEN {_HEXVAL.format(ch="substring(md5(w), 2, 1)")} >= 8
+                        THEN 1 ELSE -1 END AS sign
+            FROM toks
+        )
+        SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+               CAST(SUM(sign) AS BIGINT) AS weight
+        FROM hashed GROUP BY doc_id, bucket
+        HAVING SUM(sign) <> 0
+    """,
+    doc="Feature hashing (the 'hashing trick', Weinberger et al. 2009): "
+    "each token maps to one of 16 buckets by md5, with a second md5 "
+    "bit supplying the +-1 sign that makes collisions unbiased — the "
+    "vocabulary-free featurizer for streaming classifiers (quality "
+    "models, spam filters) where a fitted vocabulary would itself be "
+    "corpus-sized state. Output is the SPARSE (doc, bucket, weight) "
+    "relation — the scalable representation; densifying to arrays is "
+    "a bounded per-doc pivot when a consumer needs it. One tokenize + "
+    "one (doc, bucket) aggregate; md5 via the shared hex-digit "
+    "primitive, zero-weight features dropped identically in both "
+    "engines.",
+)
+def text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tokens("text")).alias("w")).where(
+        F.col("w") != ""
+    )
+    b = _HEXVAL.format(ch="substring(md5(w), 1, 1)")
+    sgn = _HEXVAL.format(ch="substring(md5(w), 2, 1)")
+    hashed = toks.select(
+        "doc_id",
+        F.expr(f"({b}) % {_FH_BUCKETS}").cast("long").alias("bucket"),
+        F.expr(f"CASE WHEN {sgn} >= 8 THEN 1 ELSE -1 END").alias("sign"),
+    )
+    return (
+        hashed.groupBy("doc_id", "bucket")
+        .agg(F.sum("sign").cast("long").alias("weight"))
+        .where(F.col("weight") != 0)
+    )
+
+
+@register(
+    "events_bounce_rate",
+    oracle=None,  # assigned below: composes the sessionize oracle CTE
+    doc="Per-day session quality: session count, single-event (bounce) "
+    "sessions, bounce rate, and mean session duration — the "
+    "engagement dashboard row. Composes the existing sessionization "
+    "(30-min gap, lag + running sum, one user-keyed shuffle) and adds "
+    "only a day-keyed bounded aggregate; rates are single shared-"
+    "order double divisions over exact integer counts.",
+)
+def events_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sql_engine_spark.queries.events import events_sessionize
+
+    sess = events_sessionize(spark, sf_dir)
+    day = F.col("session_start").cast("date").alias("day")
+    g = sess.groupBy(day).agg(
+        F.count("*").cast("long").alias("n_sessions"),
+        F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_bounces"),
+        F.sum("duration_s").cast("long").alias("total_duration_s"),
+    )
+    return g.select(
+        "day",
+        "n_sessions",
+        "n_bounces",
+        (
+            F.col("n_bounces").cast("double") / F.col("n_sessions").cast("double")
+        ).alias("bounce_rate"),
+        (
+            F.col("total_duration_s").cast("double")
+            / F.col("n_sessions").cast("double")
+        ).alias("avg_duration_s"),
+    )
+
+
+def _bounce_oracle() -> str:
+    from sql_engine_spark.registry import _REGISTRY
+
+    sess_oracle = _REGISTRY["events_sessionize"].oracle
+    return f"""
+        WITH sess AS ({sess_oracle})
+        SELECT CAST(session_start AS DATE) AS day,
+               CAST(COUNT(*) AS BIGINT) AS n_sessions,
+               CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_bounces,
+               CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE) AS bounce_rate,
+               CAST(SUM(duration_s) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                   AS avg_duration_s
+        FROM sess GROUP BY 1
+    """
+
+
+# events_sessionize is registered by the time this module loads
+# (queries/__init__ imports events first); splice its oracle in.
+from sql_engine_spark.registry import _REGISTRY as _REG  # noqa: E402
+
+_REG["events_bounce_rate"].oracle = _bounce_oracle()
