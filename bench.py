@@ -202,6 +202,11 @@ EXTENSION_R6 = [
     "approx_hll_manual",
     "text_feature_hashing",
     "events_bounce_rate",
+    "dedup_lsh_recall_curve",
+    "curation_quality_length_bias",
+    "events_pareto_concentration",
+    "events_anomaly_iqr",
+    "scd2_as_of_snapshot",
 ]
 
 

@@ -24,3 +24,4 @@ import sql_engine_spark.queries.round5_stream  # noqa: F401
 import sql_engine_spark.queries.round6_stats  # noqa: F401
 import sql_engine_spark.queries.round6_vectors  # noqa: F401
 import sql_engine_spark.queries.round6_curation  # noqa: F401
+import sql_engine_spark.queries.round6_audits  # noqa: F401
