@@ -207,6 +207,11 @@ EXTENSION_R6 = [
     "events_pareto_concentration",
     "events_anomaly_iqr",
     "scd2_as_of_snapshot",
+    "pipeline_incremental_ingest",
+    "curation_funnel_report",
+    "graph_reachability_3hop",
+    "streaming_rfm_segments",
+    "events_user_overlap_jaccard",
 ]
 
 

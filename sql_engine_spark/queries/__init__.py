@@ -25,3 +25,4 @@ import sql_engine_spark.queries.round6_stats  # noqa: F401
 import sql_engine_spark.queries.round6_vectors  # noqa: F401
 import sql_engine_spark.queries.round6_curation  # noqa: F401
 import sql_engine_spark.queries.round6_audits  # noqa: F401
+import sql_engine_spark.queries.round6_pipeline  # noqa: F401
