@@ -310,3 +310,156 @@ def test_lexical_diversity_known_doc(spark, tmp_path):
     assert r.ttr == pytest.approx(0.75)
     assert r.hapax_ratio == pytest.approx(2 / 3)
     assert r.simpson_repeat == pytest.approx(2 / 12)
+
+
+def test_streaming_rfm_equals_batch(spark, sf_dir):
+    from sql_engine_spark.queries.round6_pipeline import streaming_rfm_segments
+    from sql_engine_spark.queries.round6_stats import events_rfm_segments
+
+    batch = {
+        (r.user_id, r.recency_days, r.frequency, r.monetary, r.segment)
+        for r in events_rfm_segments(spark, sf_dir).collect()
+    }
+    stream = {
+        (r.user_id, r.recency_days, r.frequency, r.monetary, r.segment)
+        for r in streaming_rfm_segments(spark, sf_dir).collect()
+    }
+    assert batch == stream
+
+
+def test_reachability_matches_bfs(spark, sf_dir):
+    """min_hops matches a driver-side BFS (depth <= 3) on the collected
+    undirected edge set."""
+    from collections import defaultdict, deque
+
+    from sql_engine_spark.operators.similarity import knn_graph
+    from sql_engine_spark.queries.round6_pipeline import graph_reachability_3hop
+
+    emb = load(spark, sf_dir, "embeddings")
+    g = knn_graph(
+        emb, id_col="vec_id", vec_col="embedding", planes=4, tables=4, dim=64, k=5
+    )
+    adj = defaultdict(set)
+    for r in g.collect():
+        a, b = min(r.src, r.dst), max(r.src, r.dst)
+        adj[a].add(b)
+        adj[b].add(a)
+    seeds = [n for n in adj if n < 5]
+    dist = {s: 0 for s in seeds}
+    dq = deque(seeds)
+    while dq:
+        n = dq.popleft()
+        if dist[n] >= 3:
+            continue
+        for nb in adj[n]:
+            if nb not in dist:
+                dist[nb] = dist[n] + 1
+                dq.append(nb)
+    got = {r.node: r.min_hops for r in graph_reachability_3hop(spark, sf_dir).collect()}
+    assert got == dist
+
+
+def test_funnel_monotone_and_yield(spark, sf_dir):
+    from sql_engine_spark.queries.round6_pipeline import curation_funnel_report
+
+    for r in curation_funnel_report(spark, sf_dir).collect():
+        assert r.n_raw >= r.n_after_lang >= r.n_after_quality >= r.n_after_dedup
+        assert r.yield_frac == pytest.approx(r.n_after_dedup / r.n_raw)
+
+
+def test_incremental_ingest_flags_consistent(spark, sf_dir):
+    """admitted == not exact_dup and not near_dup and quality_ok; every
+    new-batch doc gets exactly one admission record."""
+    from sql_engine_spark.queries.round6_pipeline import (
+        _NEW_MOD,
+        _NEW_REM,
+        pipeline_incremental_ingest,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    n_new = docs.where(F.col("doc_id") % _NEW_MOD == _NEW_REM).count()
+    rows = pipeline_incremental_ingest(spark, sf_dir).collect()
+    assert len(rows) == n_new
+    assert len({r.doc_id for r in rows}) == n_new
+    for r in rows:
+        assert r.admitted == ((not r.exact_dup) and (not r.near_dup) and r.quality_ok)
+
+
+def test_user_overlap_jaccard_bounds(spark, sf_dir):
+    from sql_engine_spark.queries.round6_pipeline import events_user_overlap_jaccard
+
+    ev = load(spark, sf_dir, "events")
+    sets = {}
+    for r in ev.select("event_type", "user_id").distinct().collect():
+        sets.setdefault(r.event_type, set()).add(r.user_id)
+    rows = events_user_overlap_jaccard(spark, sf_dir).collect()
+    for r in rows:
+        a, b = sets[r.type_a], sets[r.type_b]
+        assert r.n_common == len(a & b)
+        assert r.jaccard == pytest.approx(len(a & b) / len(a | b))
+        assert r.type_a < r.type_b
+
+
+def test_lsh_recall_curve_bounds(spark, sf_dir):
+    """Recall per decile is in [0,1], found <= true, and deciles are in
+    the thresholded range (>= floor(0.3*10))."""
+    from sql_engine_spark.queries.round6_audits import dedup_lsh_recall_curve
+
+    rows = dedup_lsh_recall_curve(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 3 <= r.jaccard_decile <= 9
+        assert 0 <= r.n_found <= r.n_true_pairs
+        assert r.recall == pytest.approx(r.n_found / r.n_true_pairs)
+
+
+def test_pareto_shares_monotone(spark, sf_dir):
+    from sql_engine_spark.queries.round6_audits import events_pareto_concentration
+
+    rows = sorted(
+        events_pareto_concentration(spark, sf_dir).collect(),
+        key=lambda r: r.top_pct,
+    )
+    shares = [r.events_share for r in rows]
+    assert shares == sorted(shares)  # more users -> more share
+    for r in rows:
+        assert 0.0 <= r.events_share <= 1.0
+        if r.n_top_users > 0:
+            # ranked descending, the top p% of users hold AT LEAST the
+            # share a uniform distribution would give them
+            assert r.events_share >= r.top_pct / 100.0 - 0.02
+
+
+def test_iqr_outliers_match_quartiles(spark, sf_dir):
+    from sql_engine_spark.queries.round5_events import agg_percentile_exact
+    from sql_engine_spark.queries.round6_audits import events_anomaly_iqr
+
+    fences = {
+        r.event_type: (r.p25 - 1.5 * (r.p75 - r.p25), r.p75 + 1.5 * (r.p75 - r.p25))
+        for r in agg_percentile_exact(spark, sf_dir).collect()
+    }
+    for r in events_anomaly_iqr(spark, sf_dir).collect():
+        lo, hi = fences[r.event_type]
+        assert r.value < lo or r.value > hi
+        assert r.fence_lo == pytest.approx(lo) and r.fence_hi == pytest.approx(hi)
+
+
+def test_scd2_as_of_one_version_per_key_interval(spark, sf_dir):
+    """As-of rows are exactly the intervals covering the date; no
+    customer has two covering intervals with the same valid_from."""
+    import datetime as dt
+
+    from sql_engine_spark.queries.round6_audits import (
+        _SCD2_AS_OF,
+        scd2_as_of_snapshot,
+    )
+
+    d = dt.date.fromisoformat(_SCD2_AS_OF)
+    rows = scd2_as_of_snapshot(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        vf = r.valid_from.date() if hasattr(r.valid_from, "date") else r.valid_from
+        assert vf <= d
+        if r.valid_to is not None:
+            vt = r.valid_to.date() if hasattr(r.valid_to, "date") else r.valid_to
+            assert vt > d
