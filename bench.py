@@ -212,6 +212,7 @@ EXTENSION_R6 = [
     "graph_reachability_3hop",
     "streaming_rfm_segments",
     "events_user_overlap_jaccard",
+    "curation_cluster_size_histogram",
 ]
 
 

@@ -315,3 +315,73 @@ def _scd2_as_of_oracle() -> str:
 
 
 _REGISTRY["scd2_as_of_snapshot"].oracle = _scd2_as_of_oracle()
+
+
+@register(
+    "curation_cluster_size_histogram",
+    oracle=None,  # spliced below from the connected-components oracle
+    doc="Near-dup cluster-size distribution: how many duplicate "
+    "clusters exist at each size, plus the singleton mass (docs in no "
+    "near-dup pair) — the shape report that tells a dedup run whether "
+    "it is fighting a few mega-clusters (template spam, mirrors) or a "
+    "long tail of pairs, which decides keep-best strategy and "
+    "per-cluster caps. Composes dedup_connected_components (3-round "
+    "min-label propagation over the MinHash pair graph); the histogram "
+    "is two bounded aggregates, singletons counted by difference "
+    "against the corpus total.",
+)
+def curation_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sql_engine_spark.queries.dedup import dedup_connected_components
+
+    docs = load(spark, sf_dir, "documents")
+    cc = dedup_connected_components(spark, sf_dir)
+    sizes = cc.groupBy("cluster_id").agg(F.count("*").cast("long").alias("sz"))
+    hist = sizes.groupBy(F.col("sz").alias("cluster_size")).agg(
+        F.count("*").cast("long").alias("n_clusters"),
+        F.sum("sz").cast("long").alias("n_docs"),
+    )
+    n_total = docs.agg(F.count("*").cast("long").alias("n")).collect()[0].n
+    n_in_clusters = cc.select("doc_id").distinct().count()
+    singletons = spark.createDataFrame(
+        [(1, n_total - n_in_clusters, n_total - n_in_clusters)],
+        "cluster_size long, n_clusters long, n_docs long",
+    )
+    return (
+        hist.unionByName(singletons)
+        .groupBy("cluster_size")
+        .agg(
+            F.sum("n_clusters").cast("long").alias("n_clusters"),
+            F.sum("n_docs").cast("long").alias("n_docs"),
+        )
+    )
+
+
+def _cluster_hist_oracle() -> str:
+    cc = _REGISTRY["dedup_connected_components"].oracle
+    return f"""
+        WITH cc AS ({cc}),
+        sizes AS (
+            SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS sz
+            FROM cc GROUP BY cluster_id
+        ),
+        hist AS (
+            SELECT sz AS cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+                   CAST(SUM(sz) AS BIGINT) AS n_docs
+            FROM sizes GROUP BY sz
+        ),
+        singles AS (
+            SELECT CAST(1 AS BIGINT) AS cluster_size,
+                   (SELECT COUNT(*) FROM documents)
+                       - (SELECT COUNT(DISTINCT doc_id) FROM cc) AS n_clusters,
+                   (SELECT COUNT(*) FROM documents)
+                       - (SELECT COUNT(DISTINCT doc_id) FROM cc) AS n_docs
+        )
+        SELECT cluster_size,
+               CAST(SUM(n_clusters) AS BIGINT) AS n_clusters,
+               CAST(SUM(n_docs) AS BIGINT) AS n_docs
+        FROM (SELECT * FROM hist UNION ALL SELECT * FROM singles)
+        GROUP BY cluster_size
+    """
+
+
+_REGISTRY["curation_cluster_size_histogram"].oracle = _cluster_hist_oracle()
