@@ -463,3 +463,87 @@ def test_scd2_as_of_one_version_per_key_interval(spark, sf_dir):
         if r.valid_to is not None:
             vt = r.valid_to.date() if hasattr(r.valid_to, "date") else r.valid_to
             assert vt > d
+
+
+def test_hll_registers_are_mergeable(spark, sf_dir):
+    """The defining HLL property: registers computed over the whole
+    corpus equal the per-source registers merged by MAX — what makes
+    the sketch a one-pass, pre-aggregatable rollup at 100 TB."""
+    from collections import defaultdict
+
+    from sql_engine_spark.queries.round6_curation import _sql_hll_parts
+
+    docs = load(spark, sf_dir, "documents")
+    bucket, rho = _sql_hll_parts("h")
+    br = (
+        docs.select("source", F.md5("text").alias("h"))
+        .distinct()
+        .select("source", F.expr(bucket).alias("bucket"), F.expr(rho).alias("rho"))
+    )
+    per_source = br.groupBy("source", "bucket").agg(F.max("rho").alias("r"))
+    merged = defaultdict(int)
+    for r in per_source.collect():
+        merged[r.bucket] = max(merged[r.bucket], r.r)
+    whole = {
+        r.bucket: r.r
+        for r in br.groupBy("bucket").agg(F.max("rho").alias("r")).collect()
+    }
+    assert dict(merged) == whole
+
+
+def test_hll_estimate_within_band(spark, sf_dir):
+    """Raw-estimator sanity: within [0.5x, 2x] of the exact NDV for
+    every language (m=64 gives ~13% standard error; the raw estimator
+    biases high at small NDV — the documented omission of linear
+    counting)."""
+    from sql_engine_spark.queries.round6_curation import approx_hll_manual
+
+    for r in approx_hll_manual(spark, sf_dir).collect():
+        assert 0.5 <= r.est_over_exact <= 2.0, r
+
+
+def test_feature_hashing_weight_mass(spark, sf_dir):
+    """Per doc: sum|weight| <= token count (signs cancel, never add),
+    bucket ids are in range, and the featurizer is deterministic."""
+    from collections import defaultdict
+
+    from sql_engine_spark.operators.textprep import tokens as _tokens
+    from sql_engine_spark.queries.round6_curation import (
+        _FH_BUCKETS,
+        text_feature_hashing,
+    )
+
+    docs = load(spark, sf_dir, "documents").withColumn("__t", _tokens("text"))
+    n_tokens = {
+        r.doc_id: r.n
+        for r in docs.select(
+            "doc_id",
+            F.size(F.filter("__t", lambda w: w != "")).alias("n"),
+        ).collect()
+    }
+    rows = text_feature_hashing(spark, sf_dir).collect()
+    mass = defaultdict(int)
+    for r in rows:
+        assert 0 <= r.bucket < _FH_BUCKETS
+        assert r.weight != 0
+        mass[r.doc_id] += abs(r.weight)
+    for doc_id, m in mass.items():
+        assert m <= n_tokens[doc_id]
+    rows2 = text_feature_hashing(spark, sf_dir).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
+
+
+def test_cluster_histogram_conserves_docs(spark, sf_dir):
+    """Sum of n_docs across sizes equals the corpus size; no cluster of
+    size < 1; size-1 row equals the out-of-pair singleton count."""
+    from sql_engine_spark.queries.round6_audits import (
+        curation_cluster_size_histogram,
+    )
+
+    docs_n = load(spark, sf_dir, "documents").count()
+    rows = curation_cluster_size_histogram(spark, sf_dir).collect()
+    assert sum(r.n_docs for r in rows) == docs_n
+    for r in rows:
+        assert r.cluster_size >= 1
+        if r.cluster_size > 1:
+            assert r.n_docs == r.cluster_size * r.n_clusters
