@@ -183,31 +183,20 @@ _PCTS = (0.25, 0.5, 0.75)
 )
 def agg_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sql_engine_spark.operators.dedup import _persist
-    from sql_engine_spark.operators.prefix import (
-        bucketed_running_sum,
-        derived_rank_buckets,
-        range_bucket,
-    )
+    from sql_engine_spark.operators.prefix import bucketed_value_rank
 
     ev = _persist(
         load(spark, sf_dir, "events").select("event_id", "event_type", "value")
     )
-    bounds = ev.agg(F.min("value").alias("__lo"), F.max("value").alias("__hi"))
-    nb = derived_rank_buckets(ev.count())
-    base = (
-        ev.crossJoin(F.broadcast(bounds))
-        .withColumn("__one", F.lit(1).cast("long"))
-        # Total order (value, event_id): ties on value must get SOME
-        # fixed order for ranking; the value at a given rank in the
-        # sorted multiset is independent of how ties are broken.
-        .withColumn("__ord", F.struct(F.col("value"), F.col("event_id")))
-    )
-    ranked = bucketed_running_sum(
-        base,
+    # Rank every row within its group by (value, event_id) via the
+    # shared two-level bucketed scan (tie order is irrelevant to the
+    # VALUE at a rank, which is all percentiles read).
+    ranked = bucketed_value_rank(
+        ev,
         part_cols=["event_type"],
-        order_col="__ord",
-        value_col="__one",
-        bucket=range_bucket(F.col("value"), F.col("__lo"), F.col("__hi"), nb),
+        value_col="value",
+        tie_col="event_id",
+        n_rows=ev.count(),
         out_col="__rank",
     )
     # Target ranks per (event_type, p): h = (n-1)p, lo = floor(h)+1,
