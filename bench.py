@@ -213,6 +213,9 @@ EXTENSION_R6 = [
     "streaming_rfm_segments",
     "events_user_overlap_jaccard",
     "curation_cluster_size_histogram",
+    "curation_rater_agreement_kappa",
+    "curation_score_calibration",
+    "events_seasonal_naive_backtest",
 ]
 
 
