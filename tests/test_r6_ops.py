@@ -547,3 +547,73 @@ def test_cluster_histogram_conserves_docs(spark, sf_dir):
         assert r.cluster_size >= 1
         if r.cluster_size > 1:
             assert r.n_docs == r.cluster_size * r.n_clusters
+
+
+def test_kappa_matches_contingency(spark, sf_dir):
+    """kappa recomputed driver-side from the reported 2x2 table; bounds
+    [-1, 1]; table sums to n."""
+    from sql_engine_spark.queries.round6_quality import (
+        curation_rater_agreement_kappa,
+    )
+
+    for r in curation_rater_agreement_kappa(spark, sf_dir).collect():
+        assert r.n11 + r.n10 + r.n01 + r.n00 == r.n
+        po = (r.n11 + r.n00) / r.n
+        pe = (
+            (r.n11 + r.n10) * (r.n11 + r.n01)
+            + (r.n00 + r.n01) * (r.n00 + r.n10)
+        ) / (r.n * r.n)
+        assert r.po == pytest.approx(po) and r.pe == pytest.approx(pe)
+        assert r.kappa == pytest.approx((po - pe) / (1 - pe))
+        assert -1.0 <= r.kappa <= 1.0
+
+
+def test_calibration_deciles_equal_mass(spark, sf_dir):
+    from sql_engine_spark.queries.round6_quality import curation_score_calibration
+
+    docs_n = load(spark, sf_dir, "documents").count()
+    rows = sorted(
+        curation_score_calibration(spark, sf_dir).collect(), key=lambda r: r.decile
+    )
+    assert [r.decile for r in rows] == list(range(10))
+    assert sum(r.n_docs for r in rows) == docs_n
+    assert max(r.n_docs for r in rows) - min(r.n_docs for r in rows) <= 1
+    # mean score must be non-decreasing across score deciles
+    means = [r.mean_score for r in rows]
+    assert means == sorted(means)
+
+
+def test_seasonal_naive_known_series(spark, tmp_path):
+    """Two weeks, counts week1=[1..7], week2=[2..8] (same weekday + 1):
+    every paired day has error exactly +1 -> MAE 1, bias +1."""
+    import datetime as dt
+
+    from sql_engine_spark.queries.round6_quality import (
+        events_seasonal_naive_backtest,
+    )
+
+    rows = []
+    eid = 0
+    base = dt.date(2024, 1, 1)
+    for d in range(14):
+        cnt = (d % 7) + 1 + (1 if d >= 7 else 0)
+        for _ in range(cnt):
+            rows.append(
+                (
+                    eid,
+                    dt.datetime.combine(base + dt.timedelta(days=d), dt.time(12)),
+                    1,
+                    "click",
+                    1.0,
+                    "{}",
+                )
+            )
+            eid += 1
+    out = events_seasonal_naive_backtest(
+        spark, _events(spark, tmp_path, rows)
+    ).collect()
+    assert len(out) == 7
+    for r in out:
+        assert r.n_days == 1
+        assert r.mae == pytest.approx(1.0)
+        assert r.mean_bias == pytest.approx(1.0)
