@@ -634,11 +634,15 @@ def agg_histogram_fixed_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
                                len(vals))]
                     - vals[CAST(FLOOR((len(vals) - 1) * 0.5) AS BIGINT) + 1])
                    AS p50_seconds,
-               vals[CAST(FLOOR((len(vals) - 1) * 0.9) AS BIGINT) + 1]
-               + ((len(vals) - 1) * 0.9 - FLOOR((len(vals) - 1) * 0.9))
-                 * (vals[least(CAST(FLOOR((len(vals) - 1) * 0.9) AS BIGINT) + 2,
+               -- 0.9 pinned to DOUBLE: a bare 0.9 parses as DECIMAL in
+               -- DuckDB, making (n-1)*0.9 exact where Spark's double
+               -- product is not (0.5 is binary-exact and safe)
+               vals[CAST(FLOOR((len(vals) - 1) * CAST(0.9 AS DOUBLE)) AS BIGINT) + 1]
+               + ((len(vals) - 1) * CAST(0.9 AS DOUBLE)
+                  - FLOOR((len(vals) - 1) * CAST(0.9 AS DOUBLE)))
+                 * (vals[least(CAST(FLOOR((len(vals) - 1) * CAST(0.9 AS DOUBLE)) AS BIGINT) + 2,
                                len(vals))]
-                    - vals[CAST(FLOOR((len(vals) - 1) * 0.9) AS BIGINT) + 1])
+                    - vals[CAST(FLOOR((len(vals) - 1) * CAST(0.9 AS DOUBLE)) AS BIGINT) + 1])
                    AS p90_seconds,
                vals[len(vals)] AS max_seconds
         FROM d
@@ -649,10 +653,13 @@ def agg_histogram_fixed_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join in Spark — two independent spellings), delays summarized as "
     "exact interpolated p50/p90/max in integer-microsecond-derived "
     "seconds. Funnel *latency* is the metric product teams pair with "
-    "funnel *counts* (events_user_funnel). The final exact percentile "
-    "necessarily materializes the converted-purchase delays in one "
-    "list (bounded by purchase count; the 100 TB posture is "
-    "approx_percentile, as in agg_percentile_exact).",
+    "funnel *counts* (events_user_funnel). The exact percentiles run "
+    "through the bucketed two-level rank + rank-targeted join "
+    "(operators/prefix.bucketed_value_rank) — the delay relation is "
+    "purchase-count-sized, so a single collect_list buffer would be "
+    "the same funnel agg_percentile_exact was rewritten to avoid; "
+    "only the oracle (DuckDB-side, oracle scale) materializes the "
+    "sorted list.",
 )
 def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sql_engine_spark.operators.asof import asof_join
@@ -665,7 +672,10 @@ def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = ev.where(F.col("event_type") == "view").select(
         "user_id", micros.alias("v_tm")
     )
-    matched = (
+    from sql_engine_spark.operators.dedup import _persist
+    from sql_engine_spark.operators.prefix import bucketed_value_rank
+
+    matched = _persist(
         asof_join(
             p,
             v.withColumn("__one", F.lit(1)),
@@ -676,26 +686,73 @@ def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("asof_ts").isNotNull())
         .select(
+            "event_id",
             ((F.col("tm") - F.col("asof_ts")).cast("double") / 1e6).alias(
                 "delay_s"
-            )
+            ),
         )
     )
-    d = matched.agg(F.array_sort(F.collect_list("delay_s")).alias("__vals"))
-    cols = [F.size("__vals").cast("long").alias("n_converted")]
-    for p_, name in ((0.5, "p50_seconds"), (0.9, "p90_seconds")):
-        h = f"CAST((size(__vals) - 1) AS DOUBLE) * {p_}D"
-        lo = f"CAST(FLOOR({h}) AS INT) + 1"
-        hi = f"least({lo} + 1, size(__vals))"
-        frac = f"({h} - FLOOR({h}))"
-        cols.append(
-            F.expr(
-                f"element_at(__vals, {lo}) + {frac} * "
-                f"(element_at(__vals, {hi}) - element_at(__vals, {lo}))"
-            ).alias(name)
-        )
-    cols.append(F.expr("element_at(__vals, size(__vals))").alias("max_seconds"))
-    return d.select(*cols)
+    n_rows = matched.count()
+    ranked = bucketed_value_rank(
+        matched,
+        part_cols=[],
+        value_col="delay_s",
+        tie_col="event_id",
+        n_rows=n_rows,
+        out_col="rk",
+    )
+    n = matched.agg(
+        F.count("*").cast("long").alias("n"),
+        F.max("delay_s").alias("max_seconds"),
+    )
+    t_structs = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("name"),
+                ((F.col("n") - 1).cast("double") * F.lit(p_)).alias("h"),
+            )
+            for p_, name in ((0.5, "p50_seconds"), (0.9, "p90_seconds"))
+        ]
+    )
+    targets = n.select("n", F.explode(t_structs).alias("t")).select(
+        "n",
+        F.col("t.name").alias("name"),
+        (F.floor("t.h").cast("long") + 1).alias("lo_rank"),
+        F.least(F.floor("t.h").cast("long") + 2, F.col("n")).alias("hi_rank"),
+        (F.col("t.h") - F.floor("t.h")).alias("frac"),
+    )
+    hits = ranked.join(
+        F.broadcast(targets),
+        (F.col("rk") == F.col("lo_rank")) | (F.col("rk") == F.col("hi_rank")),
+    )
+    per_p = hits.groupBy("name", "lo_rank", "hi_rank", "frac").agg(
+        F.max(F.when(F.col("rk") == F.col("lo_rank"), F.col("delay_s"))).alias(
+            "v_lo"
+        ),
+        F.max(F.when(F.col("rk") == F.col("hi_rank"), F.col("delay_s"))).alias(
+            "v_hi"
+        ),
+    )
+    pv = per_p.select(
+        "name",
+        (F.col("v_lo") + F.col("frac") * (F.col("v_hi") - F.col("v_lo"))).alias(
+            "pv"
+        ),
+    )
+    wide = pv.groupBy().agg(
+        F.max(F.when(F.col("name") == "p50_seconds", F.col("pv"))).alias(
+            "p50_seconds"
+        ),
+        F.max(F.when(F.col("name") == "p90_seconds", F.col("pv"))).alias(
+            "p90_seconds"
+        ),
+    )
+    return n.crossJoin(wide).select(
+        F.col("n").alias("n_converted"),
+        "p50_seconds",
+        "p90_seconds",
+        "max_seconds",
+    )
 
 
 def _median_from_sorted(vals_expr: str, spark_side: bool) -> str:

@@ -287,3 +287,13 @@ def test_bpe_twenty_merges_match_reference(spark, sf_dir):
 
     got = _bpe_train(spark, sf_dir, rounds=20)
     assert got == want
+
+
+def test_time_to_convert_plan_has_no_collect_list(spark, sf_dir):
+    """The conversion-latency percentiles must use the bucketed rank,
+    not a single-buffer collect_list (the agg_percentile_exact
+    discipline, extended in round 6)."""
+    from sql_engine_spark.queries.round5_events import events_time_to_convert
+
+    qe = events_time_to_convert(spark, sf_dir)._jdf.queryExecution()
+    assert "collect_list" not in qe.optimizedPlan().toString()
