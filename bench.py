@@ -216,6 +216,8 @@ EXTENSION_R6 = [
     "curation_rater_agreement_kappa",
     "curation_score_calibration",
     "events_seasonal_naive_backtest",
+    "text_langid_confusion",
+    "emb_knn_label_accuracy",
 ]
 
 

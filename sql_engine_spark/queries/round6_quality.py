@@ -260,3 +260,154 @@ def events_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFram
         (dsum(F.abs(err)) / F.count("*")).alias("mae"),
         (dsum(err) / F.count("*")).alias("mean_bias"),
     )
+
+
+@register(
+    "text_langid_confusion",
+    oracle=None,  # spliced below from the lang-id oracle
+    doc="Language-ID confusion matrix: (labeled, predicted) counts plus "
+    "per-true-language recall — the evaluation every classifier gate "
+    "needs before its predictions route documents (a filter that "
+    "misroutes one language silently biases the mixture; per-class "
+    "recall is the row a mixture owner actually reads). Composes "
+    "text_lang_id (stopword-vote prediction, pure map work); the "
+    "matrix is one bounded (true, pred) aggregate and recall a "
+    "per-true-language join.",
+)
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sql_engine_spark.queries.text import text_lang_id
+
+    pred = text_lang_id(spark, sf_dir)
+    m = pred.groupBy(
+        F.col("labeled_lang").alias("lang_true"),
+        F.col("predicted_lang").alias("lang_pred"),
+    ).agg(F.count("*").cast("long").alias("n"))
+    totals = m.groupBy(F.col("lang_true").alias("__t")).agg(
+        F.sum("n").cast("long").alias("n_true")
+    )
+    return (
+        m.join(F.broadcast(totals), F.col("lang_true") == F.col("__t"))
+        .select(
+            "lang_true",
+            "lang_pred",
+            "n",
+            (F.col("n").cast("double") / F.col("n_true").cast("double")).alias(
+                "frac_of_true"
+            ),
+        )
+    )
+
+
+def _langid_confusion_oracle() -> str:
+    langid = _REGISTRY["text_lang_id"].oracle
+    return f"""
+        WITH pred AS ({langid}),
+        m AS (
+            SELECT labeled_lang AS lang_true, predicted_lang AS lang_pred,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM pred GROUP BY 1, 2
+        ),
+        t AS (
+            SELECT lang_true, CAST(SUM(n) AS BIGINT) AS n_true
+            FROM m GROUP BY lang_true
+        )
+        SELECT m.lang_true, m.lang_pred, m.n,
+               CAST(m.n AS DOUBLE) / CAST(t.n_true AS DOUBLE) AS frac_of_true
+        FROM m JOIN t USING (lang_true)
+    """
+
+
+_REGISTRY["text_langid_confusion"].oracle = _langid_confusion_oracle()
+
+
+@register(
+    "emb_knn_label_accuracy",
+    oracle=None,  # spliced below from the kNN-graph oracle
+    doc="kNN label-vote accuracy over the embedding graph: each vector "
+    "predicted as the MAJORITY label of its (up to) 5 approximate "
+    "nearest neighbors (ties to the smallest label — deterministic), "
+    "scored against its own label, reported per class — the "
+    "leave-one-out sanity check that the embedding space actually "
+    "separates the labels (the companion to ann_centroid_classify's "
+    "centroid rule: kNN-vote is the local/nonparametric evaluation). "
+    "Composes the kNN graph (bounded out-degree); the vote is one "
+    "(node, label) count + a node-keyed argmax window over <= k "
+    "candidate rows.",
+)
+def emb_knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from sql_engine_spark.operators.similarity import knn_graph
+
+    emb = load(spark, sf_dir, "embeddings")
+    g = knn_graph(
+        emb, id_col="vec_id", vec_col="embedding", planes=4, tables=4, dim=64, k=5
+    )
+    labels = emb.select("vec_id", "label")
+    votes = (
+        g.join(
+            labels.select(
+                F.col("vec_id").alias("dst"), F.col("label").alias("nb_label")
+            ),
+            "dst",
+        )
+        .groupBy("src", "nb_label")
+        .agg(F.count("*").cast("long").alias("v"))
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("v"), F.asc("nb_label"))
+    pred = (
+        votes.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("src", F.col("nb_label").alias("pred_label"))
+    )
+    scored = pred.join(
+        labels.select(F.col("vec_id").alias("src"), F.col("label").alias("true_label")),
+        "src",
+    )
+    return scored.groupBy(F.col("true_label").alias("label")).agg(
+        F.count("*").cast("long").alias("n_scored"),
+        F.sum(F.when(F.col("pred_label") == F.col("true_label"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_correct"),
+        (
+            F.sum(
+                F.when(F.col("pred_label") == F.col("true_label"), 1).otherwise(0)
+            ).cast("double")
+            / F.count("*").cast("double")
+        ).alias("accuracy"),
+    )
+
+
+def _knn_label_oracle() -> str:
+    from sql_engine_spark.operators.similarity import sql_knn_graph
+
+    return f"""
+        WITH knn AS ({sql_knn_graph(planes=4, tables=4, dim=64, k=5)}),
+        votes AS (
+            SELECT k.src, e.label AS nb_label, CAST(COUNT(*) AS BIGINT) AS v
+            FROM knn k JOIN embeddings e ON k.dst = e.vec_id
+            GROUP BY k.src, e.label
+        ),
+        pred AS (
+            SELECT src, nb_label AS pred_label FROM (
+                SELECT src, nb_label,
+                       row_number() OVER (
+                           PARTITION BY src ORDER BY v DESC, nb_label) AS rk
+                FROM votes
+            ) WHERE rk = 1
+        ),
+        scored AS (
+            SELECT e.label AS true_label, p.pred_label
+            FROM pred p JOIN embeddings e ON p.src = e.vec_id
+        )
+        SELECT true_label AS label,
+               CAST(COUNT(*) AS BIGINT) AS n_scored,
+               CAST(SUM(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_correct,
+               CAST(SUM(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)
+                    AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS accuracy
+        FROM scored GROUP BY true_label
+    """
+
+
+_REGISTRY["emb_knn_label_accuracy"].oracle = _knn_label_oracle()
