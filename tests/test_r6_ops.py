@@ -617,3 +617,58 @@ def test_seasonal_naive_known_series(spark, tmp_path):
         assert r.n_days == 1
         assert r.mae == pytest.approx(1.0)
         assert r.mean_bias == pytest.approx(1.0)
+
+
+def test_langid_confusion_matches_predictions(spark, sf_dir):
+    from collections import Counter
+
+    from sql_engine_spark.queries.round6_quality import text_langid_confusion
+    from sql_engine_spark.queries.text import text_lang_id
+
+    want = Counter()
+    for r in text_lang_id(spark, sf_dir).collect():
+        want[(r.labeled_lang, r.predicted_lang)] += 1
+    rows = text_langid_confusion(spark, sf_dir).collect()
+    got = {(r.lang_true, r.lang_pred): r.n for r in rows}
+    assert got == dict(want)
+    # per-true rows sum to 1.0 in frac_of_true
+    from collections import defaultdict
+
+    frac = defaultdict(float)
+    for r in rows:
+        frac[r.lang_true] += r.frac_of_true
+    for lang, s in frac.items():
+        assert s == pytest.approx(1.0)
+
+
+def test_knn_label_accuracy_matches_vote(spark, sf_dir):
+    """Per-class accuracy matches a driver-side majority vote over the
+    same kNN edges (ties to smallest label)."""
+    from collections import Counter, defaultdict
+
+    from sql_engine_spark.operators.similarity import knn_graph
+    from sql_engine_spark.queries.round6_quality import emb_knn_label_accuracy
+
+    emb = load(spark, sf_dir, "embeddings")
+    labels = {r.vec_id: r.label for r in emb.select("vec_id", "label").collect()}
+    g = knn_graph(
+        emb, id_col="vec_id", vec_col="embedding", planes=4, tables=4, dim=64, k=5
+    )
+    nbrs = defaultdict(list)
+    for r in g.collect():
+        nbrs[r.src].append(labels[r.dst])
+    per_class = Counter()
+    correct = Counter()
+    for src, labs in nbrs.items():
+        votes = Counter(labs)
+        pred = min(votes, key=lambda l: (-votes[l], l))
+        true = labels[src]
+        per_class[true] += 1
+        if pred == true:
+            correct[true] += 1
+    got = {
+        r.label: (r.n_scored, r.n_correct)
+        for r in emb_knn_label_accuracy(spark, sf_dir).collect()
+    }
+    want = {lab: (per_class[lab], correct[lab]) for lab in per_class}
+    assert got == want
