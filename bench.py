@@ -218,6 +218,10 @@ EXTENSION_R6 = [
     "events_seasonal_naive_backtest",
     "text_langid_confusion",
     "emb_knn_label_accuracy",
+    "agg_winsorized_mean",
+    "events_abtest_ztest",
+    "scan_zorder_multicol_prune",
+    "streaming_funnel_live",
 ]
 
 

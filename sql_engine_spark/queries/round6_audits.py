@@ -385,3 +385,77 @@ def _cluster_hist_oracle() -> str:
 
 
 _REGISTRY["curation_cluster_size_histogram"].oracle = _cluster_hist_oracle()
+
+
+_ZO_PRICE_LO, _ZO_PRICE_HI = 100000.0, 150000.0
+_ZO_CUST_LO, _ZO_CUST_HI = 100, 400
+
+
+@register(
+    "scan_zorder_multicol_prune",
+    oracle=f"""
+        SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        WHERE o_totalprice BETWEEN {_ZO_PRICE_LO} AND {_ZO_PRICE_HI}
+          AND o_custkey BETWEEN {_ZO_CUST_LO} AND {_ZO_CUST_HI}
+    """,
+    doc="Z-order clustering + MULTI-COLUMN zone-map pruning: orders are "
+    "written range-partitioned and sorted by the Morton interleave of "
+    "(o_totalprice, o_custkey) (sinks.write_zordered), so every file "
+    "covers a small RECTANGLE of the 2-D space and footer min/max "
+    "stats prune on EITHER predicate column — the property a plain "
+    "sort only gives its leading column, and the reason Delta/Iceberg "
+    "ship OPTIMIZE ZORDER. Both columns' zones are read driver-side "
+    "from footers (operators/zonemap.footer_file_stats, zero row "
+    "reads), files are kept only when BOTH rectangles intersect the "
+    "predicate box (conservative on missing stats), and the row "
+    "filter re-applies on survivors — so the result is definitionally "
+    "the plain double-filtered scan the oracle runs. "
+    "tests/test_r6_ops.py pins that pruning actually drops files.",
+)
+def scan_zorder_multicol_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from sql_engine_spark.operators.zonemap import footer_file_stats
+    from sql_engine_spark.sinks import write_zordered
+
+    orders = load(spark, sf_dir, "orders")
+    path = tempfile.mkdtemp(prefix="zorder_orders_")
+    write_zordered(
+        orders, path, cols=("o_totalprice", "o_custkey"), n_files=8
+    )
+    kept = zorder_kept_files(path)
+    df = spark.read.parquet(*kept)
+    return df.where(
+        F.col("o_totalprice").between(_ZO_PRICE_LO, _ZO_PRICE_HI)
+        & F.col("o_custkey").between(_ZO_CUST_LO, _ZO_CUST_HI)
+    ).select("o_orderkey", "o_custkey", "o_totalprice")
+
+
+def zorder_kept_files(path: str) -> list[str]:
+    """Driver-side 2-column zone intersection over the z-ordered files:
+    keep a file iff BOTH its (min, max) ranges intersect the predicate
+    box, conservatively keeping files with missing stats."""
+    from sql_engine_spark.operators.zonemap import footer_file_stats
+
+    def survivors(col: str, lo, hi) -> set[str]:
+        out = set()
+        for z in footer_file_stats(path, col):
+            if z.all_null:
+                continue
+            if not z.has_stats or z.min_val is None:
+                out.add(z.file)  # conservative
+            elif not (z.max_val < lo or z.min_val > hi):
+                out.add(z.file)
+        return out
+
+    kept = survivors("o_totalprice", _ZO_PRICE_LO, _ZO_PRICE_HI) & survivors(
+        "o_custkey", _ZO_CUST_LO, _ZO_CUST_HI
+    )
+    # never return an empty read set (no qualifying file still needs a
+    # valid DataFrame); fall back to all files, the row filter decides
+    if not kept:
+        import glob
+        import os
+
+        kept = set(glob.glob(os.path.join(path, "*.parquet")))
+    return sorted(kept)

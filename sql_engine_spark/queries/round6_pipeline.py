@@ -449,3 +449,88 @@ def events_user_overlap_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+@register(
+    "streaming_funnel_live",
+    oracle="""
+        WITH ft AS (
+            SELECT user_id, event_type, MIN(ts) AS first_ts
+            FROM events GROUP BY user_id, event_type
+        ),
+        p AS (
+            SELECT user_id,
+                   MAX(CASE WHEN event_type = 'view' THEN first_ts END) AS t_view,
+                   MAX(CASE WHEN event_type = 'click' THEN first_ts END) AS t_click,
+                   MAX(CASE WHEN event_type = 'purchase' THEN first_ts END)
+                       AS t_purchase
+            FROM ft GROUP BY user_id
+        )
+        SELECT CAST(SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_viewed,
+               CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click >= t_view
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_view_click,
+               CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click >= t_view
+                             AND t_purchase >= t_click
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel
+        FROM p
+    """,
+    doc="Streaming first-touch funnel: the per-(user, event_type) "
+    "FIRST-SEEN timestamp relation is maintained across micro-batches "
+    "through the idempotent matview (min is mergeable — the same "
+    "argument as the RFM view), and the ordered funnel view -> click "
+    "-> purchase (each step's first touch at or after the previous "
+    "step's) evaluates over the drained view, converging EXACTLY to "
+    "the batch answer. View state is users x types; per-trigger cost "
+    "O(batch) + O(view). The live companion to events_user_funnel's "
+    "batch counts.",
+)
+def streaming_funnel_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from sql_engine_spark.queries.streaming import _state_partitions
+    from sql_engine_spark.streaming.matview import IdempotentMatView
+    from sql_engine_spark.streaming.source import table_stream
+
+    view = IdempotentMatView(
+        tempfile.mkdtemp(prefix="funnel_view_"),
+        partial_of=lambda b: (
+            b.groupBy("user_id", "event_type").agg(F.min("ts").alias("first_ts"))
+        ),
+        combine=lambda cur, partial: (
+            cur.unionByName(partial)
+            .groupBy("user_id", "event_type")
+            .agg(F.min("first_ts").alias("first_ts"))
+        ),
+    )
+    with _state_partitions(spark):
+        stream = table_stream(spark, sf_dir, "events", ["event_id"], 4)
+        q = (
+            stream.select("user_id", "event_type", "ts")
+            .writeStream.outputMode("append")
+            .foreachBatch(view.merge)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    ft = view.read(spark)
+    p = ft.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "view", F.col("first_ts"))
+        ).alias("t_view"),
+        F.max(
+            F.when(F.col("event_type") == "click", F.col("first_ts"))
+        ).alias("t_click"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", F.col("first_ts"))
+        ).alias("t_purchase"),
+    )
+    viewed = F.col("t_view").isNotNull()
+    vc = viewed & (F.col("t_click") >= F.col("t_view"))
+    full = vc & (F.col("t_purchase") >= F.col("t_click"))
+    one = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("long")  # noqa: E731
+    return p.agg(
+        one(viewed).alias("n_viewed"),
+        one(vc).alias("n_view_click"),
+        one(full).alias("n_full_funnel"),
+    )

@@ -542,3 +542,206 @@ def events_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dow_index"),
         )
     )
+
+
+@register(
+    "agg_winsorized_mean",
+    oracle=f"""
+        WITH r AS (
+            SELECT event_type, event_id, value,
+                   CAST(row_number() OVER (
+                       PARTITION BY event_type
+                       ORDER BY value, event_id) AS BIGINT) AS rk
+            FROM events
+        ),
+        n AS (
+            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(FLOOR(COUNT(*) / {_TRIM_FRAC}) AS BIGINT) AS k
+            FROM events GROUP BY event_type
+        ),
+        bounds AS (
+            SELECT r.event_type,
+                   MAX(CASE WHEN rk = k + 1 THEN value END) AS v_lo,
+                   MAX(CASE WHEN rk = n - k THEN value END) AS v_hi
+            FROM r JOIN n USING (event_type)
+            GROUP BY r.event_type
+        ),
+        mid AS (
+            SELECT r.event_type,
+                   {sql_dsum('value')} AS mid_sum
+            FROM r JOIN n USING (event_type)
+            WHERE rk > k AND rk <= n - k
+            GROUP BY r.event_type
+        )
+        SELECT n.event_type, n.n, n.k AS k_winsor, b.v_lo, b.v_hi,
+               (mid_sum + CAST(n.k AS DOUBLE) * b.v_lo
+                        + CAST(n.k AS DOUBLE) * b.v_hi)
+                   / CAST(n.n AS DOUBLE) AS winsorized_mean
+        FROM n JOIN bounds b USING (event_type) JOIN mid USING (event_type)
+    """,
+    doc="10%-winsorized mean per event type — the robust-location "
+    "sibling of the trimmed mean that CLAMPS the tails to the band "
+    "edges instead of dropping them (keeps n constant, the form used "
+    "when downstream weights assume full mass). Same machinery: "
+    "bucketed two-level rank, the two clamp values read AT RANKS "
+    "k+1 / n-k via the rank-targeted broadcast join, one decimal-exact "
+    "band sum; the clamp mass folds in closed form (k*v_lo + k*v_hi) "
+    "— no second pass, no value lists.",
+)
+def agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _persist(
+        load(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    )
+    ranked = bucketed_value_rank(
+        ev,
+        part_cols=["event_type"],
+        value_col="value",
+        tie_col="event_id",
+        n_rows=ev.count(),
+        out_col="rk",
+    )
+    n = ev.groupBy(F.col("event_type").alias("__g")).agg(
+        F.count("*").cast("long").alias("n"),
+        F.floor(F.count("*") / _TRIM_FRAC).cast("long").alias("k"),
+    )
+    j = ranked.join(F.broadcast(n), F.col("event_type") == F.col("__g"))
+    bounds = j.groupBy("event_type").agg(
+        F.max(F.when(F.col("rk") == F.col("k") + 1, F.col("value"))).alias("v_lo"),
+        F.max(
+            F.when(F.col("rk") == F.col("n") - F.col("k"), F.col("value"))
+        ).alias("v_hi"),
+    )
+    mid = (
+        j.where((F.col("rk") > F.col("k")) & (F.col("rk") <= F.col("n") - F.col("k")))
+        .groupBy(F.col("event_type").alias("__m"))
+        .agg(dsum("value").alias("mid_sum"))
+    )
+    return (
+        n.join(bounds, F.col("__g") == bounds.event_type)
+        .join(mid, F.col("__g") == F.col("__m"))
+        .select(
+            "event_type",
+            "n",
+            F.col("k").alias("k_winsor"),
+            "v_lo",
+            "v_hi",
+            (
+                (
+                    F.col("mid_sum")
+                    + F.col("k").cast("double") * F.col("v_lo")
+                    + F.col("k").cast("double") * F.col("v_hi")
+                )
+                / F.col("n").cast("double")
+            ).alias("winsorized_mean"),
+        )
+    )
+
+
+@register(
+    "events_abtest_ztest",
+    oracle="""
+        WITH u AS (
+            SELECT user_id,
+                   CAST(user_id % 2 AS BIGINT) AS cohort,
+                   CAST(CASE WHEN SUM(CASE WHEN event_type = 'purchase'
+                                      THEN 1 ELSE 0 END)
+                                > SUM(CASE WHEN event_type = 'view'
+                                      THEN 1 ELSE 0 END)
+                             THEN 1 ELSE 0 END AS BIGINT) AS converted
+            FROM events GROUP BY user_id
+        ),
+        c AS (
+            SELECT cohort,
+                   CAST(COUNT(*) AS BIGINT) AS n_users,
+                   CAST(SUM(converted) AS BIGINT) AS n_converted
+            FROM u GROUP BY cohort
+        ),
+        w AS (
+            SELECT a.n_users AS n_a, a.n_converted AS c_a,
+                   b.n_users AS n_b, b.n_converted AS c_b
+            FROM c a JOIN c b ON a.cohort = 0 AND b.cohort = 1
+        )
+        SELECT n_a, c_a, n_b, c_b,
+               CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS p_a,
+               CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS p_b,
+               CASE WHEN c_a + c_b = 0 OR c_a + c_b = n_a + n_b
+                    THEN NULL ELSE
+               (CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                - CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+               / sqrt((CAST(c_a + c_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+                      * (1.0 - CAST(c_a + c_b AS DOUBLE)
+                               / CAST(n_a + n_b AS DOUBLE))
+                      * (1.0 / CAST(n_a AS DOUBLE)
+                         + 1.0 / CAST(n_b AS DOUBLE))) END AS z_stat,
+               CASE WHEN c_a + c_b = 0 OR c_a + c_b = n_a + n_b
+                    THEN NULL ELSE
+               abs((CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                    - CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+                   / sqrt((CAST(c_a + c_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+                          * (1.0 - CAST(c_a + c_b AS DOUBLE)
+                                   / CAST(n_a + n_b AS DOUBLE))
+                          * (1.0 / CAST(n_a AS DOUBLE)
+                             + 1.0 / CAST(n_b AS DOUBLE)))) > 1.96
+               END AS significant_95
+        FROM w
+    """,
+    doc="Two-proportion z-test between user cohorts (user_id parity as "
+    "the assignment): per-user conversion (any purchase), pooled-"
+    "variance z statistic, and the |z| > 1.96 verdict — the A/B "
+    "readout every experimentation platform computes (no t-table or "
+    "erf needed for the fixed 95% threshold, so it stays libm-free: "
+    "counts are exact integers, the statistic is shared-order double "
+    "arithmetic and one IEEE sqrt). One per-user aggregate + one "
+    "2-row cohort aggregate.",
+)
+def events_abtest_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        (
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            > F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        )
+        .cast("long")
+        .alias("converted")
+    ).select((F.col("user_id") % 2).cast("long").alias("cohort"), "converted")
+    c = u.groupBy("cohort").agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.sum("converted").cast("long").alias("n_converted"),
+    )
+    a = c.where(F.col("cohort") == 0).select(
+        F.col("n_users").alias("n_a"), F.col("n_converted").alias("c_a")
+    )
+    b = c.where(F.col("cohort") == 1).select(
+        F.col("n_users").alias("n_b"), F.col("n_converted").alias("c_b")
+    )
+    w = a.crossJoin(b)
+    p_a = F.col("c_a").cast("double") / F.col("n_a").cast("double")
+    p_b = F.col("c_b").cast("double") / F.col("n_b").cast("double")
+    pool = (F.col("c_a") + F.col("c_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    ).cast("double")
+    degenerate = (F.col("c_a") + F.col("c_b") == 0) | (
+        F.col("c_a") + F.col("c_b") == F.col("n_a") + F.col("n_b")
+    )
+    z = F.when(
+        ~degenerate,
+        (p_a - p_b)
+        / F.sqrt(
+            pool
+            * (F.lit(1.0) - pool)
+            * (
+                F.lit(1.0) / F.col("n_a").cast("double")
+                + F.lit(1.0) / F.col("n_b").cast("double")
+            )
+        ),
+    )
+    return w.select(
+        "n_a",
+        "c_a",
+        "n_b",
+        "c_b",
+        p_a.alias("p_a"),
+        p_b.alias("p_b"),
+        z.alias("z_stat"),
+        (F.abs(z) > 1.96).alias("significant_95"),
+    )

@@ -672,3 +672,85 @@ def test_knn_label_accuracy_matches_vote(spark, sf_dir):
     }
     want = {lab: (per_class[lab], correct[lab]) for lab in per_class}
     assert got == want
+
+
+def test_zorder_prune_drops_files(spark, sf_dir):
+    """Z-order clustering must let the 2-column zone intersection skip
+    at least one of the 8 files (both predicates are narrow bands)."""
+    import glob
+    import os
+    import tempfile
+
+    from sql_engine_spark.queries.round6_audits import zorder_kept_files
+    from sql_engine_spark.sinks import write_zordered
+
+    orders = load(spark, sf_dir, "orders")
+    path = tempfile.mkdtemp(prefix="zorder_test_")
+    write_zordered(orders, path, cols=("o_totalprice", "o_custkey"), n_files=8)
+    total = len(glob.glob(os.path.join(path, "*.parquet")))
+    kept = zorder_kept_files(path)
+    assert total == 8
+    assert len(kept) < total, (len(kept), total)
+
+
+def test_winsorized_vs_trimmed_known_values(spark, tmp_path):
+    """Values 0..9: k=1 -> clamp to [1, 8]; winsorized mean =
+    (1 + 1..8 sum + 8)/10 = (36 + 9)/10 = 4.5 (symmetric here)."""
+    import datetime as dt
+
+    from sql_engine_spark.queries.round6_stats import agg_winsorized_mean
+
+    rows = [
+        (i, dt.datetime(2024, 1, 1, 0, 0, i), 1, "click", float(i), "{}")
+        for i in range(10)
+    ]
+    out = agg_winsorized_mean(spark, _events(spark, tmp_path, rows)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.n, r.k_winsor, r.v_lo, r.v_hi) == (10, 1, 1.0, 8.0)
+    assert r.winsorized_mean == pytest.approx(4.5)
+
+
+def test_streaming_funnel_equals_direct(spark, sf_dir):
+    """The drained matview funnel equals the same computation run
+    directly over the batch first-touch relation."""
+    from sql_engine_spark.queries.round6_pipeline import streaming_funnel_live
+
+    ev = load(spark, sf_dir, "events")
+    ft = {}
+    for r in (
+        ev.groupBy("user_id", "event_type").agg(F.min("ts").alias("t")).collect()
+    ):
+        ft.setdefault(r.user_id, {})[r.event_type] = r.t
+    n_viewed = n_vc = n_full = 0
+    for _, types in ft.items():
+        tv, tc, tp = types.get("view"), types.get("click"), types.get("purchase")
+        if tv is not None:
+            n_viewed += 1
+            if tc is not None and tc >= tv:
+                n_vc += 1
+                if tp is not None and tp >= tc:
+                    n_full += 1
+    r = streaming_funnel_live(spark, sf_dir).collect()[0]
+    assert (r.n_viewed, r.n_view_click, r.n_full_funnel) == (
+        n_viewed,
+        n_vc,
+        n_full,
+    )
+
+
+def test_abtest_ztest_consistency(spark, sf_dir):
+    """z recomputed from the reported counts; significance flag matches."""
+    import math
+
+    from sql_engine_spark.queries.round6_stats import events_abtest_ztest
+
+    r = events_abtest_ztest(spark, sf_dir).collect()[0]
+    assert r.n_a > 0 and r.n_b > 0
+    if r.z_stat is not None:
+        p = (r.c_a + r.c_b) / (r.n_a + r.n_b)
+        z = (r.c_a / r.n_a - r.c_b / r.n_b) / math.sqrt(
+            p * (1 - p) * (1 / r.n_a + 1 / r.n_b)
+        )
+        assert r.z_stat == pytest.approx(z)
+        assert r.significant_95 == (abs(z) > 1.96)
