@@ -222,6 +222,7 @@ EXTENSION_R6 = [
     "events_abtest_ztest",
     "scan_zorder_multicol_prune",
     "streaming_funnel_live",
+    "curation_budget_waterfill",
 ]
 
 

@@ -638,3 +638,107 @@ def _bounce_oracle() -> str:
 from sql_engine_spark.registry import _REGISTRY as _REG  # noqa: E402
 
 _REG["events_bounce_rate"].oracle = _bounce_oracle()
+
+
+@register(
+    "curation_budget_waterfill",
+    oracle="""
+        WITH s AS (
+            SELECT source, CAST(SUM(n_chars) AS BIGINT) AS avail
+            FROM documents GROUP BY source
+        ),
+        t AS (
+            SELECT CAST(SUM(avail) AS BIGINT) AS total,
+                   CAST(COUNT(*) AS BIGINT) AS m,
+                   CAST(FLOOR(SUM(avail) / 2) AS BIGINT) AS budget
+            FROM s
+        ),
+        r AS (
+            SELECT source, avail,
+                   CAST(row_number() OVER (ORDER BY avail, source) AS BIGINT)
+                       AS rk,
+                   CAST(SUM(avail) OVER (ORDER BY avail, source
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+            FROM s
+        ),
+        -- the unique water level theta = (budget - cum_j) / (m - j) for
+        -- the largest j whose sources all fit whole: avail_j*(m-j) <=
+        -- budget - cum_j (exact integer test, no division)
+        lvl AS (
+            SELECT MAX(rk) AS j FROM r CROSS JOIN t
+            WHERE avail * (t.m - rk) <= t.budget - cum
+        ),
+        theta AS (
+            SELECT CAST(t.budget - COALESCE(rj.cum, 0) AS DOUBLE)
+                       / CAST(t.m - COALESCE(lvl.j, 0) AS DOUBLE) AS theta,
+                   t.budget, t.m
+            FROM t
+            LEFT JOIN lvl ON TRUE
+            LEFT JOIN r rj ON rj.rk = lvl.j
+        )
+        SELECT r.source, r.avail,
+               CASE WHEN CAST(r.avail AS DOUBLE) <= theta.theta
+                    THEN CAST(r.avail AS DOUBLE) ELSE theta.theta END
+                   AS allocated,
+               CAST(r.avail AS DOUBLE) > theta.theta AS capped
+        FROM r CROSS JOIN theta
+    """,
+    doc="Water-filling token-budget allocation across sources: spend a "
+    "corpus-half budget so every source keeps ALL its tokens up to a "
+    "common water level theta, and only sources above the level are "
+    "capped AT it — the max-min-fair allocation (classic water-filling "
+    "/ progressive filling) used when a training mixture must cap "
+    "dominant domains without starving small ones (the principled "
+    "version of the fixed per-source cap in curation_source_cap). The "
+    "level is found EXACTLY with integer cross-multiplication over the "
+    "ascending cumulative-sum relation (source-cardinality — bounded), "
+    "no search loop, no division until the final shared-order theta; "
+    "sum(allocated) = budget by construction.",
+)
+def curation_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    s = docs.groupBy("source").agg(F.sum("n_chars").cast("long").alias("avail"))
+    t = s.agg(
+        F.sum("avail").cast("long").alias("total"),
+        F.count("*").cast("long").alias("m"),
+        F.floor(F.sum("avail") / 2).cast("long").alias("budget"),
+    )
+    w = Window.orderBy("avail", "source")
+    r = s.select(
+        "source",
+        "avail",
+        F.row_number().over(w).cast("long").alias("rk"),
+        F.sum("avail")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long")
+        .alias("cum"),
+    )
+    rt = r.crossJoin(F.broadcast(t))
+    lvl = rt.where(
+        F.col("avail") * (F.col("m") - F.col("rk"))
+        <= F.col("budget") - F.col("cum")
+    ).agg(F.max("rk").alias("j"))
+    rj = r.select(F.col("rk").alias("__jrk"), F.col("cum").alias("jcum"))
+    theta = (
+        t.crossJoin(F.broadcast(lvl))
+        .join(F.broadcast(rj), F.col("__jrk") == F.col("j"), "left")
+        .select(
+            (
+                (F.col("budget") - F.coalesce("jcum", F.lit(0))).cast("double")
+                / (F.col("m") - F.coalesce("j", F.lit(0))).cast("double")
+            ).alias("theta")
+        )
+    )
+    return r.crossJoin(F.broadcast(theta)).select(
+        "source",
+        "avail",
+        F.when(
+            F.col("avail").cast("double") <= F.col("theta"),
+            F.col("avail").cast("double"),
+        )
+        .otherwise(F.col("theta"))
+        .alias("allocated"),
+        (F.col("avail").cast("double") > F.col("theta")).alias("capped"),
+    )

@@ -754,3 +754,21 @@ def test_abtest_ztest_consistency(spark, sf_dir):
         )
         assert r.z_stat == pytest.approx(z)
         assert r.significant_95 == (abs(z) > 1.96)
+
+
+def test_waterfill_conserves_budget(spark, sf_dir):
+    """sum(allocated) == budget, no source exceeds its availability,
+    capped sources all sit exactly at the common level, uncapped ones
+    keep everything."""
+    from sql_engine_spark.queries.round6_curation import curation_budget_waterfill
+
+    rows = curation_budget_waterfill(spark, sf_dir).collect()
+    total = sum(r.avail for r in rows)
+    budget = total // 2
+    assert sum(r.allocated for r in rows) == pytest.approx(budget, rel=1e-12)
+    levels = {r.allocated for r in rows if r.capped}
+    assert len(levels) <= 1  # one common water level
+    for r in rows:
+        assert r.allocated <= r.avail + 1e-9
+        if not r.capped:
+            assert r.allocated == pytest.approx(float(r.avail))
