@@ -14,7 +14,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from sql_engine_spark.functions.numeric import dsum
 from sql_engine_spark.io import load
 from sql_engine_spark.operators import dedup as D
 from sql_engine_spark.operators import text as T
@@ -23,16 +22,6 @@ from sql_engine_spark.registry import _REGISTRY, register
 
 _NEW_MOD = 10
 _NEW_REM = 7
-
-
-def _sql_minhash_pairs_any_side(threshold: float) -> str:
-    """All near-dup pair MEMBERS at the given threshold (either side),
-    from the standard MinHash CTE chain."""
-    return f"""
-        SELECT id_a AS id FROM ({_sql_minhash_lsh(3, 8, 4, threshold)})
-        UNION
-        SELECT id_b AS id FROM ({_sql_minhash_lsh(3, 8, 4, threshold)})
-    """
 
 
 @register(
