@@ -415,7 +415,6 @@ _ZO_CUST_LO, _ZO_CUST_HI = 100, 400
 def scan_zorder_multicol_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
-    from sql_engine_spark.operators.zonemap import footer_file_stats
     from sql_engine_spark.sinks import write_zordered
 
     orders = load(spark, sf_dir, "orders")
