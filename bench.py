@@ -223,6 +223,9 @@ EXTENSION_R6 = [
     "scan_zorder_multicol_prune",
     "streaming_funnel_live",
     "curation_budget_waterfill",
+    "ann_ivf_recall_report",
+    "dedup_threshold_sweep",
+    "curation_source_overlap_matrix",
 ]
 
 

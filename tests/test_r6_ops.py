@@ -772,3 +772,53 @@ def test_waterfill_conserves_budget(spark, sf_dir):
         assert r.allocated <= r.avail + 1e-9
         if not r.capped:
             assert r.allocated == pytest.approx(float(r.avail))
+
+
+def test_ivf_recall_matches_sets(spark, sf_dir):
+    from sql_engine_spark.operators.similarity import brute_force_topk, ivf_topk
+    from sql_engine_spark.queries.round6_audits2 import ann_ivf_recall_report
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 10)
+    c = emb.where(F.col("vec_id") >= 10)
+    bsets, isets = {}, {}
+    for r in brute_force_topk(q, c, id_col="vec_id", vec_col="embedding", k=5).collect():
+        bsets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    for r in ivf_topk(
+        q, c, id_col="vec_id", vec_col="embedding", k=5, num_centroids=4, nprobe=2
+    ).collect():
+        isets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    got = {r.query_id: r.n_hits for r in ann_ivf_recall_report(spark, sf_dir).collect()}
+    assert set(got) == set(bsets)
+    for qid, hits in got.items():
+        assert hits == len(bsets[qid] & isets.get(qid, set()))
+
+
+def test_threshold_sweep_monotone(spark, sf_dir):
+    """Higher thresholds never find more pairs or drop more docs."""
+    from sql_engine_spark.queries.round6_audits2 import dedup_threshold_sweep
+
+    rows = sorted(
+        dedup_threshold_sweep(spark, sf_dir).collect(), key=lambda r: r.threshold_pct
+    )
+    pairs = [r.n_pairs for r in rows]
+    drops = [r.n_docs_dropped for r in rows]
+    assert pairs == sorted(pairs, reverse=True)
+    assert drops == sorted(drops, reverse=True)
+    assert all(d <= p for d, p in zip(drops, pairs))
+
+
+def test_source_overlap_matrix_conserves_pairs(spark, sf_dir):
+    from sql_engine_spark.operators import dedup as D
+    from sql_engine_spark.queries.dedup import _MINHASH_PARAMS
+    from sql_engine_spark.queries.round6_audits2 import (
+        curation_source_overlap_matrix,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    n_pairs = D.minhash_lsh_pairs(docs, "doc_id", "text", **_MINHASH_PARAMS).count()
+    rows = curation_source_overlap_matrix(spark, sf_dir).collect()
+    assert sum(r.n_pairs for r in rows) == n_pairs
+    for r in rows:
+        assert r.source_a <= r.source_b
+        assert r.within_source == (r.source_a == r.source_b)
