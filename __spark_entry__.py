@@ -19,8 +19,10 @@ from sql_engine_spark.registry import all_queries, resolve_oracle  # noqa: E402
 
 # The driver's correctness gate runs at sf0.01 (TESTDATA.md); callable
 # oracles (SQL parameterized by a data-derived size, e.g. derived LSH
-# plane counts) are rendered against that directory.
-_DRIVER_SF_DIR = "/root/testdata/sf0.01"
+# plane counts or the kmeans training-sample threshold) are rendered
+# against the gate's directory — overridable via SPARK_GRAFT_SF_DIR so
+# a gate run at another scale factor renders the matching SQL.
+_DRIVER_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -35,10 +37,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL for every oracle-expressible query."""
+    """DuckDB-equivalent SQL for every oracle-expressible query.
+
+    Callable oracles read the dataset (a DuckDB parquet COUNT) at
+    render time; guard each individually so a missing/odd dataset
+    degrades only the derived entries to rows-only checks instead of
+    raising for the whole oracle map."""
     out = {}
     for name, q in all_queries().items():
-        sql = resolve_oracle(q.oracle, _DRIVER_SF_DIR)
+        try:
+            sql = resolve_oracle(q.oracle, _DRIVER_SF_DIR)
+        except Exception:
+            continue
         if sql is not None:
             out[name] = sql
     return out

@@ -229,6 +229,31 @@ EXTENSION_R6 = [
 ]
 
 
+# Round-7 additions: own section, same contract. Populated as round-7
+# operators land.
+EXTENSION_R7: list[str] = []
+
+
+def _time_section(spark, qs, names: list[str], sf_dir: str) -> dict[str, float]:
+    """Best-of-2 full passes: one transient stall (GC, page cache miss,
+    machine contention) otherwise lands verbatim in the recorded number.
+    clearCache between queries: several operators persist intermediates
+    (minhash shingle projection, IVF normalized corpus) that would
+    otherwise accumulate across the suite — each timed run then pays
+    for (and benefits from) exactly its own caching, so numbers are
+    order-independent round over round. Pass 1 doubles as the section's
+    codegen warmup (min() picks the warm pass 2)."""
+    timings: dict[str, float] = {}
+    for _ in range(2):
+        for name in names:
+            spark.catalog.clearCache()
+            t0 = time.time()
+            qs[name].build(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            t = round(time.time() - t0, 3)
+            timings[name] = min(timings.get(name, float("inf")), t)
+    return timings
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -238,100 +263,50 @@ def main() -> int:
     qs = all_queries()
 
     # Warmup: boot executors + parquet footer caches on a small scan, and
-    # compile every headline plan's codegen at the smallest SF so timings
-    # measure the plans at sf_dir, not Janino compilation.
+    # compile the HEADLINE plans' codegen at the smallest SF so the
+    # tracked numbers measure the plans at sf_dir, not Janino
+    # compilation. Extension sections self-warm via pass 1 of their
+    # best-of-2 (min() records the warm pass) — warming all ~280 plans
+    # here aged the JVM (code cache, GC tenuring) before the tracked
+    # sections ran, which is where the round-over-round companion drift
+    # came from (r4 7.92s -> r6 9.29s as the registry grew 187 -> 280).
     qs["scan_project"].build(spark, sf_dir).write.mode("overwrite").format("noop").save()
     warm_dir = "/root/testdata/sf0.001"
     if os.path.isdir(warm_dir):
-        for wq in HEADLINE + EXTENSION + EXTENSION_R4 + EXTENSION_R5 + EXTENSION_R6:
+        for wq in HEADLINE:
             qs[wq].build(spark, warm_dir).write.mode("overwrite").format("noop").save()
 
-    # Best-of-2 full passes: one transient stall (GC, page cache miss,
-    # machine contention) otherwise lands verbatim in the recorded number.
-    # clearCache between queries: several operators persist intermediates
-    # (minhash shingle projection, IVF normalized corpus) that would
-    # otherwise accumulate across the suite — each timed run then pays
-    # for (and benefits from) exactly its own caching, so numbers are
-    # order-independent round over round.
-    timings: dict[str, float] = {}
-    for _ in range(2):
-        for name in HEADLINE:
-            spark.catalog.clearCache()
-            t0 = time.time()
-            qs[name].build(spark, sf_dir).write.mode("overwrite").format("noop").save()
-            t = round(time.time() - t0, 3)
-            timings[name] = min(timings.get(name, float("inf")), t)
-
+    timings = _time_section(spark, qs, HEADLINE, sf_dir)
     total = round(sum(timings.values()), 3)
 
-    # Extension set: separate best-of-2 pass and separate total so the
-    # headline number stays comparable across rounds while the newer
-    # curation / ANN-training / TPC-H-tail operators still get timed.
-    ext_timings: dict[str, float] = {}
-    for _ in range(2):
-        for name in EXTENSION:
-            spark.catalog.clearCache()
-            t0 = time.time()
-            qs[name].build(spark, sf_dir).write.mode("overwrite").format("noop").save()
-            t = round(time.time() - t0, 3)
-            ext_timings[name] = min(ext_timings.get(name, float("inf")), t)
-    ext_total = round(sum(ext_timings.values()), 3)
-
-    r4_timings: dict[str, float] = {}
-    for _ in range(2):
-        for name in EXTENSION_R4:
-            spark.catalog.clearCache()
-            t0 = time.time()
-            qs[name].build(spark, sf_dir).write.mode("overwrite").format("noop").save()
-            t = round(time.time() - t0, 3)
-            r4_timings[name] = min(r4_timings.get(name, float("inf")), t)
-    r4_total = round(sum(r4_timings.values()), 3)
-
-    r5_timings: dict[str, float] = {}
-    for _ in range(2):
-        for name in EXTENSION_R5:
-            spark.catalog.clearCache()
-            t0 = time.time()
-            qs[name].build(spark, sf_dir).write.mode("overwrite").format("noop").save()
-            t = round(time.time() - t0, 3)
-            r5_timings[name] = min(r5_timings.get(name, float("inf")), t)
-    r5_total = round(sum(r5_timings.values()), 3)
-
-    r6_timings: dict[str, float] = {}
-    for _ in range(2):
-        for name in EXTENSION_R6:
-            spark.catalog.clearCache()
-            t0 = time.time()
-            qs[name].build(spark, sf_dir).write.mode("overwrite").format("noop").save()
-            t = round(time.time() - t0, 3)
-            r6_timings[name] = min(r6_timings.get(name, float("inf")), t)
-    r6_total = round(sum(r6_timings.values()), 3)
-
-    # Curation flagships: best-of-2, own stable total (r3 comparison
-    # base: extension_queries.dedup_keep_best / pipeline_curate_full).
-    cur_timings: dict[str, float] = {}
-    for _ in range(2):
-        for name in CURATION:
-            spark.catalog.clearCache()
-            t0 = time.time()
-            qs[name].build(spark, sf_dir).write.mode("overwrite").format("noop").save()
-            t = round(time.time() - t0, 3)
-            cur_timings[name] = min(cur_timings.get(name, float("inf")), t)
-    cur_total = round(sum(cur_timings.values()), 3)
-
     # Companion pass at sf0.01: a low-variance second datapoint so
-    # round-over-round deltas aren't drowned by sf0.1 run noise. One
-    # best-of-2 pass (plans are already codegen-warm from the warmup).
+    # round-over-round deltas aren't drowned by sf0.1 run noise. Runs
+    # IMMEDIATELY after the headline pass — before the ~150 extension
+    # queries age the JVM — so its round-over-round comparison tracks
+    # the plans, not how many operators later sections gained.
     companion: dict[str, float] = {}
     comp_dir = "/root/testdata/sf0.01"
     if os.path.isdir(comp_dir) and os.path.abspath(comp_dir) != os.path.abspath(sf_dir):
-        for _ in range(2):
-            for name in HEADLINE:
-                spark.catalog.clearCache()
-                t0 = time.time()
-                qs[name].build(spark, comp_dir).write.mode("overwrite").format("noop").save()
-                t = round(time.time() - t0, 3)
-                companion[name] = min(companion.get(name, float("inf")), t)
+        companion = _time_section(spark, qs, HEADLINE, comp_dir)
+
+    # Extension sets: separate best-of-2 passes and separate totals so
+    # the headline number stays comparable across rounds while the newer
+    # curation / ANN-training / TPC-H-tail operators still get timed.
+    ext_timings = _time_section(spark, qs, EXTENSION, sf_dir)
+    ext_total = round(sum(ext_timings.values()), 3)
+    r4_timings = _time_section(spark, qs, EXTENSION_R4, sf_dir)
+    r4_total = round(sum(r4_timings.values()), 3)
+    r5_timings = _time_section(spark, qs, EXTENSION_R5, sf_dir)
+    r5_total = round(sum(r5_timings.values()), 3)
+    r6_timings = _time_section(spark, qs, EXTENSION_R6, sf_dir)
+    r6_total = round(sum(r6_timings.values()), 3)
+    r7_timings = _time_section(spark, qs, EXTENSION_R7, sf_dir)
+    r7_total = round(sum(r7_timings.values()), 3)
+
+    # Curation flagships: best-of-2, own stable total (r3 comparison
+    # base: extension_queries.dedup_keep_best / pipeline_curate_full).
+    cur_timings = _time_section(spark, qs, CURATION, sf_dir)
+    cur_total = round(sum(cur_timings.values()), 3)
 
     out = {
         "metric": "headline_total_wall",
@@ -349,11 +324,27 @@ def main() -> int:
         "extension_r5_queries": r5_timings,
         "extension_r6_total": r6_total,
         "extension_r6_queries": r6_timings,
+        "extension_r7_total": r7_total,
+        "extension_r7_queries": r7_timings,
     }
     if companion:
         out["companion_sf"] = 0.01
         out["companion_total"] = round(sum(companion.values()), 3)
         out["companion_queries"] = companion
+    # Full per-query artifact: the driver's stdout capture truncates to
+    # a 2,000-char tail, which loses every per-query map (the r6 verdict
+    # could not attribute a +16% section drift for exactly this reason).
+    # The committed BENCH_LOCAL artifact is the durable evidence.
+    art = os.environ.get(
+        "SPARK_GRAFT_BENCH_OUT",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"),
+    )
+    try:
+        with open(art, "w") as fh:
+            json.dump(out, fh, indent=1)
+            fh.write("\n")
+    except OSError:
+        pass
     print(json.dumps(out))
     # The full line above is several KB; a bounded stdout-tail capture
     # can truncate its head and lose the round-over-round headline
@@ -371,6 +362,7 @@ def main() -> int:
         "extension_r4_total": r4_total,
         "extension_r5_total": r5_total,
         "extension_r6_total": r6_total,
+        "extension_r7_total": r7_total,
     }
     if companion:
         summary["companion_total"] = out["companion_total"]

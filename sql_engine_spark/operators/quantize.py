@@ -81,7 +81,13 @@ def int8_quantize(
     ).format(v=vec_col)
     return (
         df.crossJoin(F.broadcast(scales))
-        .withColumn("__q", F.expr(q))
+        # Explicit NULL-vector guard, mirroring the empty-vector branch:
+        # size(NULL) is NULL, which would silently flow NULL through the
+        # index filter and leave q_l1 at 0 while the oracle yields NULL.
+        # A NULL embedding produces NULL codes/stats in BOTH engines.
+        .withColumn(
+            "__q", F.when(F.col(vec_col).isNotNull(), F.expr(q))
+        )
         .select(
             F.col(id_col),
             F.size(vec_col).cast("long").alias("n_dims"),
@@ -132,11 +138,17 @@ def sql_int8_quantize(
         )
         SELECT {id_col},
                CAST(len(v) AS BIGINT) AS n_dims,
-               list_reduce(list_prepend(CAST(0 AS BIGINT),
-                   list_transform(qv, x -> abs(x))), (a, x) -> a + x) AS q_l1,
+               -- Explicit NULL-vector branch (mirrors the Spark side's
+               -- isNotNull guard): list_prepend(0, NULL) folds to 0 in
+               -- DuckDB, which would silently report q_l1 = 0 for a
+               -- NULL embedding.
+               CASE WHEN v IS NULL THEN NULL ELSE
+                   list_reduce(list_prepend(CAST(0 AS BIGINT),
+                       list_transform(qv, x -> abs(x))), (a, x) -> a + x)
+               END AS q_l1,
                CAST(list_min(qv) AS BIGINT) AS q_min,
                CAST(list_max(qv) AS BIGINT) AS q_max,
-               CASE WHEN len(v) = 0 THEN NULL ELSE
+               CASE WHEN v IS NULL OR len(v) = 0 THEN NULL ELSE
                    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
                        list_transform(range(1, len(v) + 1), i ->
                            (CAST(v[i] AS DOUBLE) - CAST(qv[i] AS DOUBLE) * scales[i])

@@ -107,6 +107,29 @@ def derived_planes(
     return max(floor, min(cap, math.ceil(math.log2(n_rows / target_bucket_rows))))
 
 
+def derived_sample_hex(
+    n_rows: int, *, target_train_rows: int = 250_000
+) -> str | None:
+    """Training-sample threshold sized to the CORPUS, not a constant
+    (the derived_* convention — derived_planes, derived_rank_buckets,
+    derived_bloom_bits): a quantizer only needs ~O(centroids) training
+    points (FAISS trains IVF on 1-10% of vectors, ~39-256 per
+    centroid), so the deterministic md5-prefix sample should keep
+    ~target_train_rows regardless of corpus size. Returns a lowercase
+    hex string `h`; the predicate is substring(md5(id), 1, len(h)) < h,
+    which keeps fraction ceil(frac * 256)/256 of rows (two hex digits
+    = 1/256 granularity). Returns None (train on everything) when the
+    corpus is already at or under the target."""
+    import math
+
+    if n_rows <= 0 or target_train_rows >= n_rows:
+        return None
+    thr = max(1, math.ceil(target_train_rows / n_rows * 256))
+    if thr >= 256:
+        return None
+    return format(thr, "02x")
+
+
 def _planes_or_derived(planes: int | None, df: DataFrame) -> int:
     """Resolve an explicit planes override or derive from the corpus
     row count. The count on a bare parquet scan is footer-driven
@@ -677,6 +700,7 @@ def ivf_kmeans_topk(
     nprobe: int = 2,
     iterations: int = 1,
     train_sample_hex: str | None = "8",
+    target_train_rows: int | None = None,
 ) -> DataFrame:
     """IVF top-k with TRAINED (spherical k-means) centroids.
 
@@ -684,22 +708,34 @@ def ivf_kmeans_topk(
     assignment and probing, one salted two-level top-k shuffle — but the coarse
     quantizer is learned: `iterations` Lloyd rounds (driver-iterated,
     see `train_kmeans_literal`) refine seeds drawn from a DETERMINISTIC
-    md5-prefix sample of the corpus (`train_sample_hex`='8' keeps ids
-    whose md5 first hex digit < '8', ~50%; None trains on everything).
+    md5-prefix sample of the corpus (a hex threshold `h` keeps ids
+    whose md5 first len(h) hex digits < h; None trains on everything).
     Training a quantizer on a sample is the standard at-scale posture
     (FAISS trains IVF on ~1-10% of vectors): the full corpus is only
     ever touched by map-side assignment + the final rank shuffle, and
-    the training jobs run over the bounded sample.
+    the training jobs run over the bounded sample. Pass
+    `target_train_rows` to DERIVE the threshold from the corpus count
+    (derived_sample_hex — the derived_* sizing convention), so the
+    sampled-in training set stays ~constant as corpora grow instead of
+    a fixed fraction that is still 50 TB of a 100 TB corpus.
     """
     from sql_engine_spark.functions.vectors import l2_norm
 
+    raw = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__v"))
+    if target_train_rows is not None:
+        # Corpus count: footer-driven on a bare parquet scan, a cheap
+        # single-column pass otherwise.
+        train_sample_hex = derived_sample_hex(
+            raw.count(), target_train_rows=target_train_rows
+        )
     sample = (
-        F.substring(F.md5(F.col("neighbor_id").cast("string")), 1, 1)
+        F.substring(
+            F.md5(F.col("neighbor_id").cast("string")), 1, len(train_sample_hex)
+        )
         < train_sample_hex
         if train_sample_hex is not None
         else None
     )
-    raw = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__v"))
     cents = train_kmeans_literal(
         raw,
         id_col="neighbor_id",

@@ -774,6 +774,70 @@ def _median_from_sorted(vals_expr: str, spark_side: bool) -> str:
 _MAD_K = 3.0
 
 
+def _ranked_group_median(
+    df: DataFrame,
+    *,
+    group_col: str,
+    value_col: str,
+    tie_col: str,
+    n_rows: int,
+    out_col: str = "med",
+) -> DataFrame:
+    """Exact interpolated per-group median with NO per-group value list:
+    rank every row through the shared two-level bucketed scan
+    (operators/prefix.bucketed_value_rank — widest window is
+    (group, bucket)-partitioned), derive the two target ranks
+    floor((n-1)/2)+1 / +2 from the per-group counts (a broadcast-sized
+    relation), and read the values AT those ranks with a broadcast
+    join. Identical to the sorted-list interpolation formula by
+    construction; this is the agg_percentile_exact machinery
+    specialized to p=0.5 so MAD-style operators can take TWO ranked
+    passes instead of two collect_list funnels."""
+    from sql_engine_spark.operators.prefix import bucketed_value_rank
+
+    ranked = bucketed_value_rank(
+        df,
+        part_cols=[group_col],
+        value_col=value_col,
+        tie_col=tie_col,
+        n_rows=n_rows,
+        out_col="__rank",
+    )
+    h = (F.col("n") - 1).cast("double") * F.lit(0.5)
+    targets = (
+        df.groupBy(F.col(group_col).alias("__g"))
+        .agg(F.count("*").cast("long").alias("n"))
+        .select(
+            "__g",
+            (F.floor(h).cast("long") + 1).alias("lo_rank"),
+            F.least(F.floor(h).cast("long") + 2, F.col("n")).alias("hi_rank"),
+            (h - F.floor(h)).alias("frac"),
+        )
+    )
+    hits = ranked.join(
+        F.broadcast(targets),
+        (F.col(group_col) == F.col("__g"))
+        & (
+            (F.col("__rank") == F.col("lo_rank"))
+            | (F.col("__rank") == F.col("hi_rank"))
+        ),
+    )
+    per = hits.groupBy("__g", "lo_rank", "hi_rank", "frac").agg(
+        F.max(F.when(F.col("__rank") == F.col("lo_rank"), F.col(value_col))).alias(
+            "v_lo"
+        ),
+        F.max(F.when(F.col("__rank") == F.col("hi_rank"), F.col(value_col))).alias(
+            "v_hi"
+        ),
+    )
+    return per.select(
+        F.col("__g").alias(group_col),
+        (F.col("v_lo") + F.col("frac") * (F.col("v_hi") - F.col("v_lo"))).alias(
+            out_col
+        ),
+    )
+
+
 @register(
     "events_anomaly_mad",
     oracle=f"""
@@ -799,35 +863,40 @@ _MAD_K = 3.0
     doc="Robust outlier detection by median absolute deviation: flag "
     "events where |value - median| / MAD > 3 per event type — the "
     "robust alternative to z-scores (events_anomaly_zscore), immune "
-    "to the outliers it hunts inflating the threshold. Two exact "
-    "grouped medians (the shared interpolation formula of "
-    "agg_percentile_exact; per-group lists are the honest cost of "
-    "exactness — approx_percentile at 100 TB) then a broadcast "
-    "stats join; zero-MAD groups flag nothing, explicitly, in both "
+    "to the outliers it hunts inflating the threshold. A median is "
+    "the value at one rank, so BOTH grouped medians run through the "
+    "bucketed two-level rank + broadcast rank-target join "
+    "(_ranked_group_median, the agg_percentile_exact machinery): "
+    "pass one ranks value, pass two ranks |value - med| with med "
+    "broadcast from pass one. event_type cardinality is tiny, so a "
+    "per-group collect_list would funnel billions of doubles through "
+    "single aggregation buffers at 100x — no list exists anywhere in "
+    "this plan. Zero-MAD groups flag nothing, explicitly, in both "
     "engines.",
 )
 def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load(spark, sf_dir, "events")
-    med = ev.groupBy("event_type").agg(
-        F.array_sort(F.collect_list("value")).alias("__v")
-    ).select(
-        "event_type", F.expr(_median_from_sorted("__v", True)).alias("med")
+    from sql_engine_spark.operators.dedup import _persist
+
+    ev = _persist(
+        load(spark, sf_dir, "events").select("event_id", "event_type", "value")
     )
-    mad = (
-        ev.join(F.broadcast(med), "event_type")
-        .groupBy("event_type")
-        .agg(
-            F.array_sort(
-                F.collect_list(F.abs(F.col("value") - F.col("med")))
-            ).alias("__d"),
-            F.min("med").alias("med"),
-        )
-        .select(
+    n = ev.count()
+    med = _ranked_group_median(
+        ev, group_col="event_type", value_col="value", tie_col="event_id",
+        n_rows=n, out_col="med",
+    )
+    dev = _persist(
+        ev.join(F.broadcast(med), "event_type").select(
+            "event_id",
             "event_type",
-            F.expr(_median_from_sorted("__d", True)).alias("mad"),
             "med",
+            F.abs(F.col("value") - F.col("med")).alias("__adev"),
         )
     )
+    mad = _ranked_group_median(
+        dev, group_col="event_type", value_col="__adev", tie_col="event_id",
+        n_rows=n, out_col="mad",
+    ).join(F.broadcast(med), "event_type")
     return ev.join(F.broadcast(mad), "event_type").select(
         "event_id",
         "event_type",

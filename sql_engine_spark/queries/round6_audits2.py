@@ -29,10 +29,14 @@ from sql_engine_spark.registry import register
               ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
             GROUP BY b.query_id
         ),
-        qs AS (SELECT DISTINCT query_id FROM brute)
-        SELECT qs.query_id,
+        qs AS (
+            SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_true
+            FROM brute GROUP BY query_id
+        )
+        SELECT qs.query_id, qs.n_true,
                COALESCE(n_hits, 0) AS n_hits,
-               CAST(COALESCE(n_hits, 0) AS DOUBLE) / CAST(5 AS DOUBLE) AS recall
+               CAST(COALESCE(n_hits, 0) AS DOUBLE)
+                   / CAST(qs.n_true AS DOUBLE) AS recall
         FROM qs LEFT JOIN hits USING (query_id)
     """,
     doc="IVF recall audit: per query, how many of the exact cosine "
@@ -40,7 +44,9 @@ from sql_engine_spark.registry import register
     "the ANN evaluation family (ann_lsh_recall_report audits the LSH "
     "leg; together they are the recall-vs-probe-budget table an index "
     "owner tunes against). Queries whose probed cells miss a true "
-    "neighbor surface as recall < 1, not missing rows. Only id-sized "
+    "neighbor surface as recall < 1, not missing rows; the denominator "
+    "is the per-query brute-force count, not a fixed k, so a query "
+    "with < k true neighbors is not under-reported. Only id-sized "
     "joins on top of the documented index paths.",
 )
 def ann_ivf_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -59,13 +65,14 @@ def ann_ivf_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("query_id")
         .agg(F.count("*").cast("long").alias("n_hits"))
     )
-    qs = brute.select("query_id").distinct()
+    qs = brute.groupBy("query_id").agg(F.count("*").cast("long").alias("n_true"))
     return qs.join(hits, "query_id", "left").select(
         "query_id",
+        "n_true",
         F.coalesce("n_hits", F.lit(0).cast("long")).alias("n_hits"),
         (
             F.coalesce("n_hits", F.lit(0)).cast("double")
-            / F.lit(5).cast("double")
+            / F.col("n_true").cast("double")
         ).alias("recall"),
     )
 

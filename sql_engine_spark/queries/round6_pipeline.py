@@ -265,13 +265,20 @@ def graph_reachability_3hop(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("hops", F.lit(0))
     )
     reach = frontier
-    for _ in range(_MAX_HOPS):
-        nxt = (
-            adj.join(frontier, "node")
-            .select(F.col("nb").alias("node"), (F.col("hops") + 1).alias("hops"))
+    for r in range(1, _MAX_HOPS + 1):
+        # Dedupe the frontier each hop: without the distinct() it is a
+        # bag of PATHS (rows multiply by average degree per hop — seeds
+        # x deg^3 by hop 3 on a hubby kNN graph); with it the frontier
+        # is capped at |reachable nodes|. hops is constant within a
+        # round, so the dedup is exact — min(hops) downstream is
+        # unchanged.
+        frontier = (
+            adj.join(frontier.select("node"), "node")
+            .select(F.col("nb").alias("node"))
+            .distinct()
+            .withColumn("hops", F.lit(r))
         )
-        reach = reach.unionAll(nxt)
-        frontier = nxt
+        reach = reach.unionAll(frontier)
     return reach.groupBy("node").agg(F.min("hops").cast("long").alias("min_hops"))
 
 

@@ -41,10 +41,14 @@ _DEC = "DECIMAL(27,6)"
               ON b.query_id = l.query_id AND b.neighbor_id = l.neighbor_id
             GROUP BY b.query_id
         ),
-        qs AS (SELECT DISTINCT query_id FROM brute)
-        SELECT qs.query_id,
+        qs AS (
+            SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_true
+            FROM brute GROUP BY query_id
+        )
+        SELECT qs.query_id, qs.n_true,
                COALESCE(n_hits, 0) AS n_hits,
-               CAST(COALESCE(n_hits, 0) AS DOUBLE) / CAST(5 AS DOUBLE) AS recall
+               CAST(COALESCE(n_hits, 0) AS DOUBLE)
+                   / CAST(qs.n_true AS DOUBLE) AS recall
         FROM qs LEFT JOIN hits USING (query_id)
     """,
     doc="ANN recall audit: per query, how many of the exact cosine "
@@ -53,7 +57,10 @@ _DEC = "DECIMAL(27,6)"
     "methodology). Composes the existing brute-force baseline and the "
     "LSH path and joins their results on (query, neighbor); queries "
     "with an empty LSH bucket surface as recall 0, not missing rows. "
-    "The brute side is the documented exact baseline (broadcast "
+    "The denominator is the PER-QUERY brute-force result count, not a "
+    "fixed k: a query with fewer than k true neighbors (tiny corpus or "
+    "bucket) still reports recall 1.0 when the index returned every "
+    "one. The brute side is the documented exact baseline (broadcast "
     "queries x one corpus scan); the report adds only id-sized joins.",
 )
 def ann_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -70,13 +77,14 @@ def ann_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("query_id")
         .agg(F.count("*").cast("long").alias("n_hits"))
     )
-    qs = brute.select("query_id").distinct()
+    qs = brute.groupBy("query_id").agg(F.count("*").cast("long").alias("n_true"))
     return qs.join(hits, "query_id", "left").select(
         "query_id",
+        "n_true",
         F.coalesce("n_hits", F.lit(0).cast("long")).alias("n_hits"),
         (
             F.coalesce("n_hits", F.lit(0)).cast("double")
-            / F.lit(5).cast("double")
+            / F.col("n_true").cast("double")
         ).alias("recall"),
     )
 

@@ -286,16 +286,24 @@ def ann_lsh_multitable_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ivf_kmeans_oracle(
-    num_centroids: int, nprobe: int, k: int, iters: int, sample_hex: str = "8"
+    num_centroids: int, nprobe: int, k: int, iters: int,
+    sample_hex: str | None = "8",
 ) -> str:
     """Mirror of operators/similarity.py:ivf_kmeans_topk, including the
     ordered per-dimension reduction that makes the centroid means exact
     (list(x ORDER BY vec_id) = Spark's array_sort(collect_list(...));
     both sum left-to-right from a 0.0 accumulator). Training (seed pick
     + Lloyd assignment) is restricted to the same deterministic
-    md5-prefix sample the Spark side trains on."""
+    md5-prefix sample the Spark side trains on (`sample_hex` None =
+    train on everything — the small-corpus outcome of
+    derived_sample_hex)."""
     assert iters == 1, "oracle spelled out for one Lloyd iteration"
-    sample = f"substring(md5(CAST(c.vec_id AS VARCHAR)), 1, 1) < '{sample_hex}'"
+    sample = (
+        f"substring(md5(CAST(c.vec_id AS VARCHAR)), 1, {len(sample_hex)})"
+        f" < '{sample_hex}'"
+        if sample_hex is not None
+        else "TRUE"
+    )
     # Assignment runs on the RAW vector (argmax dot against unit centroids
     # is invariant to the row's positive scale) — mirrors
     # operators/similarity.py:train_kmeans_literal / ivf_kmeans_topk.
@@ -377,17 +385,42 @@ def _ivf_kmeans_oracle(
     """
 
 
+_KMEANS_TRAIN_TARGET = 250
+
+
+def _derived_ivf_kmeans_oracle(sf_dir: str) -> str:
+    """Callable oracle (sf_dir -> SQL) for the DERIVED training-sample
+    path: the hex threshold is a pure function of the corpus row count
+    (operators/similarity.derived_sample_hex), rendered here with the
+    exact count the Spark build derives from."""
+    import duckdb
+
+    from sql_engine_spark.operators.similarity import derived_sample_hex
+
+    n = duckdb.sql(
+        f"SELECT COUNT(*) FROM '{sf_dir}/embeddings.parquet' WHERE vec_id >= 10"
+    ).fetchone()[0]
+    return _ivf_kmeans_oracle(
+        4, 2, 5, 1,
+        sample_hex=derived_sample_hex(n, target_train_rows=_KMEANS_TRAIN_TARGET),
+    )
+
+
 @register(
     "ann_ivf_kmeans_topk",
-    oracle=_ivf_kmeans_oracle(4, 2, 5, 1, sample_hex="8"),
+    oracle=_derived_ivf_kmeans_oracle,
     doc="IVF top-5 with TRAINED centroids: one spherical k-means (Lloyd) "
-    "iteration over a deterministic ~50% md5-prefix SAMPLE refines the "
+    "iteration over a deterministic md5-prefix SAMPLE refines the "
     "seeds ('sample, then train' — the FAISS posture), then the usual "
-    "cell-partition + nprobe probing over the FULL corpus. Centroids "
-    "iterate through the driver as literals (the MLlib pattern), so "
-    "assignment and probing are map-side expressions; the ordered "
-    "vector-sum update keeps training bit-reproducible under any "
-    "partitioning. Only corpus-sized shuffle: the final rank window.",
+    "cell-partition + nprobe probing over the FULL corpus. The sample "
+    "threshold is DERIVED from the corpus count (derived_sample_hex, "
+    "the derived_* sizing convention): the sampled-in training set "
+    "stays ~target rows as corpora grow, instead of a fixed fraction "
+    "that is still 50 TB of a 100 TB corpus. Centroids iterate through "
+    "the driver as literals (the MLlib pattern), so assignment and "
+    "probing are map-side expressions; the ordered vector-sum update "
+    "keeps training bit-reproducible under any partitioning. Only "
+    "corpus-sized shuffle: the final rank window.",
 )
 def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sql_engine_spark.operators.similarity import ivf_kmeans_topk
@@ -402,7 +435,7 @@ def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         num_centroids=4,
         nprobe=2,
         iterations=1,
-        train_sample_hex="8",
+        target_train_rows=_KMEANS_TRAIN_TARGET,
     )
 
 

@@ -23,6 +23,12 @@ of the view's own atomic commit:
 Batch ids from one streaming query are strictly increasing, so the
 "<= last applied" test is exactly the dedup condition.
 
+Concurrency contract: SINGLE WRITER. One foreachBatch stream owns the
+view directory; __init__ and merge() are the only entry points that
+mutate it (recovery renames included). read() is side-effect-free and
+safe from any process at any time — mid-commit it falls back to the
+state recovery would roll to, without performing the roll.
+
 View state stays aggregate-sized; per-trigger cost is O(batch) +
 O(view), never O(history).
 """
@@ -132,5 +138,22 @@ class IdempotentMatView:
         shutil.rmtree(old, ignore_errors=True)
 
     def read(self, spark) -> DataFrame:
-        self._recover()
+        """Read the latest committed view state WITHOUT mutating the
+        view directory: recovery renames belong to __init__/merge()
+        (the single-writer entry points), so a reader racing a
+        concurrent merge between its two renames can never steal the
+        swap -> current rename out from under it. When `current` is
+        momentarily absent mid-commit, fall back to the same state
+        _recover() would roll to — the newest fully-written swap
+        (roll-forward target), else current.old (roll-back target) —
+        read-only."""
+        if os.path.isdir(self.target):
+            return spark.read.parquet(self.target)
+        swaps = self._swap_dirs()
+        if swaps:
+            return spark.read.parquet(swaps[-1][1])
+        old = self.target + ".old"
+        if os.path.isdir(old):
+            return spark.read.parquet(old)
+        # Nothing committed yet: surface the standard missing-path error.
         return spark.read.parquet(self.target)
