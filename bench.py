@@ -229,9 +229,26 @@ EXTENSION_R6 = [
 ]
 
 
-# Round-7 additions: own section, same contract. Populated as round-7
-# operators land.
-EXTENSION_R7: list[str] = []
+# Round-7 additions: own section, same contract.
+EXTENSION_R7 = [
+    "agg_mannwhitney_u",
+    "agg_ks_two_sample",
+    "agg_chi2_independence",
+    "agg_benford_first_digit",
+    "agg_autocorr_daily",
+    "agg_theil_sen_trend",
+    "agg_bitmap_exact_distinct",
+    "text_zipf_decade_ratio",
+    "text_char_class_profile",
+    "curation_dsir_contrast",
+    "curation_stratified_quota",
+    "emb_matryoshka_recall",
+    "emb_jl_distortion",
+    "emb_dim_variance_topk",
+    "emb_cosine_pair_histogram",
+    "graph_resource_allocation",
+    "graph_degree_histogram",
+]
 
 
 def _time_section(spark, qs, names: list[str], sf_dir: str) -> dict[str, float]:
