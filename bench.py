@@ -248,6 +248,11 @@ EXTENSION_R7 = [
     "emb_cosine_pair_histogram",
     "graph_resource_allocation",
     "graph_degree_histogram",
+    "join_bucketed_colocated",
+    "agg_grouping_sets_id",
+    "window_range_1h",
+    "multimodal_audio_vad",
+    "streaming_bitmap_distinct",
 ]
 
 
