@@ -253,6 +253,10 @@ EXTENSION_R7 = [
     "window_range_1h",
     "multimodal_audio_vad",
     "streaming_bitmap_distinct",
+    "dedup_minhash_estimate_error",
+    "graph_clustering_coefficient",
+    "events_holt_forecast",
+    "curation_survivorship_audit",
 ]
 
 
