@@ -257,6 +257,17 @@ EXTENSION_R7 = [
     "graph_clustering_coefficient",
     "events_holt_forecast",
     "curation_survivorship_audit",
+    "agg_bootstrap_mean_ci",
+    "agg_poisson_rate_ci",
+    "events_mde_power_curve",
+    "quality_completeness_report",
+    "quality_uniqueness_report",
+    "quality_referential_integrity",
+    "quality_constraint_violations",
+    "quality_freshness_report",
+    "feature_target_encode_smoothed",
+    "feature_target_encode_oof",
+    "feature_vocab_index_topk",
 ]
 
 
