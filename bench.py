@@ -268,6 +268,18 @@ EXTENSION_R7 = [
     "feature_target_encode_smoothed",
     "feature_target_encode_oof",
     "feature_vocab_index_topk",
+    "setop_intersect_all",
+    "setop_except_all",
+    "agg_filter_clause",
+    "order_by_nulls_first",
+    "window_ignore_nulls_locf",
+    "scan_schema_evolution",
+    "agg_bh_fdr",
+    "agg_cohens_d",
+    "quality_roc_auc",
+    "events_kaplan_meier",
+    "events_did_estimator",
+    "events_markov_removal",
 ]
 
 

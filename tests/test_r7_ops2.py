@@ -1,0 +1,203 @@
+"""Property and known-value pins for the round-7 engine-surface set 2,
+the causal/survival stats, and Markov removal attribution — beyond the
+cross-engine oracle gate, these check the MATH against independent
+Python recomputations and the semantics against first principles."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from sql_engine_spark.io import load
+from sql_engine_spark.registry import all_queries
+
+
+def _build(spark, sf_dir, name):
+    return all_queries()[name].build(spark, sf_dir)
+
+
+def test_multiset_algebra_identity(spark, sf_dir):
+    """|A INTERSECT ALL B| + |A EXCEPT ALL B| == |A| row-for-row (the
+    defining multiset identity min(m1,m2) + max(m1-m2,0) = m1)."""
+    li = load(spark, sf_dir, "lineitem")
+    n_a = li.where(F.col("l_discount") >= 0.03).count()
+    n_int = _build(spark, sf_dir, "setop_intersect_all").count()
+    n_exc = _build(spark, sf_dir, "setop_except_all").count()
+    assert n_exc + n_int == n_a
+    assert n_int > 0 and n_exc > 0  # both non-degenerate on driver data
+
+
+def test_locf_matches_python_replay(spark, sf_dir):
+    """Gap-filled series equals a per-user Python forward-fill; leading
+    NULLs (user starts with an error event) stay NULL."""
+    rows = sorted(
+        _build(spark, sf_dir, "window_ignore_nulls_locf").collect(),
+        key=lambda r: (r.user_id, r.ts, r.event_id),
+    )
+    state: dict[int, float] = {}
+    saw_leading_null = False
+    for r in rows:
+        if r.raw_value is not None:
+            state[r.user_id] = r.raw_value
+        want = state.get(r.user_id)
+        if want is None:
+            saw_leading_null = saw_leading_null or r.filled_value is None
+            assert r.filled_value is None
+        else:
+            assert r.filled_value == want
+    # the masked-to-NULL rows exist (error events), so the fill did work
+    assert any(r.raw_value is None and r.filled_value is not None for r in rows)
+
+
+def test_schema_evolution_backfills_missing_column(spark, sf_dir):
+    rows = _build(spark, sf_dir, "scan_schema_evolution").collect()
+    docs_n = load(spark, sf_dir, "documents").count()
+    assert len(rows) == docs_n
+    for r in rows:
+        if r.doc_id % 2 == 0:
+            assert r.n_chars is None  # v1 file lacked the column
+        else:
+            assert r.n_chars is not None
+
+
+def test_bh_stepup_rejects_a_prefix(spark, sf_dir):
+    """BH step-up semantics: the rejected set is exactly ranks
+    1..k* — never a gap — and m equals the hypothesis count."""
+    rows = sorted(
+        _build(spark, sf_dir, "agg_bh_fdr").collect(), key=lambda r: r.bh_rank
+    )
+    assert [r.bh_rank for r in rows] == list(range(1, len(rows) + 1))
+    flags = [r.rejected for r in rows]
+    # monotone: once False, stays False
+    assert flags == sorted(flags, reverse=True)
+    for r in rows:
+        assert 0.0 <= r.p_value <= 1.0
+        assert r.p_num <= r.p_den
+
+
+def test_roc_auc_matches_python(spark, sf_dir):
+    got = _build(spark, sf_dir, "quality_roc_auc").collect()[0]
+    docs = load(spark, sf_dir, "documents").select("n_chars", "lang").collect()
+    pos = sorted(d.n_chars for d in docs if d.lang == "en")
+    neg = sorted(d.n_chars for d in docs if d.lang != "en")
+    import bisect
+
+    num2 = 0
+    for s in pos:
+        lt = bisect.bisect_left(neg, s)
+        eq = bisect.bisect_right(neg, s) - lt
+        num2 += 2 * lt + eq
+    assert got.auc_num2 == num2
+    assert got.auc == pytest.approx(num2 / (2.0 * len(pos) * len(neg)), abs=1e-12)
+    assert got.gini == pytest.approx(2.0 * got.auc - 1.0, abs=1e-12)
+
+
+def test_kaplan_meier_survival_is_the_ordered_product(spark, sf_dir):
+    rows = sorted(
+        _build(spark, sf_dir, "events_kaplan_meier").collect(),
+        key=lambda r: r.day,
+    )
+    assert rows, "no event days"
+    s = 1.0
+    prev = 1.0
+    for r in rows:
+        assert r.n_events > 0 and r.n_risk >= r.n_events
+        s = s * (1.0 - r.n_events / r.n_risk)
+        assert r.survival == pytest.approx(s, rel=1e-12)
+        assert r.survival <= prev + 1e-15  # monotone nonincreasing
+        prev = r.survival
+
+
+def test_did_identity(spark, sf_dir):
+    r = _build(spark, sf_dir, "events_did_estimator").collect()[0]
+    assert r.did == pytest.approx(
+        (r.m_t_post - r.m_t_pre) - (r.m_c_post - r.m_c_pre), abs=1e-12
+    )
+    assert r.n_t1 > 0 and r.n_t0 > 0 and r.n_c1 > 0 and r.n_c0 > 0
+
+
+def test_cohens_d_matches_python(spark, sf_dir):
+    import statistics
+
+    got = {r.event_type: r for r in _build(spark, sf_dir, "agg_cohens_d").collect()}
+    ev = load(spark, sf_dir, "events").select("event_type", "ts", "value").collect()
+    by_type: dict[str, dict[bool, list[float]]] = {}
+    for e in ev:
+        wknd = e.ts.isoweekday() in (6, 7)
+        by_type.setdefault(e.event_type, {True: [], False: []})[wknd].append(e.value)
+    for t, groups in by_type.items():
+        w, d = groups[True], groups[False]
+        vw, vd = statistics.variance(w), statistics.variance(d)
+        pooled = ((len(w) - 1) * vw + (len(d) - 1) * vd) / (len(w) + len(d) - 2)
+        want = (statistics.fmean(w) - statistics.fmean(d)) / pooled**0.5
+        assert got[t].cohens_d == pytest.approx(want, rel=1e-9)
+        assert got[t].n_w == len(w) and got[t].n_d == len(d)
+
+
+def test_markov_removal_matches_matrix_power(spark, sf_dir):
+    """The driver-side fold iteration equals an independent numpy
+    L-step absorption computation on the same journey pairs, and the
+    removal effects are sane (removing paths can only lower the
+    truncated conversion probability)."""
+    import numpy as np
+
+    from sql_engine_spark.queries.round7_markov import _L
+
+    got = {r.channel: r for r in _build(spark, sf_dir, "events_markov_removal").collect()}
+    assert set(got) == {"click", "error", "signup", "view"}
+
+    # Independent journey extraction in Python
+    ev = sorted(
+        load(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id", "event_type")
+        .collect(),
+        key=lambda r: (r.user_id, r.ts, r.event_id),
+    )
+    pairs: Counter = Counter()
+    cur_user, prev, absorbed = None, None, False
+    journeys: dict[int, list[str]] = {}
+    for r in ev:
+        journeys.setdefault(r.user_id, []).append(r.event_type)
+    for _, seq in journeys.items():
+        if "purchase" in seq:
+            seq = seq[: seq.index("purchase") + 1]
+            term = None
+        else:
+            term = "END"
+        prev = "START"
+        for t in seq:
+            pairs[(prev, t)] += 1
+            prev = t
+        if term:
+            pairs[(prev, term)] += 1
+
+    states = ["START", "click", "error", "signup", "view"]
+    row_tot: Counter = Counter()
+    for (s, _), c in pairs.items():
+        row_tot[s] += c
+
+    def p_conv(removed):
+        idx = {s: i for i, s in enumerate(states)}
+        T = np.zeros((len(states), len(states)))
+        conv = np.zeros(len(states))
+        for (s, t), c in pairs.items():
+            if s not in idx or (removed and removed in (s, t)):
+                continue
+            p = c / row_tot[s]
+            if t == "purchase":
+                conv[idx[s]] += p
+            elif t in idx:
+                T[idx[s], idx[t]] += p
+        v = np.zeros(len(states))
+        for _ in range(_L):
+            v = conv + T @ v
+        return v[idx["START"]]
+
+    base = p_conv(None)
+    for c, r in got.items():
+        assert r.p_base == pytest.approx(base, rel=1e-9)
+        assert r.p_removed == pytest.approx(p_conv(c), rel=1e-9)
+        assert -1e-12 <= r.removal_effect <= 1.0
+        assert r.p_removed <= r.p_base + 1e-12
