@@ -280,6 +280,11 @@ EXTENSION_R7 = [
     "events_kaplan_meier",
     "events_did_estimator",
     "events_markov_removal",
+    "ann_hybrid_rrf",
+    "dedup_edit_distance",
+    "graph_jaccard_linkpred",
+    "graph_copurchase_projection",
+    "curation_interleave_sources",
 ]
 
 

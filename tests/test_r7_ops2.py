@@ -201,3 +201,95 @@ def test_markov_removal_matches_matrix_power(spark, sf_dir):
         assert r.p_removed == pytest.approx(p_conv(c), rel=1e-9)
         assert -1e-12 <= r.removal_effect <= 1.0
         assert r.p_removed <= r.p_base + 1e-12
+
+
+def test_hybrid_rrf_score_identity(spark, sf_dir):
+    rows = _build(spark, sf_dir, "ann_hybrid_rrf").collect()
+    by_q: dict[str, list] = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == {"q_join", "q_stream", "q_scan"}
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        prev = float("inf")
+        for r in rs:
+            want = (1.0 / (60.0 + r.text_rank) if r.text_rank else 0.0) + (
+                1.0 / (60.0 + r.vec_rank) if r.vec_rank else 0.0
+            )
+            assert r.rrf_score == pytest.approx(want, abs=1e-15)
+            assert r.text_rank is not None or r.vec_rank is not None
+            assert r.rrf_score <= prev + 1e-15
+            prev = r.rrf_score
+
+
+def test_edit_distance_dedup_pair_count_and_dp(spark, sf_dir):
+    """Candidate pairs are exactly the 3-successor neighborhood
+    (3n - 6 pairs), and a sample of distances matches an independent
+    Python DP."""
+    rows = _build(spark, sf_dir, "dedup_edit_distance").collect()
+    n = load(spark, sf_dir, "documents").count()
+    assert len(rows) == 3 * n - 6
+
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    texts = {
+        r.doc_id: r.text[:120]
+        for r in load(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    }
+    for r in rows[:25]:
+        assert r.edit_dist == lev(texts[r.id_a], texts[r.id_b])
+        assert r.is_near_dup == (r.edit_dist <= 40)
+
+
+def test_jaccard_linkpred_identities(spark, sf_dir):
+    rows = _build(spark, sf_dir, "graph_jaccard_linkpred").collect()
+    assert rows
+    per_a: dict[int, list] = {}
+    for r in rows:
+        assert r.common_neighbors >= 2
+        assert r.union_size >= r.common_neighbors
+        assert r.jaccard == pytest.approx(r.common_neighbors / r.union_size, abs=1e-15)
+        assert 0.0 < r.jaccard <= 1.0
+        per_a.setdefault(r.a, []).append(r)
+    for a, rs in per_a.items():
+        assert sorted(r.rank for r in rs) == list(range(1, len(rs) + 1))
+        assert len(rs) <= 3
+
+
+def test_copurchase_projection_shape(spark, sf_dir):
+    rows = _build(spark, sf_dir, "graph_copurchase_projection").collect()
+    assert len(rows) == 20
+    counts = [r.n_coorders for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    for r in rows:
+        assert r.part_a < r.part_b
+        assert r.n_coorders >= 1
+
+
+def test_interleave_sources_round_robin_balance(spark, sf_dir):
+    rows = sorted(
+        _build(spark, sf_dir, "curation_interleave_sources").collect(),
+        key=lambda r: r.position,
+    )
+    assert [r.position for r in rows] == list(range(1, 101))
+    n_sources = (
+        load(spark, sf_dir, "documents").select("source").distinct().count()
+    )
+    # complete rank-groups: if 100 is a multiple of the source count,
+    # each source appears exactly 100/n times in the head
+    if 100 % n_sources == 0:
+        cnt = Counter(r.source for r in rows)
+        assert set(cnt.values()) == {100 // n_sources}
+    # src_rank nondecreasing along the merged order
+    ranks = [r.src_rank for r in rows]
+    assert ranks == sorted(ranks)
