@@ -285,6 +285,11 @@ EXTENSION_R7 = [
     "graph_jaccard_linkpred",
     "graph_copurchase_projection",
     "curation_interleave_sources",
+    "streaming_minhash_dedup",
+    "ann_ivf_nprobe_sweep",
+    "events_cohort_ltv",
+    "events_funnel_step_time",
+    "scalar_bitwise_funcs",
 ]
 
 

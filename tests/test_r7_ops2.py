@@ -293,3 +293,102 @@ def test_interleave_sources_round_robin_balance(spark, sf_dir):
     # src_rank nondecreasing along the merged order
     ranks = [r.src_rank for r in rows]
     assert ranks == sorted(ranks)
+
+
+def test_streaming_minhash_dedup_conservation(spark, sf_dir):
+    """Every distinct (band, key) bucket has exactly one owner, so the
+    owned-band counts sum to the distinct bucket count; ownership is
+    bounded by the band count per doc."""
+    from sql_engine_spark.operators.dedup import (
+        minhash_signature,
+        shingle_digests,
+    )
+    from sql_engine_spark.operators.textprep import shingles, tokens
+
+    rows = _build(spark, sf_dir, "streaming_minhash_dedup").collect()
+    assert all(1 <= r.n_bands_owned <= 4 for r in rows)
+    assert all(r.is_fully_novel == (r.n_bands_owned == 4) for r in rows)
+
+    docs = load(spark, sf_dir, "documents")
+    sig = (
+        docs.select("doc_id", tokens("text").alias("__tokens"))
+        .withColumn("__shset", F.array_distinct(shingles("__tokens", 3)))
+        .withColumn("__dig", shingle_digests("__shset"))
+        .withColumn("__sig", minhash_signature("__dig", 8))
+    )
+    keys = sig.select(
+        F.col("doc_id"),
+        *[
+            F.md5(F.concat_ws("|", F.slice("__sig", b * 2 + 1, 2))).alias(f"k{b}")
+            for b in range(4)
+        ],
+    )
+    n_buckets = (
+        keys.select(
+            F.explode(
+                F.array(*[F.struct(F.lit(b).alias("b"), F.col(f"k{b}").alias("k")) for b in range(4)])
+            ).alias("e")
+        )
+        .select("e.b", "e.k")
+        .distinct()
+        .count()
+    )
+    assert sum(r.n_bands_owned for r in rows) == n_buckets
+
+
+def test_nprobe_sweep_monotone_and_exhaustive(spark, sf_dir):
+    rows = {r.nprobe: r for r in _build(spark, sf_dir, "ann_ivf_nprobe_sweep").collect()}
+    assert set(rows) == {1, 2, 4}
+    assert rows[1].recall <= rows[2].recall <= rows[4].recall
+    # probing all 4 of 4 cells IS brute force: recall must be exactly 1
+    assert rows[4].n_hits == rows[4].n_true
+    assert rows[4].recall == 1.0
+
+
+def test_cohort_ltv_conservation(spark, sf_dir):
+    from decimal import Decimal
+
+    rows = _build(spark, sf_dir, "events_cohort_ltv").collect()
+    assert all(r.age_days >= 0 for r in rows)
+    last_by_cohort: dict = {}
+    for r in rows:
+        cur = last_by_cohort.get(r.cohort_day)
+        if cur is None or r.age_days > cur.age_days:
+            last_by_cohort[r.cohort_day] = r
+    # the final cumulative value equals the cohort's total value
+    ev = load(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("cohort_day")
+    )
+    totals = {
+        r.cohort_day: r.total
+        for r in ev.join(firsts, "user_id")
+        .groupBy("cohort_day")
+        .agg(
+            F.sum(F.col("value").cast("decimal(27,6)")).cast("double").alias("total")
+        )
+        .collect()
+    }
+    for cd, r in last_by_cohort.items():
+        assert r.cum_value == pytest.approx(totals[cd], rel=1e-12)
+
+
+def test_funnel_step_time_shrinks(spark, sf_dir):
+    rows = {r.step: r for r in _build(spark, sf_dir, "events_funnel_step_time").collect()}
+    assert set(rows) == {"view_to_signup", "signup_to_purchase"}
+    assert rows["view_to_signup"].n_users >= rows["signup_to_purchase"].n_users
+    for r in rows.values():
+        assert 0.0 < r.median_gap_s <= r.max_gap_s
+        assert 0.0 < r.mean_gap_s <= r.max_gap_s
+
+
+def test_bitwise_funcs_match_python(spark, sf_dir):
+    rows = _build(spark, sf_dir, "scalar_bitwise_funcs").collect()
+    assert rows
+    for r in rows:
+        k = r.o_orderkey
+        assert r.k_and == k & 255
+        assert r.k_or == k | 4096
+        assert r.k_shl == (k & 15) << 3
+        assert r.k_shr == k >> 2
+        assert r.k_popcnt == bin(k).count("1")
