@@ -28,8 +28,13 @@ from sql_engine_spark.registry import register
 
 # Weekend flag pinned to Spark's dayofweek (1=Sunday..7=Saturday);
 # DuckDB's dayofweek is 0=Sunday..6, hence the +1 in oracles (the
-# convention round6_stats established).
-_WKND_SPARK = F.dayofweek("ts").isin(1, 7)
+# convention round6_stats established). Deferred behind a function:
+# pyspark 4 refuses to construct Columns without an active session,
+# and the driver may import this module before creating one.
+def _wknd_spark() -> "F.Column":
+    return F.dayofweek("ts").isin(1, 7)
+
+
 _WKND_SQL = "(dayofweek(ts) + 1) IN (1, 7)"
 
 # BH at alpha = 0.05 spelled as the exact rational 1/20 so the step-up
@@ -110,7 +115,7 @@ def agg_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             "event_id",
             "value",
-            F.when(_WKND_SPARK, F.lit(1)).otherwise(F.lit(0)).cast("long").alias("iw"),
+            F.when(_wknd_spark(), F.lit(1)).otherwise(F.lit(0)).cast("long").alias("iw"),
         )
     )
     ranked = bucketed_value_rank(
@@ -234,7 +239,7 @@ def agg_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def agg_cohens_d(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
-    wknd = _WKND_SPARK
+    wknd = _wknd_spark()
     cells = ev.groupBy("event_type").agg(
         F.sum(F.when(wknd, 1).otherwise(0)).cast("long").alias("n_w"),
         dsum(F.when(wknd, F.col("value"))).alias("s_w"),
