@@ -290,6 +290,9 @@ EXTENSION_R7 = [
     "events_cohort_ltv",
     "events_funnel_step_time",
     "scalar_bitwise_funcs",
+    "scan_corrupt_records",
+    "sink_dynamic_partition_overwrite",
+    "events_order_violations",
 ]
 
 

@@ -392,3 +392,91 @@ def test_bitwise_funcs_match_python(spark, sf_dir):
         assert r.k_shl == (k & 15) << 3
         assert r.k_shr == k >> 2
         assert r.k_popcnt == bin(k).count("1")
+
+
+def test_corrupt_records_quarantine_counts(spark, sf_dir):
+    rows = {r.bucket: r.n_rows for r in _build(spark, sf_dir, "scan_corrupt_records").collect()}
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang").collect()
+    n_corrupt = sum(1 for d in docs if d.doc_id % 25 == 0)
+    assert rows["__CORRUPT__"] == n_corrupt
+    assert sum(rows.values()) == len(docs)
+    good = Counter(d.lang for d in docs if d.doc_id % 25 != 0)
+    for lang, n in good.items():
+        assert rows[lang] == n
+
+
+def test_dynamic_partition_overwrite_touches_only_target(spark, sf_dir, tmp_path):
+    """Direct write-path pin: after a dynamic overwrite of the 'click'
+    partition, every other partition's files are byte-identical (same
+    names, sizes, mtimes) and clicks carry the corrected values."""
+    import os
+
+    ev = load(spark, sf_dir, "events")
+    out = str(tmp_path / "dynpart")
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(out)
+
+    def snapshot(part):
+        d = os.path.join(out, f"event_type={part}")
+        return {
+            f: (os.path.getsize(os.path.join(d, f)), os.path.getmtime(os.path.join(d, f)))
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        }
+
+    before = {p: snapshot(p) for p in ("view", "signup", "error", "purchase")}
+    (
+        ev.where(F.col("event_type") == "click")
+        .withColumn("value", F.col("value") * 2.0)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("event_type")
+        .parquet(out)
+    )
+    for p in ("view", "signup", "error", "purchase"):
+        assert snapshot(p) == before[p]
+    got = {
+        r.event_type: r.s
+        for r in spark.read.parquet(out)
+        .groupBy("event_type")
+        .agg(F.sum(F.col("value").cast("decimal(27,6)")).alias("s"))
+        .collect()
+    }
+    want = {
+        r.event_type: r.s
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == "click", F.col("value") * 2.0)
+                .otherwise(F.col("value"))
+                .cast("decimal(27,6)")
+            ).alias("s")
+        )
+        .collect()
+    }
+    assert got == want
+
+
+def test_order_violations_match_python(spark, sf_dir):
+    rows = {r.rule: r for r in _build(spark, sf_dir, "events_order_violations").collect()}
+    ev = load(spark, sf_dir, "events").select("user_id", "ts", "event_type").collect()
+    t_view: dict = {}
+    t_purch: dict = {}
+    for e in ev:
+        if e.event_type == "view":
+            t_view[e.user_id] = min(t_view.get(e.user_id, e.ts), e.ts)
+        elif e.event_type == "purchase":
+            t_purch[e.user_id] = min(t_purch.get(e.user_id, e.ts), e.ts)
+    p_checked = p_viol = s_checked = s_viol = 0
+    for e in ev:
+        if e.event_type == "purchase":
+            p_checked += 1
+            if e.user_id not in t_view or e.ts < t_view[e.user_id]:
+                p_viol += 1
+        elif e.event_type == "signup":
+            s_checked += 1
+            if e.user_id in t_purch and e.ts > t_purch[e.user_id]:
+                s_viol += 1
+    r1 = rows["purchase_before_any_view"]
+    r2 = rows["signup_after_first_purchase"]
+    assert (r1.n_checked, r1.n_violations) == (p_checked, p_viol)
+    assert (r2.n_checked, r2.n_violations) == (s_checked, s_viol)
