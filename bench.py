@@ -293,6 +293,10 @@ EXTENSION_R7 = [
     "scan_corrupt_records",
     "sink_dynamic_partition_overwrite",
     "events_order_violations",
+    "approx_hll_error_curve",
+    "agg_ols_hourly_trend",
+    "agg_beta_posterior",
+    "pipeline_cdc_apply",
 ]
 
 

@@ -480,3 +480,71 @@ def test_order_violations_match_python(spark, sf_dir):
     r2 = rows["signup_after_first_purchase"]
     assert (r1.n_checked, r1.n_violations) == (p_checked, p_viol)
     assert (r2.n_checked, r2.n_violations) == (s_checked, s_viol)
+
+
+def test_hll_error_curve_tightens_with_registers(spark, sf_dir):
+    rows = {r.m: r for r in _build(spark, sf_dir, "approx_hll_error_curve").collect()}
+    assert set(rows) == {16, 64, 256}
+    n_exact = {r.n_exact for r in rows.values()}
+    assert len(n_exact) == 1
+    for m, r in rows.items():
+        assert r.rel_error == pytest.approx(r.estimate / r.n_exact - 1.0, abs=1e-12)
+        # raw HLL at these densities: within ~4 theoretical RSEs
+        assert abs(r.rel_error) < 4 * 1.04 / m**0.5
+
+
+def test_ols_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    got = {r.event_type: r for r in _build(spark, sf_dir, "agg_ols_hourly_trend").collect()}
+    ev = load(spark, sf_dir, "events").select("event_type", "ts", "value").collect()
+    by_type: dict = {}
+    for e in ev:
+        by_type.setdefault(e.event_type, []).append((e.ts.hour, e.value))
+    for t, pts in by_type.items():
+        x = np.array([p[0] for p in pts], dtype=float)
+        y = np.array([p[1] for p in pts], dtype=float)
+        slope, intercept = np.polyfit(x, y, 1)
+        r = np.corrcoef(x, y)[0, 1]
+        assert got[t].slope == pytest.approx(slope, rel=1e-6)
+        assert got[t].intercept == pytest.approx(intercept, rel=1e-6)
+        assert got[t].r2 == pytest.approx(r * r, rel=1e-6)
+
+
+def test_beta_posterior_identities(spark, sf_dir):
+    rows = _build(spark, sf_dir, "agg_beta_posterior").collect()
+    assert {r.cohort for r in rows} == {0, 1}
+    for r in rows:
+        assert r.post_alpha == 1 + r.n_conv
+        assert r.post_beta == 1 + r.n_users - r.n_conv
+        assert r.post_mean == pytest.approx(
+            r.post_alpha / (r.post_alpha + r.post_beta), abs=1e-15
+        )
+        tot = r.post_alpha + r.post_beta
+        assert r.post_sd == pytest.approx(
+            (r.post_alpha * r.post_beta / (tot * tot * (tot + 1))) ** 0.5, rel=1e-12
+        )
+
+
+def test_cdc_apply_matches_rule_derivation(spark, sf_dir):
+    """The merge machinery's final state equals a row-by-row Python
+    application of the CDC rules."""
+    got = {r.o_orderstatus: (r.n, float(r.sum_price)) for r in _build(spark, sf_dir, "pipeline_cdc_apply").collect()}
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    ).collect()
+    from collections import defaultdict
+    from decimal import Decimal
+
+    n = defaultdict(int)
+    s = defaultdict(Decimal)
+    for o in orders:
+        k = o.o_orderkey
+        if k % 13 == 0:
+            continue
+        price = o.o_totalprice * 1.1 if (k % 7 == 0 and k % 10 != 0) else o.o_totalprice
+        n[o.o_orderstatus] += 1
+        s[o.o_orderstatus] += Decimal(round(price * 10**6)) / 10**6
+    for st in n:
+        assert got[st][0] == n[st]
+        assert got[st][1] == pytest.approx(float(s[st]), rel=1e-12)
