@@ -297,6 +297,10 @@ EXTENSION_R7 = [
     "agg_ols_hourly_trend",
     "agg_beta_posterior",
     "pipeline_cdc_apply",
+    "agg_spearman_rho",
+    "quality_pr_auc",
+    "quality_brier_decomposition",
+    "quality_lift_deciles",
 ]
 
 
