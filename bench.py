@@ -301,6 +301,10 @@ EXTENSION_R7 = [
     "quality_pr_auc",
     "quality_brier_decomposition",
     "quality_lift_deciles",
+    "subquery_any_all",
+    "graph_harmonic_centrality",
+    "text_readability",
+    "streaming_cdc_apply",
 ]
 
 
