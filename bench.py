@@ -305,6 +305,10 @@ EXTENSION_R7 = [
     "graph_harmonic_centrality",
     "text_readability",
     "streaming_cdc_apply",
+    "agg_runs_test",
+    "agg_durbin_watson",
+    "graph_modularity",
+    "window_qualify",
 ]
 
 
