@@ -309,6 +309,8 @@ EXTENSION_R7 = [
     "agg_durbin_watson",
     "graph_modularity",
     "window_qualify",
+    "ann_mmr_rerank",
+    "emb_pq_distortion",
 ]
 
 
