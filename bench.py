@@ -311,6 +311,9 @@ EXTENSION_R7 = [
     "window_qualify",
     "ann_mmr_rerank",
     "emb_pq_distortion",
+    "streaming_asof_enrich",
+    "text_burstiness",
+    "events_attribution_position",
 ]
 
 
