@@ -314,6 +314,8 @@ EXTENSION_R7 = [
     "streaming_asof_enrich",
     "text_burstiness",
     "events_attribution_position",
+    "curation_skyline_2d",
+    "sample_systematic",
 ]
 
 
