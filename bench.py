@@ -316,6 +316,7 @@ EXTENSION_R7 = [
     "events_attribution_position",
     "curation_skyline_2d",
     "sample_systematic",
+    "multimodal_phash_dct",
 ]
 
 

@@ -1,0 +1,204 @@
+"""Round-7 multimodal set 2: the DCT perceptual hash (pHash) — decode a
+binary payload to an 8x8 luma grid (Arrow-batched mapInPandas, the
+multimodal plumbing; the grid itself is the deterministic md5-chain fake
+standing in for a real thumbnail decode, per the module convention in
+operators/multimodal.py), then a RELATIONAL 2-D DCT: y = C @ X @ C^T as
+two matrix-multiply joins against a 64-row literal cosine-basis
+relation, median-threshold the 63 AC coefficients, and pack 63 bits
+into a BIGINT fingerprint.
+
+The pHash/median-DCT scheme follows the classic perceptual-hash recipe
+(Zauner 2010, "Implementation and Benchmarking of Perceptual Image Hash
+Functions"); the DCT-II basis constants are Python-computed ONCE and
+embedded as identical literals in both engines (libm-free house rule),
+and every 8-term reduction crosses engines via ssum's shared rounding.
+
+At 100 TB: the grid relation is 64 rows per image, both DCT joins are
+against a broadcast 64-row basis, and the median/pack windows are
+63-row per-image partitions — nothing corpus-wide beyond the grouped
+aggregates.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from sql_engine_spark.functions.numeric import sql_ssum, ssum
+from sql_engine_spark.io import load
+from sql_engine_spark.registry import register
+
+_N = 8
+# Orthonormal DCT-II basis C[u][i] = a(u) * cos((2i+1) u pi / 16),
+# a(0) = sqrt(1/8), a(u>0) = 1/2 — computed once, shared literally.
+_DCT_C = [
+    [
+        (math.sqrt(1.0 / _N) if u == 0 else math.sqrt(2.0 / _N))
+        * math.cos((2 * i + 1) * u * math.pi / (2 * _N))
+        for i in range(_N)
+    ]
+    for u in range(_N)
+]
+_PH_SCALE = "1000000000.0"
+_MEDIAN_RANK = 32  # of the 63 AC coefficients
+
+
+def _phash_oracle() -> str:
+    cvals = ", ".join(
+        f"({u}, {i}, CAST({_DCT_C[u][i]!r} AS DOUBLE))"
+        for u in range(_N)
+        for i in range(_N)
+    )
+    return f"""
+        WITH d AS (
+            SELECT doc_id,
+                   md5(text || '#0') AS h0, md5(text || '#1') AS h1,
+                   md5(text || '#2') AS h2, md5(text || '#3') AS h3
+            FROM documents
+        ),
+        cells(i, j) AS (VALUES {", ".join(f"({i}, {j})" for i in range(_N) for j in range(_N))}),
+        grid AS (
+            SELECT doc_id, i, j,
+                   (16 * (strpos('0123456789abcdef',
+                                 substring(h, 2 * b + 1, 1)) - 1)
+                      + (strpos('0123456789abcdef',
+                                substring(h, 2 * b + 2, 1)) - 1)) AS val
+            FROM (
+                SELECT d.doc_id, c.i, c.j,
+                       CASE (8 * c.i + c.j) // 16
+                            WHEN 0 THEN h0 WHEN 1 THEN h1
+                            WHEN 2 THEN h2 ELSE h3 END AS h,
+                       (8 * c.i + c.j) % 16 AS b
+                FROM d CROSS JOIN cells c
+            )
+        ),
+        cmat(u, i, c) AS (VALUES {cvals}),
+        t1 AS (
+            SELECT grid.doc_id, cmat.u, grid.j,
+                   {sql_ssum("cmat.c * CAST(grid.val AS DOUBLE)", scale=_PH_SCALE)}
+                       AS tv
+            FROM grid JOIN cmat ON grid.i = cmat.i
+            GROUP BY grid.doc_id, cmat.u, grid.j
+        ),
+        y AS (
+            SELECT t1.doc_id, t1.u, cmat.u AS v,
+                   {sql_ssum("t1.tv * cmat.c", scale=_PH_SCALE)} AS coeff
+            FROM t1 JOIN cmat ON t1.j = cmat.i
+            GROUP BY t1.doc_id, t1.u, cmat.u
+        ),
+        ac AS (
+            SELECT doc_id, u, v, coeff,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY coeff, u, v) AS rn
+            FROM y WHERE NOT (u = 0 AND v = 0)
+        ),
+        med AS (
+            SELECT doc_id, coeff AS median_coeff FROM ac
+            WHERE rn = {_MEDIAN_RANK}
+        )
+        SELECT ac.doc_id,
+               CAST(SUM(CASE WHEN ac.coeff > med.median_coeff
+                             THEN (1::BIGINT << ({_N} * ac.u + ac.v - 1))
+                             ELSE 0 END) AS BIGINT) AS phash,
+               CAST(SUM(CASE WHEN ac.coeff > med.median_coeff
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_bits,
+               MIN(med.median_coeff) AS median_coeff
+        FROM ac JOIN med ON ac.doc_id = med.doc_id
+        GROUP BY ac.doc_id
+    """
+
+
+@register(
+    "multimodal_phash_dct",
+    oracle=_phash_oracle(),
+    doc="DCT perceptual hash (pHash, median-threshold variant per "
+    "Zauner 2010): an 8x8 luma thumbnail per binary payload (Arrow- "
+    "batched mapInPandas; the grid is the deterministic md5-chain "
+    "fake standing in for a real decode, per operators/multimodal.py "
+    "convention), then the 2-D DCT spelled RELATIONALLY — y = C X C^T "
+    "as two joins against a broadcast 64-row cosine-basis relation "
+    "whose constants are Python-computed shared literals — the 63 AC "
+    "coefficients thresholded at their per-image median (row 32 of a "
+    "63-row per-image window) and packed into a 63-bit BIGINT with "
+    "exact shift arithmetic. Every 8-term DCT reduction crosses "
+    "engines via ssum. Near-dup detection composes downstream via "
+    "banded Hamming join exactly as dedup_simhash_hamming.",
+)
+def multimodal_phash_dct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    from typing import Iterator
+
+    import pandas as pd
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, iis, jjs, vals = [], [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                digests = [
+                    hashlib.md5(f"{text}#{c}".encode("utf-8")).digest()
+                    for c in range(4)
+                ]
+                for i in range(_N):
+                    for j in range(_N):
+                        p = _N * i + j
+                        ids.append(int(doc_id))
+                        iis.append(i)
+                        jjs.append(j)
+                        vals.append(digests[p // 16][p % 16])
+            yield pd.DataFrame(
+                {"doc_id": ids, "i": iis, "j": jjs, "val": vals}
+            )
+
+    grid = docs.mapInPandas(batches, "doc_id long, i int, j int, val int")
+    cmat = spark.createDataFrame(
+        [(u, i, _DCT_C[u][i]) for u in range(_N) for i in range(_N)],
+        "u INT, i INT, c DOUBLE",
+    )
+    scale = float(_PH_SCALE)
+    t1 = (
+        grid.join(F.broadcast(cmat), "i")
+        .groupBy("doc_id", "u", "j")
+        .agg(
+            ssum(F.col("c") * F.col("val").cast("double"), scale=scale).alias("tv")
+        )
+    )
+    cmat2 = cmat.select(
+        F.col("u").alias("v"), F.col("i").alias("j"), F.col("c").alias("c2")
+    )
+    y = (
+        t1.join(F.broadcast(cmat2), "j")
+        .groupBy("doc_id", "u", "v")
+        .agg(ssum(F.col("tv") * F.col("c2"), scale=scale).alias("coeff"))
+    )
+    ac = y.where(~((F.col("u") == 0) & (F.col("v") == 0))).withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("doc_id").orderBy("coeff", "u", "v")
+        ),
+    )
+    med = ac.where(F.col("rn") == _MEDIAN_RANK).select(
+        "doc_id", F.col("coeff").alias("median_coeff")
+    )
+    pow2 = F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST({_N} * u + v - 1 AS INT))")
+    return (
+        ac.join(med, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(F.col("coeff") > F.col("median_coeff"), pow2)
+                .otherwise(F.lit(0).cast("long"))
+            )
+            .cast("long")
+            .alias("phash"),
+            F.sum(
+                F.when(F.col("coeff") > F.col("median_coeff"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_bits"),
+            F.min("median_coeff").alias("median_coeff"),
+        )
+    )
