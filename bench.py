@@ -317,6 +317,9 @@ EXTENSION_R7 = [
     "curation_skyline_2d",
     "sample_systematic",
     "multimodal_phash_dct",
+    "quality_ece",
+    "scan_manifest_time_travel",
+    "multimodal_phash_near_dup",
 ]
 
 

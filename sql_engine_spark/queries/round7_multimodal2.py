@@ -45,18 +45,19 @@ _PH_SCALE = "1000000000.0"
 _MEDIAN_RANK = 32  # of the 63 AC coefficients
 
 
-def _phash_oracle() -> str:
+def _phash_oracle(source_sql: str = "SELECT doc_id, text FROM documents") -> str:
     cvals = ", ".join(
         f"({u}, {i}, CAST({_DCT_C[u][i]!r} AS DOUBLE))"
         for u in range(_N)
         for i in range(_N)
     )
     return f"""
-        WITH d AS (
+        WITH src AS ({source_sql}),
+        d AS (
             SELECT doc_id,
                    md5(text || '#0') AS h0, md5(text || '#1') AS h1,
                    md5(text || '#2') AS h2, md5(text || '#3') AS h3
-            FROM documents
+            FROM src
         ),
         cells(i, j) AS (VALUES {", ".join(f"({i}, {j})" for i in range(_N) for j in range(_N))}),
         grid AS (
@@ -127,12 +128,18 @@ def _phash_oracle() -> str:
     "banded Hamming join exactly as dedup_simhash_hamming.",
 )
 def multimodal_phash_dct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return phash_frame(spark, docs)
+
+
+def phash_frame(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """(doc_id, phash, n_bits, median_coeff) for any (doc_id, text)
+    frame — the body of multimodal_phash_dct, reusable by the near-dup
+    composition over an augmented corpus."""
     import hashlib
     from typing import Iterator
 
     import pandas as pd
-
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
