@@ -320,6 +320,8 @@ EXTENSION_R7 = [
     "quality_ece",
     "scan_manifest_time_travel",
     "multimodal_phash_near_dup",
+    "agg_covariance_matrix",
+    "curation_temperature_mixture",
 ]
 
 
