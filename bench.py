@@ -322,6 +322,8 @@ EXTENSION_R7 = [
     "multimodal_phash_near_dup",
     "agg_covariance_matrix",
     "curation_temperature_mixture",
+    "events_ab_srm_check",
+    "agg_welch_ttest",
 ]
 
 
