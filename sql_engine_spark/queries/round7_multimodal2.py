@@ -176,7 +176,11 @@ def phash_frame(spark: SparkSession, docs: DataFrame) -> DataFrame:
     cmat2 = cmat.select(
         F.col("u").alias("v"), F.col("i").alias("j"), F.col("c").alias("c2")
     )
-    y = (
+    from sql_engine_spark.operators.dedup import _persist
+
+    # The coefficient relation feeds BOTH the median branch and the
+    # final join — persist it so the grid + two DCT passes run once.
+    y = _persist(
         t1.join(F.broadcast(cmat2), "j")
         .groupBy("doc_id", "u", "v")
         .agg(ssum(F.col("tv") * F.col("c2"), scale=scale).alias("coeff"))
