@@ -177,6 +177,7 @@ def scan_manifest_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _HAM_MAX = 6
+_PH_BUCKET_CAP = 20
 
 
 @register(
@@ -188,7 +189,13 @@ _HAM_MAX = 6
     f"<= {_HAM_MAX} collides on some band whenever its differing bits "
     "miss one band, the same pigeonhole as dedup_simhash_hamming), "
     "candidate pairs verified with the exact bit_count(xor) distance. "
-    "No all-pairs stage: the join is band-keyed. The corpus is "
+    "No all-pairs stage: the join is band-keyed, and band buckets "
+    f"larger than {_PH_BUCKET_CAP} are dropped before the self-join "
+    "(the dedup_minhash_lsh_capped device) — 16-bit bands give only "
+    "65,536 buckets, so at billions of images hot buckets would "
+    "otherwise go quadratic; the cap bounds the join at cap^2 per "
+    "bucket and the dropped mass is an explicit recall trade "
+    "documented by the cap constant. The corpus is "
     "augmented with a re-encoded copy of every 25th payload (id + "
     "1,000,000, same bytes) so the duplicate leg is EXERCISED in data "
     "— the deterministic fake decode is hash-avalanched, so true "
@@ -224,6 +231,12 @@ def multimodal_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bk"),
     ).select("doc_id", "phash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    from pyspark.sql import Window
+
+    wb = Window.partitionBy("band", "key")
+    bands = bands.withColumn("__bn", F.count("*").over(wb)).where(
+        F.col("__bn") <= _PH_BUCKET_CAP
+    ).drop("__bn")
     a = bands.select(
         F.col("band"),
         F.col("key"),
@@ -266,11 +279,15 @@ def _fix_phash_pairs_oracle() -> None:
             SELECT doc_id, phash FROM ({_phash_oracle(src)})
         ),
         bands AS (
-            SELECT doc_id, phash, b.band,
-                   (phash >> (16 * b.band)) & 65535 AS key
-            FROM ph CROSS JOIN (
-                SELECT unnest(range(0, 4)) AS band
-            ) b
+            SELECT doc_id, phash, band, key FROM (
+                SELECT doc_id, phash, b.band,
+                       (phash >> (16 * b.band)) & 65535 AS key
+                FROM ph CROSS JOIN (
+                    SELECT unnest(range(0, 4)) AS band
+                ) b
+            )
+            QUALIFY COUNT(*) OVER (PARTITION BY band, key)
+                <= {_PH_BUCKET_CAP}
         ),
         pairs AS (
             SELECT DISTINCT l.doc_id AS a, r.doc_id AS b,
