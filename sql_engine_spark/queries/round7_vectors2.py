@@ -130,14 +130,18 @@ def ann_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=_MMR_K,
     )
     ce = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce"))
-    cand = _persist(cand.join(ce, "neighbor_id"))
+    # cand is queries x pool rows — broadcast it against the corpus-sized
+    # vector relation, and broadcast every selected-set relation in the
+    # greedy rounds (queries-sized): no sort-merge join anywhere.
+    cand = _persist(F.broadcast(cand).join(ce, "neighbor_id"))
     s1 = cand.where(F.col("rank") == 1).select(
         "query_id", "neighbor_id", "cosine", "ce"
     )
     r2s = (
         cand.where(F.col("rank") > 1)
         .join(
-            s1.select("query_id", F.col("ce").alias("s_ce")), "query_id"
+            F.broadcast(s1.select("query_id", F.col("ce").alias("s_ce"))),
+            "query_id",
         )
         .withColumn("sim1", cosine_sim("ce", "s_ce"))
         .withColumn(
@@ -152,7 +156,10 @@ def ann_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     r3s = (
         r2.where(F.col("rn") > 1)
-        .join(s2.select("query_id", F.col("ce").alias("s_ce")), "query_id")
+        .join(
+            F.broadcast(s2.select("query_id", F.col("ce").alias("s_ce"))),
+            "query_id",
+        )
         .withColumn("sim2", cosine_sim("ce", "s_ce"))
         .withColumn(
             "score",
