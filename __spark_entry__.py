@@ -42,13 +42,26 @@ def oracle_sql() -> dict[str, str]:
     Callable oracles read the dataset (a DuckDB parquet COUNT) at
     render time; guard each individually so a missing/odd dataset
     degrades only the derived entries to rows-only checks instead of
-    raising for the whole oracle map."""
+    raising for the whole oracle map. The degradation is LOUD (names
+    on stderr) and the except is narrowed to dataset-shaped failures —
+    a genuine bug in a render callable still raises (r7 advice: a bare
+    swallow silently demoted exact-compare to rows-only)."""
+    import duckdb
+
     out = {}
+    skipped = []
     for name, q in all_queries().items():
         try:
             sql = resolve_oracle(q.oracle, _DRIVER_SF_DIR)
-        except Exception:
+        except (OSError, duckdb.Error) as exc:
+            skipped.append(f"{name} ({type(exc).__name__})")
             continue
         if sql is not None:
             out[name] = sql
+    if skipped:
+        print(
+            "oracle_sql: degraded to rows-only (dataset unreadable at "
+            f"{_DRIVER_SF_DIR}): {', '.join(sorted(skipped))}",
+            file=sys.stderr,
+        )
     return out

@@ -58,6 +58,25 @@ def release_cached() -> int:
         n += 1
     return n
 
+
+def cache_mark() -> int:
+    """Snapshot the persist-tracking list so a scoped builder can later
+    release ONLY its own intermediates (`release_since`) without
+    touching frames a calling operator persisted earlier — the targeted
+    variant of `release_cached` for helpers (e.g. the shared kNN-graph
+    build) that fully consume their persists with a write action."""
+    return len(_CACHED)
+
+
+def release_since(mark: int) -> int:
+    """Unpersist intermediates appended after `cache_mark()` returned
+    `mark`, leaving earlier entries tracked. Returns the count."""
+    n = 0
+    while len(_CACHED) > mark:
+        _CACHED.pop().unpersist(blocking=False)
+        n += 1
+    return n
+
 # Below this many source bytes, widening a narrow scan costs more (one
 # extra exchange of raw text) than the parallelism it buys. Measured on
 # local[32] at sf0.1 (594 KB, one row group): WITH the widening the

@@ -116,18 +116,25 @@ def derived_sample_hex(
     points (FAISS trains IVF on 1-10% of vectors, ~39-256 per
     centroid), so the deterministic md5-prefix sample should keep
     ~target_train_rows regardless of corpus size. Returns a lowercase
-    hex string `h`; the predicate is substring(md5(id), 1, len(h)) < h,
-    which keeps fraction ceil(frac * 256)/256 of rows (two hex digits
-    = 1/256 granularity). Returns None (train on everything) when the
-    corpus is already at or under the target."""
+    hex string `h`; the predicate is substring(md5(id), 1, len(h)) < h.
+
+    The PREFIX LENGTH scales with the corpus (r7 advice): a fixed
+    2-digit prefix floors the kept fraction at 1/256, so a 1e12-row
+    corpus would sample ~4e9 rows against a 250k target. Using
+    len = max(2, ceil(log16(n/target)) + 1) digits the sampling grain
+    16^-len is at most ~frac/16, so the kept count lands in
+    [target, ~1.0625*target] at ANY corpus size. Returns None (train
+    on everything) when the corpus is already at or under the target."""
     import math
 
     if n_rows <= 0 or target_train_rows >= n_rows:
         return None
-    thr = max(1, math.ceil(target_train_rows / n_rows * 256))
-    if thr >= 256:
+    frac = target_train_rows / n_rows
+    ndig = max(2, math.ceil(math.log(1.0 / frac, 16)) + 1)
+    thr = max(1, math.ceil(frac * 16**ndig))
+    if thr >= 16**ndig:
         return None
-    return format(thr, "02x")
+    return format(thr, f"0{ndig}x")
 
 
 def _planes_or_derived(planes: int | None, df: DataFrame) -> int:
@@ -723,8 +730,11 @@ def ivf_kmeans_topk(
 
     raw = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__v"))
     if target_train_rows is not None:
-        # Corpus count: footer-driven on a bare parquet scan, a cheap
-        # single-column pass otherwise.
+        # Corpus count: a real count job on the (possibly filtered)
+        # corpus relation — footer-driven only when the caller passes a
+        # bare parquet scan. Callers that already know the count should
+        # pre-render the threshold with derived_sample_hex and pass
+        # train_sample_hex directly to skip this pass.
         train_sample_hex = derived_sample_hex(
             raw.count(), target_train_rows=target_train_rows
         )

@@ -11,8 +11,24 @@ spelling (same tie rules: a right row at exactly left.ts matches; ties
 among right rows break to the greatest id) — over a time-ordered replay
 it converges to the batch result EXACTLY.
 
+ORDERING PRECONDITION (r7 advice — now enforced, not assumed): the
+exact-convergence guarantee holds only when the replay is time-ordered
+ACROSS micro-batches per key. Within one batch the operator sorts, but
+a right row delivered in a LATER batch than a left row with greater ts
+would silently yield a stale/NULL enrichment relative to the batch
+twin. `strict_order=True` (default) carries the per-key max event ts in
+state and raises loudly when any batch delivers a row older than what
+the key has already processed, so an out-of-order replay fails instead
+of diverging from the shared DuckDB oracle. Set strict_order=False for
+genuinely unordered feeds where best-effort enrichment is acceptable.
+
 State shards by the join key (user_id), so a 100 TB stream distributes
-as one tiny (ts, id) pair per live user across executors.
+as one tiny (ts, id, max_ts) triple per live user across executors. By
+default state never expires (a live dimension, not a window); at 100 TB
+user cardinality pass `idle_ttl_minutes` to evict keys idle longer than
+the TTL (GroupStateTimeout.ProcessingTimeTimeout) — an evicted user's
+next purchase enriches as NULL until their next view, the standard
+dimension-eviction trade.
 """
 
 from __future__ import annotations
@@ -27,7 +43,7 @@ ASOF_SCHEMA = (
     "event_id bigint, user_id bigint, ts timestamp_ntz, "
     "asof_ts timestamp_ntz, asof_event_id bigint"
 )
-ASOF_STATE_SCHEMA = "best_ts bigint, best_id bigint"
+ASOF_STATE_SCHEMA = "best_ts bigint, best_id bigint, max_ts bigint"
 
 
 def _asof_group(
@@ -36,7 +52,14 @@ def _asof_group(
     state: GroupState,
     right_type: str,
     left_type: str,
+    strict_order: bool,
+    idle_ttl_minutes: int | None,
 ) -> Iterator[pd.DataFrame]:
+    if state.hasTimedOut:
+        # Idle past the TTL: evict the carried dimension row. Nothing
+        # to emit — left rows were enriched at arrival.
+        state.remove()
+        return
     user_id = key[0]
     rows: list[tuple[int, int, int, str]] = []
     for pdf in pdfs:
@@ -49,7 +72,18 @@ def _asof_group(
                 rows.append((int(ts), 0 if et == right_type else 1, int(eid), et))
     rows.sort()
 
-    best_ts, best_id = state.get if state.exists else (None, None)
+    best_ts, best_id, max_ts = (
+        state.get if state.exists else (None, None, None)
+    )
+    if strict_order and rows and max_ts is not None and rows[0][0] < max_ts:
+        raise ValueError(
+            f"asof_enrich_stateful: out-of-order replay for key {user_id}: "
+            f"batch delivered ts {rows[0][0]}us < already-processed max "
+            f"{max_ts}us. Cross-batch time order per key is the operator's "
+            "exact-convergence precondition (see streaming/asof.py); feed a "
+            "time-ordered replay or pass strict_order=False for best-effort "
+            "enrichment."
+        )
     out: list[tuple[int, int, int, int | None, int | None]] = []
     for ts, _side, eid, et in rows:
         if et == right_type:
@@ -57,8 +91,14 @@ def _asof_group(
                 best_ts, best_id = ts, eid
         else:
             out.append((eid, user_id, ts, best_ts, best_id))
-    if best_ts is not None:
-        state.update((best_ts, best_id))
+    if rows:
+        max_ts = rows[-1][0] if max_ts is None else max(max_ts, rows[-1][0])
+    if best_ts is not None or (strict_order and max_ts is not None):
+        state.update((best_ts, best_id, max_ts))
+    if idle_ttl_minutes is not None and state.exists:
+        # ProcessingTimeTimeout requires re-arming after every batch
+        # that touches the key; idle keys then expire at TTL.
+        state.setTimeoutDuration(idle_ttl_minutes * 60_000)
 
     if out:
         df = pd.DataFrame(
@@ -70,16 +110,32 @@ def _asof_group(
 
 
 def asof_enrich_stateful(
-    stream: DataFrame, *, right_type: str = "view", left_type: str = "purchase"
+    stream: DataFrame,
+    *,
+    right_type: str = "view",
+    left_type: str = "purchase",
+    strict_order: bool = True,
+    idle_ttl_minutes: int | None = None,
 ) -> DataFrame:
     """Each `left_type` event enriched with the latest prior (or
     simultaneous) `right_type` event of the same user. Emits rows in
-    `append` mode as left events arrive; state is one (ts, id) pair per
-    user and never expires (a live dimension, not a window)."""
+    `append` mode as left events arrive. State is one (ts, id, max_ts)
+    triple per user; `idle_ttl_minutes=None` keeps it forever (live
+    dimension), a value evicts keys idle past the TTL — the scale-safe
+    default at unbounded user cardinality. `strict_order` makes an
+    out-of-order cross-batch replay fail loudly instead of silently
+    diverging from the batch twin (module docstring)."""
 
     def fn(key, pdfs, state):
-        return _asof_group(key, pdfs, state, right_type, left_type)
+        return _asof_group(
+            key, pdfs, state, right_type, left_type, strict_order, idle_ttl_minutes
+        )
 
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if idle_ttl_minutes is not None
+        else GroupStateTimeout.NoTimeout
+    )
     return (
         stream.select("event_id", "user_id", "ts", "event_type")
         .groupBy("user_id")
@@ -88,6 +144,6 @@ def asof_enrich_stateful(
             outputStructType=ASOF_SCHEMA,
             stateStructType=ASOF_STATE_SCHEMA,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=timeout,
         )
     )

@@ -26,8 +26,13 @@ Batch ids from one streaming query are strictly increasing, so the
 Concurrency contract: SINGLE WRITER. One foreachBatch stream owns the
 view directory; __init__ and merge() are the only entry points that
 mutate it (recovery renames included). read() is side-effect-free and
-safe from any process at any time — mid-commit it falls back to the
-state recovery would roll to, without performing the roll.
+BEST-EFFORT under a racing commit: mid-commit it falls back to the
+state recovery would roll to, without performing the roll, and retries
+the fallback chain once if a directory vanishes between its existence
+probe and the parquet read (the TOCTOU window is real — r7 advice). A
+rename landing between read() returning and the consuming ACTION is
+outside its control; strict readers should pin the result promptly
+(collect/persist) or serialize with the writer.
 
 View state stays aggregate-sized; per-trigger cost is O(batch) +
 O(view), never O(history).
@@ -146,14 +151,29 @@ class IdempotentMatView:
         momentarily absent mid-commit, fall back to the same state
         _recover() would roll to — the newest fully-written swap
         (roll-forward target), else current.old (roll-back target) —
-        read-only."""
-        if os.path.isdir(self.target):
-            return spark.read.parquet(self.target)
-        swaps = self._swap_dirs()
-        if swaps:
-            return spark.read.parquet(swaps[-1][1])
-        old = self.target + ".old"
-        if os.path.isdir(old):
-            return spark.read.parquet(old)
+        read-only. The isdir-probe -> parquet-read window is a genuine
+        TOCTOU against a concurrent merge(), so a vanished path is
+        retried once through the whole chain (see module docstring:
+        best-effort for readers racing a commit)."""
+        from pyspark.errors import AnalysisException
+
+        last_exc: AnalysisException | None = None
+        for _ in range(2):
+            try:
+                if os.path.isdir(self.target):
+                    return spark.read.parquet(self.target)
+                swaps = self._swap_dirs()
+                if swaps:
+                    return spark.read.parquet(swaps[-1][1])
+                old = self.target + ".old"
+                if os.path.isdir(old):
+                    return spark.read.parquet(old)
+                break  # nothing committed yet — retrying cannot help
+            except AnalysisException as exc:
+                # Path vanished between the probe and the read: a
+                # commit's rename landed mid-chain. Re-walk the chain.
+                last_exc = exc
+        if last_exc is not None:
+            raise last_exc
         # Nothing committed yet: surface the standard missing-path error.
         return spark.read.parquet(self.target)

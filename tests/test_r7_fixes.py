@@ -100,16 +100,18 @@ def test_derived_sample_hex_shrinks_with_corpus():
 
     def frac(n, t):
         h = derived_sample_hex(n, target_train_rows=t)
-        return 1.0 if h is None else int(h, 16) / 256.0
+        return 1.0 if h is None else int(h, 16) / 16.0 ** len(h)
 
     # Fraction is monotone non-increasing in the corpus size...
-    fracs = [frac(10**e, 250_000) for e in range(2, 12)]
+    fracs = [frac(10**e, 250_000) for e in range(2, 14)]
     assert fracs == sorted(fracs, reverse=True)
-    # ...and the expected sampled-in count stays ~target (within the
-    # 1/256 rounding grain), never under it.
-    for n in (10**6, 10**8, 10**10):
+    # ...and the expected sampled-in count stays ~target at ANY corpus
+    # size (r7 advice: the old fixed 2-digit prefix floored the
+    # fraction at 1/256, so a 1e12-row corpus sampled ~4e9 rows; the
+    # prefix length now scales, bounding the overshoot at ~1/16).
+    for n in (10**6, 10**8, 10**10, 10**12):
         kept = frac(n, 250_000) * n
-        assert 250_000 <= kept <= 250_000 + n / 256 + 1
+        assert 250_000 <= kept <= 250_000 * 1.07
     # The query-registered operating point actually samples at the
     # test scale factors (corpus 490 at sf0.001/0.01, 1990 at sf0.1).
     assert derived_sample_hex(490, target_train_rows=250) == "83"
