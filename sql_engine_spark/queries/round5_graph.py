@@ -22,13 +22,17 @@ from sql_engine_spark.operators.textprep import shingles, sql_shingles, sql_toke
 from sql_engine_spark.operators.graph import (  # noqa: E402
     sql_triangle_corner_counts,
 )
-from sql_engine_spark.operators.similarity import knn_graph, sql_knn_graph  # noqa: E402
+from sql_engine_spark.operators.graph import (  # noqa: E402
+    knn_graph_shared,
+    sql_knn_shared,
+    und_edges,
+)
 
 
 @register(
     "graph_triangle_count",
     oracle=f"""
-        WITH knn AS ({sql_knn_graph(planes=4, tables=8, dim=64, k=5)}),
+        WITH knn AS ({sql_knn_shared()}),
         {sql_triangle_corner_counts(
             "SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM knn"
         )}
@@ -46,22 +50,15 @@ from sql_engine_spark.operators.similarity import knn_graph, sql_knn_graph  # no
     "wedge volume is bounded by out-degree <= O(sqrt(m)) even at hub "
     "vertices, where an id-ordered orientation would pile a hub\'s "
     "whole neighborhood onto one corner. Reuses ann_knn_graph\'s "
-    "build (planes=4, tables=8, k=5) so the oracle\'s graph is "
+    "build (shared params, operators/graph.knn_graph_shared) so the oracle\'s graph is "
     "bit-identical.",
 )
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sql_engine_spark.operators.dedup import _persist
     from sql_engine_spark.operators.graph import triangle_corner_counts
 
-    emb = load(spark, sf_dir, "embeddings")
-    g = knn_graph(
-        emb, id_col="vec_id", vec_col="embedding", planes=4, tables=8, dim=64, k=5
-    )
-    und = _persist(
-        g.select(
-            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
-        ).distinct()
-    )
+    g = knn_graph_shared(spark, sf_dir)
+    und = _persist(und_edges(g))
     return triangle_corner_counts(und)
 
 
@@ -84,7 +81,7 @@ def _sql_lpa_iter(prev: str, cur: str) -> str:
 @register(
     "graph_label_propagation",
     oracle=f"""
-        WITH knn AS ({sql_knn_graph(planes=4, tables=8, dim=64, k=5)}),
+        WITH knn AS ({sql_knn_shared()}),
         und AS (
             SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
             FROM knn
@@ -114,13 +111,8 @@ def _sql_lpa_iter(prev: str, cur: str) -> str:
 def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sql_engine_spark.operators.dedup import _persist
 
-    emb = load(spark, sf_dir, "embeddings")
-    g = knn_graph(
-        emb, id_col="vec_id", vec_col="embedding", planes=4, tables=8, dim=64, k=5
-    )
-    und = g.select(
-        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
-    ).distinct()
+    g = knn_graph_shared(spark, sf_dir)
+    und = und_edges(g)
     edges = _persist(
         und.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
             und.select(F.col("b").alias("src"), F.col("a").alias("dst"))

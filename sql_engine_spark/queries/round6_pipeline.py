@@ -246,15 +246,10 @@ _MAX_HOPS = 3
 )
 def graph_reachability_3hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sql_engine_spark.operators.dedup import _persist
-    from sql_engine_spark.operators.similarity import knn_graph
+    from sql_engine_spark.operators.graph import knn_graph_shared, und_edges
 
-    emb = load(spark, sf_dir, "embeddings")
-    g = knn_graph(
-        emb, id_col="vec_id", vec_col="embedding", planes=4, tables=4, dim=64, k=5
-    )
-    und = g.select(
-        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
-    ).distinct()
+    g = knn_graph_shared(spark, sf_dir)
+    und = und_edges(g)
     adj = _persist(
         und.select(F.col("a").alias("node"), F.col("b").alias("nb")).unionAll(
             und.select(F.col("b").alias("node"), F.col("a").alias("nb"))

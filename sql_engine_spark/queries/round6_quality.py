@@ -337,12 +337,10 @@ _REGISTRY["text_langid_confusion"].oracle = _langid_confusion_oracle()
 def emb_knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    from sql_engine_spark.operators.similarity import knn_graph
+    from sql_engine_spark.operators.graph import knn_graph_shared
 
     emb = load(spark, sf_dir, "embeddings")
-    g = knn_graph(
-        emb, id_col="vec_id", vec_col="embedding", planes=4, tables=4, dim=64, k=5
-    )
+    g = knn_graph_shared(spark, sf_dir)
     labels = emb.select("vec_id", "label")
     votes = (
         g.join(

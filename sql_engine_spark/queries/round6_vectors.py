@@ -18,9 +18,14 @@ from pyspark.sql import functions as F
 from sql_engine_spark.functions.numeric import sql_dsum
 from sql_engine_spark.io import load
 from sql_engine_spark.operators.dedup import _persist
+from sql_engine_spark.operators.graph import (
+    capped_adjacency,
+    knn_graph_shared,
+    sql_capped_adjacency,
+    und_edges,
+)
 from sql_engine_spark.operators.similarity import (
     brute_force_topk,
-    knn_graph,
     lsh_topk,
     sql_knn_graph,
 )
@@ -197,15 +202,8 @@ _KNN_UND = (
     "to fixpoint.",
 )
 def graph_kcore_peel2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load(spark, sf_dir, "embeddings")
-    g = knn_graph(
-        emb, id_col="vec_id", vec_col="embedding", planes=4, tables=4, dim=64, k=5
-    )
-    und = _persist(
-        g.select(
-            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
-        ).distinct()
-    )
+    g = knn_graph_shared(spark, sf_dir)
+    und = _persist(und_edges(g))
 
     def degrees(edges: DataFrame) -> DataFrame:
         return (
@@ -235,14 +233,9 @@ _CN_TOPK = 3
     "graph_common_neighbors",
     oracle=f"""
         WITH knn AS ({sql_knn_graph(planes=4, tables=4, dim=64, k=5)}),
-        und AS ({_KNN_UND}),
-        adj AS (
-            SELECT a AS node, b AS nb FROM und
-            UNION ALL
-            SELECT b AS node, a AS nb FROM und
-        ),
+        {sql_capped_adjacency()},
         wedges AS (
-            SELECT x.nb AS a, y.nb AS b, x.node AS center
+            SELECT x.nb AS a, y.nb AS b
             FROM adj x JOIN adj y ON x.node = y.node AND x.nb < y.nb
         ),
         cn AS (
@@ -262,27 +255,21 @@ _CN_TOPK = 3
     doc="Common-neighbor similarity over the kNN graph: for each node, "
     "its top-3 partners by shared-neighbor count (>= 2) — the "
     "link-prediction / 'related documents' primitive (Liben-Nowell & "
-    "Kleinberg 2003). Wedge enumeration is center-joined: per center "
-    "node, C(deg, 2) pairs — and degree here is BOUNDED BY THE kNN "
-    "CONSTRUCTION (out-degree k=5 plus bounded mirror in-degree), "
-    "which is what makes all-wedges viable; on an unbounded-degree "
-    "graph this operator would need the degree-capped variant. The "
-    "rank window partitions on node a (corpus-cardinality key, "
-    "bounded candidate lists).",
+    "Kleinberg 2003). Wedge enumeration is DEGREE-CAPPED (r7 verdict "
+    "#1): centers enumerate pairs only over their WEDGE_CAP strongest "
+    "neighbors (operators/graph.capped_adjacency — cosine DESC, id "
+    "ASC, mirrored exactly in the oracle), so per-center volume is "
+    "bounded by C(cap, 2) even when in-degree hubs form (out-degree "
+    "is k=5 by construction, in-degree is NOT bounded — a popular "
+    "vector lands in many top-5 lists). The cap is inert at test "
+    "scale (max degree 13 at sf0.1 < cap 32); on hubby graphs it "
+    "trades recall of weakest-edge wedges for the bound. The rank "
+    "window partitions on node a (corpus-cardinality key, bounded "
+    "candidate lists).",
 )
 def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load(spark, sf_dir, "embeddings")
-    g = knn_graph(
-        emb, id_col="vec_id", vec_col="embedding", planes=4, tables=4, dim=64, k=5
-    )
-    und = _persist(
-        g.select(
-            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
-        ).distinct()
-    )
-    adj = und.select(F.col("a").alias("node"), F.col("b").alias("nb")).unionAll(
-        und.select(F.col("b").alias("node"), F.col("a").alias("nb"))
-    )
+    g = knn_graph_shared(spark, sf_dir)
+    adj = _persist(capped_adjacency(g))
     x = adj.alias("x")
     y = adj.alias("y")
     wedges = x.join(

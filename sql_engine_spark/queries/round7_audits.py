@@ -16,7 +16,7 @@ from sql_engine_spark.functions.numeric import sql_davg
 from sql_engine_spark.io import load
 from sql_engine_spark.operators import dedup as D
 from sql_engine_spark.operators.dedup import _persist
-from sql_engine_spark.operators.similarity import knn_graph, sql_knn_graph
+from sql_engine_spark.operators.similarity import sql_knn_graph
 from sql_engine_spark.operators.textprep import sql_shingles, sql_tokens, tokens
 from sql_engine_spark.queries.dedup import (
     _MINHASH_PARAMS,
@@ -155,45 +155,37 @@ _CC_UND = """
         FROM deg d LEFT JOIN closed c ON d.node = c.center
     """,
     doc="Per-node local clustering coefficient over the kNN graph "
-    "(Watts & Strogatz 1998): closed wedges at each node over C(deg,2) "
+    "(Watts & Strogatz 1998): per-node triangles over C(deg,2) "
     "— the node-level refinement of graph_triangle_count's global "
     "number, and the community-tightness signal dedup cluster audits "
     "read (a near-dup neighborhood with coefficient ~1 is one "
-    "syndicated family; ~0 is a hub stitching unrelated docs). Wedge "
-    "volume is bounded by the kNN construction's degree "
-    "(graph_degree_histogram is the standing evidence); the closure "
-    "check is one semi-join against the edge list; the coefficient is "
-    "an exact rational with the deg<2 case pinned to 0 in both "
-    "engines.",
+    "syndicated family; ~0 is a hub stitching unrelated docs). "
+    "Triangle counts come from DEGREE-ORDERED wedge enumeration "
+    "(operators/graph.triangle_corner_counts — Suri & Vassilvitskii): "
+    "each triangle is enumerated ONCE at its minimum-(degree, id) "
+    "corner and redistributed to all three corners relationally, so "
+    "total wedge volume is O(m^1.5) even with in-degree hubs, where "
+    "the r7 spelling's per-center C(deg,2) enumeration was "
+    "sum(deg^2). EXACT — the result (and the naive-spelling DuckDB "
+    "oracle) is unchanged; the orientation only schedules the "
+    "enumeration. Coefficient is an exact rational with the deg<2 "
+    "case pinned to 0 in both engines.",
 )
 def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load(spark, sf_dir, "embeddings")
-    g = knn_graph(
-        emb, id_col="vec_id", vec_col="embedding", planes=4, tables=4, dim=64, k=5
+    from sql_engine_spark.operators.graph import (
+        knn_graph_shared,
+        triangle_corner_counts,
+        und_edges,
     )
-    und = _persist(
-        g.select(
-            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
-        ).distinct()
-    )
+
+    g = knn_graph_shared(spark, sf_dir)
+    und = _persist(und_edges(g))
     adj = und.select(F.col("a").alias("node"), F.col("b").alias("nb")).unionAll(
         und.select(F.col("b").alias("node"), F.col("a").alias("nb"))
     )
     deg = adj.groupBy("node").agg(F.count("*").cast("long").alias("degree"))
-    x = adj.alias("x")
-    y = adj.alias("y")
-    wedges = x.join(
-        y,
-        (F.col("x.node") == F.col("y.node")) & (F.col("x.nb") < F.col("y.nb")),
-    ).select(
-        F.col("x.node").alias("center"),
-        F.col("x.nb").alias("a"),
-        F.col("y.nb").alias("b"),
-    )
-    closed = (
-        wedges.join(und, ["a", "b"], "left_semi")
-        .groupBy("center")
-        .agg(F.count("*").cast("long").alias("triangles"))
+    closed = triangle_corner_counts(und).select(
+        F.col("node").alias("center"), F.col("n_triangles").alias("triangles")
     )
     t = F.coalesce("triangles", F.lit(0).cast("long"))
     return deg.join(closed, deg.node == closed.center, "left").select(

@@ -262,17 +262,10 @@ def agg_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
     "re-runs the full unrolled LPA + the same integer algebra.",
 )
 def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sql_engine_spark.operators.similarity import knn_graph
+    from sql_engine_spark.operators.graph import knn_graph_shared, und_edges
 
-    emb = load(spark, sf_dir, "embeddings")
-    g = knn_graph(
-        emb, id_col="vec_id", vec_col="embedding", planes=4, tables=8, dim=64, k=5
-    )
-    und = _persist(
-        g.select(
-            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
-        ).distinct()
-    )
+    g = knn_graph_shared(spark, sf_dir)
+    und = _persist(und_edges(g))
     edges = _persist(
         und.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
             und.select(F.col("b").alias("src"), F.col("a").alias("dst"))
@@ -334,12 +327,12 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _fix_modularity_oracle() -> None:
-    from sql_engine_spark.operators.similarity import sql_knn_graph
+    from sql_engine_spark.operators.graph import sql_knn_shared
     from sql_engine_spark.queries.round5_graph import _sql_lpa_iter
     from sql_engine_spark.registry import _REGISTRY
 
     _REGISTRY["graph_modularity"].oracle = f"""
-        WITH knn AS ({sql_knn_graph(planes=4, tables=8, dim=64, k=5)}),
+        WITH knn AS ({sql_knn_shared()}),
         und AS (
             SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
             FROM knn

@@ -25,7 +25,8 @@ from sql_engine_spark.operators.prefix import (
     bucketed_running_sum,
     hex_prefix_bucket,
 )
-from sql_engine_spark.operators.similarity import knn_graph, sql_knn_graph, two_level_topk
+from sql_engine_spark.operators.graph import sql_capped_adjacency
+from sql_engine_spark.operators.similarity import sql_knn_graph, two_level_topk
 from sql_engine_spark.operators.textprep import sql_tokens
 from sql_engine_spark.queries.retrieval import _BM25_QUERIES
 from sql_engine_spark.registry import register
@@ -266,14 +267,9 @@ _JLP_TOPK = 3
     "graph_jaccard_linkpred",
     oracle=f"""
         WITH knn AS ({sql_knn_graph(planes=4, tables=4, dim=64, k=5)}),
-        und AS ({_KNN_UND}),
-        adj AS (
-            SELECT a AS node, b AS nb FROM und
-            UNION ALL
-            SELECT b AS node, a AS nb FROM und
-        ),
+        {sql_capped_adjacency()},
         deg AS (
-            SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY node
+            SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM adjw GROUP BY node
         ),
         wedges AS (
             SELECT x.nb AS a, y.nb AS b
@@ -307,23 +303,24 @@ _JLP_TOPK = 3
     "Adamic-Adar it needs no log, so the score is an exact-integer "
     "ratio (inclusion-exclusion union) with ONE final division, "
     "hash-stable cross-engine (house rule: no libm in hashed "
-    "outputs). Wedge volume is bounded by the kNN construction "
-    "degree; degrees join back on node-sized relations.",
+    "outputs). Wedge enumeration is DEGREE-CAPPED at the WEDGE_CAP "
+    "strongest neighbors per center (operators/graph.capped_adjacency, "
+    "mirrored in the oracle; inert at test scale — max degree 13 at "
+    "sf0.1 < cap 32) so hub in-degree cannot go quadratic at 100x; "
+    "the Jaccard DENOMINATOR keeps TRUE degrees (uncapped mirror), "
+    "so reported scores are exact whenever the pair's wedges survive "
+    "the cap.",
 )
 def graph_jaccard_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load(spark, sf_dir, "embeddings")
-    g = knn_graph(
-        emb, id_col="vec_id", vec_col="embedding", planes=4, tables=4, dim=64, k=5
-    )
-    und = _persist(
-        g.select(
-            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
-        ).distinct()
-    )
-    adj = und.select(F.col("a").alias("node"), F.col("b").alias("nb")).unionAll(
+    from sql_engine_spark.operators.graph import capped_adjacency, knn_graph_shared, und_edges
+
+    g = knn_graph_shared(spark, sf_dir)
+    und = _persist(und_edges(g))
+    adjw = und.select(F.col("a").alias("node"), F.col("b").alias("nb")).unionAll(
         und.select(F.col("b").alias("node"), F.col("a").alias("nb"))
     )
-    deg = adj.groupBy("node").agg(F.count("*").cast("long").alias("d"))
+    deg = adjw.groupBy("node").agg(F.count("*").cast("long").alias("d"))
+    adj = _persist(capped_adjacency(g))
     x, y = adj.alias("x"), adj.alias("y")
     wedges = x.join(
         y, (F.col("x.node") == F.col("y.node")) & (F.col("x.nb") < F.col("y.nb"))

@@ -23,9 +23,9 @@ from sql_engine_spark.functions.numeric import sql_ssum, ssum
 from sql_engine_spark.functions.vectors import dot, l2_norm
 from sql_engine_spark.io import load
 from sql_engine_spark.operators.dedup import _persist
+from sql_engine_spark.operators.graph import sql_capped_adjacency
 from sql_engine_spark.operators.similarity import (
     brute_force_topk,
-    knn_graph,
     plane_vals,
     sql_knn_graph,
 )
@@ -379,14 +379,9 @@ _RA_TOPK = 3
     "graph_resource_allocation",
     oracle=f"""
         WITH knn AS ({sql_knn_graph(planes=4, tables=4, dim=64, k=5)}),
-        und AS ({_KNN_UND}),
-        adj AS (
-            SELECT a AS node, b AS nb FROM und
-            UNION ALL
-            SELECT b AS node, a AS nb FROM und
-        ),
+        {sql_capped_adjacency()},
         deg AS (
-            SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM adj GROUP BY node
+            SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM adjw GROUP BY node
         ),
         wedges AS (
             SELECT x.nb AS a, y.nb AS b, x.node AS center
@@ -394,7 +389,7 @@ _RA_TOPK = 3
         ),
         nonadj AS (
             SELECT w.a, w.b, w.center FROM wedges w
-            LEFT JOIN und e ON w.a = e.a AND w.b = e.b
+            LEFT JOIN undw e ON w.a = e.a AND w.b = e.b
             WHERE e.a IS NULL
         ),
         ra AS (
@@ -418,25 +413,28 @@ _RA_TOPK = 3
     "is not cross-engine bit-stable; RA's exact rational weights are, "
     "and it outperforms AA in the published benchmarks). EXISTING "
     "edges are anti-joined out — this predicts missing links, not "
-    "re-scores present ones. Wedge volume is bounded by the kNN "
-    "construction's degree; the weight reduction goes through the "
-    "shared IEEE rounding (ssum); top-3 per node via the node-"
-    "partitioned rank window.",
+    "re-scores present ones. Wedge enumeration is DEGREE-CAPPED at "
+    "the WEDGE_CAP strongest neighbors per center (operators/"
+    "graph.capped_adjacency, mirrored in the oracle; inert at test "
+    "scale), so hub in-degree cannot go quadratic at 100x; the "
+    "1/degree weights keep TRUE degrees. The weight reduction goes "
+    "through the shared IEEE rounding (ssum); top-3 per node via "
+    "the node-partitioned rank window.",
 )
 def graph_resource_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load(spark, sf_dir, "embeddings")
-    g = knn_graph(
-        emb, id_col="vec_id", vec_col="embedding", planes=4, tables=4, dim=64, k=5
+    from sql_engine_spark.operators.graph import (
+        capped_adjacency,
+        knn_graph_shared,
+        und_edges,
     )
-    und = _persist(
-        g.select(
-            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
-        ).distinct()
-    )
-    adj = und.select(F.col("a").alias("node"), F.col("b").alias("nb")).unionAll(
+
+    g = knn_graph_shared(spark, sf_dir)
+    und = _persist(und_edges(g))
+    adjw = und.select(F.col("a").alias("node"), F.col("b").alias("nb")).unionAll(
         und.select(F.col("b").alias("node"), F.col("a").alias("nb"))
     )
-    deg = adj.groupBy("node").agg(F.count("*").cast("long").alias("deg"))
+    deg = adjw.groupBy("node").agg(F.count("*").cast("long").alias("deg"))
+    adj = _persist(capped_adjacency(g))
     x = adj.alias("x")
     y = adj.alias("y")
     wedges = x.join(
@@ -490,18 +488,18 @@ def graph_resource_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     "exactly about in-degree hubs, so this histogram is the evidence "
     "that degrees stay near the k=5 construction bound (out-degree is "
     "capped by k; IN-degree is not — popular vectors appear in many "
-    "top-5 lists, and a heavy tail here is the early warning to "
-    "degree-cap the wedge joins). Two bounded aggregates over the "
-    "edge list.",
+    "top-5 lists). Since r8 the wedge family IS degree-capped "
+    "(operators/graph.capped_adjacency, WEDGE_CAP strongest "
+    "neighbors per center) and triangles use degree-ordered "
+    "orientation; this histogram remains the evidence of how much "
+    "tail the cap would trim (none at test scale: max degree 13 "
+    "at sf0.1). Two bounded aggregates over the edge list.",
 )
 def graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load(spark, sf_dir, "embeddings")
-    g = knn_graph(
-        emb, id_col="vec_id", vec_col="embedding", planes=4, tables=4, dim=64, k=5
-    )
-    und = g.select(
-        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
-    ).distinct()
+    from sql_engine_spark.operators.graph import knn_graph_shared, und_edges
+
+    g = knn_graph_shared(spark, sf_dir)
+    und = und_edges(g)
     adj = und.select(F.col("a").alias("node")).unionAll(
         und.select(F.col("b").alias("node"))
     )

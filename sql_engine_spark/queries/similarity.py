@@ -13,7 +13,6 @@ from sql_engine_spark.operators.similarity import (
     lsh_multitable_topk,
     lsh_topk,
     sql_lsh_bucket,
-    knn_graph,
     sql_knn_graph,
 )
 from sql_engine_spark.operators.graph import sql_pagerank_fixed
@@ -789,9 +788,12 @@ def ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ann_knn_graph",
-    oracle=sql_knn_graph(planes=4, tables=8, dim=64, k=5),
+    oracle=sql_knn_graph(planes=4, tables=4, dim=64, k=5),
     doc="Batch kNN-graph: every corpus vector's top-5 approximate "
-    "cosine neighbors via 8-table x 4-plane OR-amplified LSH — the "
+    "cosine neighbors via 4-table x 4-plane OR-amplified LSH (the "
+    "standardized graph-family params — operators/graph.knn_graph_shared "
+    "builds this exact relation ONCE per process and every graph "
+    "operator scans it) — the "
     "primitive behind SemDeDup clustering, kNN-LM datastores, and "
     "hard-negative mining. Candidates are bucket-confined (no "
     "all-pairs stage); ranking is a plain per-source window, correct "
@@ -800,10 +802,9 @@ def ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     "queries regime where the salted two-level top-k is required.",
 )
 def ann_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load(spark, sf_dir, "embeddings")
-    return knn_graph(
-        emb, id_col="vec_id", vec_col="embedding", planes=4, tables=8, dim=64, k=5
-    )
+    from sql_engine_spark.operators.graph import knn_graph_shared
+
+    return knn_graph_shared(spark, sf_dir)
 
 
 @register(
@@ -822,11 +823,12 @@ def ann_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     "unrolls the identical rounds (operators/graph.py).",
 )
 def graph_pagerank_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sql_engine_spark.operators.graph import pagerank_fixed
+    from sql_engine_spark.operators.graph import knn_graph_shared, pagerank_fixed
 
     emb = load(spark, sf_dir, "embeddings")
-    edges = knn_graph(
-        emb, id_col="vec_id", vec_col="embedding", planes=4, tables=4, dim=64, k=3
-    ).select("src", "dst")
+    # k=3 is a rank filter on the shared k=5 relation: rank is the
+    # per-src (cosine DESC, dst ASC) row_number, so rank <= 3 of the
+    # k=5 build IS the k=3 build — no second graph construction.
+    edges = knn_graph_shared(spark, sf_dir, k=3).select("src", "dst")
     nodes = emb.select(F.col("vec_id").alias("node"))
     return pagerank_fixed(nodes, edges, iterations=3)

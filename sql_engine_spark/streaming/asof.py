@@ -53,7 +53,7 @@ def _asof_group(
     right_type: str,
     left_type: str,
     strict_order: bool,
-    idle_ttl_minutes: int | None,
+    idle_ttl_minutes: float | None,
 ) -> Iterator[pd.DataFrame]:
     if state.hasTimedOut:
         # Idle past the TTL: evict the carried dimension row. Nothing
@@ -98,7 +98,7 @@ def _asof_group(
     if idle_ttl_minutes is not None and state.exists:
         # ProcessingTimeTimeout requires re-arming after every batch
         # that touches the key; idle keys then expire at TTL.
-        state.setTimeoutDuration(idle_ttl_minutes * 60_000)
+        state.setTimeoutDuration(int(idle_ttl_minutes * 60_000))
 
     if out:
         df = pd.DataFrame(
@@ -115,7 +115,7 @@ def asof_enrich_stateful(
     right_type: str = "view",
     left_type: str = "purchase",
     strict_order: bool = True,
-    idle_ttl_minutes: int | None = None,
+    idle_ttl_minutes: float | None = None,
 ) -> DataFrame:
     """Each `left_type` event enriched with the latest prior (or
     simultaneous) `right_type` event of the same user. Emits rows in
