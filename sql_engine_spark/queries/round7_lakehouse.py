@@ -195,7 +195,11 @@ _PH_BUCKET_CAP = 20
     "65,536 buckets, so at billions of images hot buckets would "
     "otherwise go quadratic; the cap bounds the join at cap^2 per "
     "bucket and the dropped mass is an explicit recall trade "
-    "documented by the cap constant. The corpus is "
+    "documented by the cap constant — and MEASURED by "
+    "multimodal_phash_cap_audit (round8_audits.py): at sf0.1 the "
+    "cap=20 operating point holds pair recall 1.0 vs the exact "
+    "all-pairs Hamming join (even cap=5 does — every true pair "
+    "that loses a hot band still collides on another). The corpus is "
     "augmented with a re-encoded copy of every 25th payload (id + "
     "1,000,000, same bytes) so the duplicate leg is EXERCISED in data "
     "— the deterministic fake decode is hash-avalanched, so true "

@@ -1,0 +1,209 @@
+"""Round-8 self-audit operators: the pHash bucket-cap recall sweep.
+
+House pattern (dedup_threshold_sweep, ann_ivf_recall_report,
+dedup_lsh_s_curve): every recall-affecting constant ships an
+oracle-backed operator that MEASURES the trade on real data. The r7
+verdict flagged `_PH_BUCKET_CAP` (round7_lakehouse.py) as the one
+recall-affecting constant without its audit — this module closes it.
+
+The audit runs the EXACT all-pairs Hamming join as ground truth, which
+is precisely the stage the production near-dup operator cannot afford —
+so this is an audit-scale operator by construction (run it on a sample
+or a scale-factor snapshot, never the full corpus; same posture as
+dedup_threshold_sweep). The reference engine has no multimodal or
+audit surface at all (SURVEY.md §2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from sql_engine_spark.io import load
+from sql_engine_spark.registry import _REGISTRY, register
+
+# Sweep includes the production constant (20) plus tighter/looser dials.
+_CAP_STEPS = (5, 10, 20, 40)
+_HAM_MAX = 6  # same fence as multimodal_phash_near_dup
+
+
+@register(
+    "multimodal_phash_cap_audit",
+    oracle=None,  # composed below from the phash oracle
+    doc="Recall audit for multimodal_phash_near_dup's bucket cap: for "
+    f"each candidate cap in {_CAP_STEPS}, the pair recall of the "
+    "banded-and-capped join against the EXACT all-pairs Hamming join "
+    f"(distance <= {_HAM_MAX}) plus the dropped band-row mass — the "
+    "measured version of the cap's documented recall trade, the same "
+    "self-audit contract as dedup_threshold_sweep / "
+    "ann_ivf_recall_report. One banded pass computes each true pair's "
+    "MIN matching-band bucket size; a pair survives cap c iff that "
+    "min is <= c, so the whole sweep is one bounded cross join over "
+    "the cap grid — no per-cap re-join. cap NULL rows never collide "
+    "on any band (the banding pigeonhole's own miss, the cap-"
+    "independent recall ceiling, reported as the recall at the "
+    "largest cap being < 1 when present). The exact leg is all-pairs "
+    "and AUDIT-SCALE ONLY (module docstring); the production operator "
+    "never runs it.",
+)
+def multimodal_phash_cap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sql_engine_spark.queries.round7_multimodal2 import phash_frame
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = docs.where(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    ph = (
+        phash_frame(spark, docs.unionAll(copies))
+        .select("doc_id", "phash")
+        .persist()
+    )
+    # Exact truth: all-pairs Hamming (audit-scale only).
+    pa = ph.select(F.col("doc_id").alias("a"), F.col("phash").alias("ha"))
+    pb = ph.select(F.col("doc_id").alias("b"), F.col("phash").alias("hb"))
+    true_pairs = (
+        pa.crossJoin(pb)
+        .where(F.col("a") < F.col("b"))
+        .withColumn(
+            "hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("long")
+        )
+        .where(F.col("hamming") <= _HAM_MAX)
+        .select("a", "b")
+    )
+    # Band keys + bucket sizes (uncapped — the audit measures the cap).
+    bands = ph.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bnd).alias("band"),
+                        F.shiftright(F.col("phash"), 16 * bnd)
+                        .bitwiseAND(F.lit(65535))
+                        .alias("key"),
+                    )
+                    for bnd in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    wb = Window.partitionBy("band", "key")
+    bands = bands.withColumn("bn", F.count("*").over(wb).cast("long")).persist()
+    # For each true pair: min bucket size over the bands where it collides.
+    ba = bands.select("band", "key", F.col("doc_id").alias("a"), F.col("bn"))
+    bb = bands.select(
+        "band", "key", F.col("doc_id").alias("b"), F.col("bn").alias("bn_b")
+    )
+    min_bn = (
+        ba.join(bb, ["band", "key"])
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.min("bn").alias("min_bn"))
+    )
+    judged = true_pairs.join(min_bn, ["a", "b"], "left")
+    caps = spark.range(0).sparkSession.createDataFrame(
+        [(c,) for c in _CAP_STEPS], "cap long"
+    )
+    per_cap = (
+        judged.crossJoin(F.broadcast(caps))
+        .groupBy("cap")
+        .agg(
+            F.count("*").cast("long").alias("n_true_pairs"),
+            F.sum(
+                F.when(
+                    F.col("min_bn").isNotNull() & (F.col("min_bn") <= F.col("cap")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_found_pairs"),
+        )
+    )
+    dropped = (
+        bands.crossJoin(F.broadcast(caps))
+        .where(F.col("bn") > F.col("cap"))
+        .groupBy("cap")
+        .agg(F.count("*").cast("long").alias("n_band_rows_dropped"))
+    )
+    return (
+        per_cap.join(dropped, "cap", "left")
+        .select(
+            "cap",
+            "n_true_pairs",
+            "n_found_pairs",
+            (
+                F.col("n_found_pairs").cast("double")
+                / F.col("n_true_pairs").cast("double")
+            ).alias("recall"),
+            F.coalesce("n_band_rows_dropped", F.lit(0).cast("long")).alias(
+                "n_band_rows_dropped"
+            ),
+        )
+    )
+
+
+def _fix_cap_audit_oracle() -> None:
+    from sql_engine_spark.queries.round7_multimodal2 import _phash_oracle
+
+    src = (
+        "SELECT doc_id, text FROM documents "
+        "UNION ALL "
+        "SELECT doc_id + 1000000 AS doc_id, text FROM documents "
+        "WHERE doc_id % 25 = 0"
+    )
+    caps = ", ".join(f"({c})" for c in _CAP_STEPS)
+    _REGISTRY["multimodal_phash_cap_audit"].oracle = f"""
+        WITH ph AS (
+            SELECT doc_id, phash FROM ({_phash_oracle(src)})
+        ),
+        true_pairs AS (
+            SELECT l.doc_id AS a, r.doc_id AS b
+            FROM ph l JOIN ph r ON l.doc_id < r.doc_id
+            WHERE bit_count(xor(l.phash, r.phash)) <= {_HAM_MAX}
+        ),
+        bands AS (
+            SELECT doc_id, band, key,
+                   CAST(COUNT(*) OVER (PARTITION BY band, key) AS BIGINT) AS bn
+            FROM (
+                SELECT doc_id, b.band,
+                       (phash >> (16 * b.band)) & 65535 AS key
+                FROM ph CROSS JOIN (
+                    SELECT unnest(range(0, 4)) AS band
+                ) b
+            )
+        ),
+        min_bn AS (
+            SELECT l.doc_id AS a, r.doc_id AS b, MIN(l.bn) AS min_bn
+            FROM bands l JOIN bands r
+              ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
+            GROUP BY 1, 2
+        ),
+        judged AS (
+            SELECT t.a, t.b, m.min_bn
+            FROM true_pairs t LEFT JOIN min_bn m ON t.a = m.a AND t.b = m.b
+        ),
+        caps(cap) AS (VALUES {caps}),
+        per_cap AS (
+            SELECT CAST(cap AS BIGINT) AS cap,
+                   CAST(COUNT(*) AS BIGINT) AS n_true_pairs,
+                   CAST(SUM(CASE WHEN min_bn IS NOT NULL AND min_bn <= cap
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_found_pairs
+            FROM judged CROSS JOIN caps
+            GROUP BY cap
+        ),
+        dropped AS (
+            SELECT CAST(cap AS BIGINT) AS cap,
+                   CAST(COUNT(*) AS BIGINT) AS n_band_rows_dropped
+            FROM bands CROSS JOIN caps
+            WHERE bn > cap
+            GROUP BY cap
+        )
+        SELECT p.cap, p.n_true_pairs, p.n_found_pairs,
+               CAST(p.n_found_pairs AS DOUBLE)
+                   / CAST(p.n_true_pairs AS DOUBLE) AS recall,
+               COALESCE(d.n_band_rows_dropped, 0) AS n_band_rows_dropped
+        FROM per_cap p LEFT JOIN dropped d ON p.cap = d.cap
+    """
+
+
+_fix_cap_audit_oracle()
