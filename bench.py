@@ -327,6 +327,25 @@ EXTENSION_R7 = [
 ]
 
 
+EXTENSION_R8 = [
+    "agg_kruskal_wallis",
+    "agg_mann_kendall_trend",
+    "agg_brown_forsythe",
+    "agg_wilcoxon_signed_rank",
+    "events_pettitt_changepoint",
+    "agg_hodges_lehmann_shift",
+    "quality_confusion_sweep",
+    "quality_mcc_sweep",
+    "quality_youden_threshold",
+    "quality_macro_f1_lang",
+    "multimodal_phash_cap_audit",
+    "graph_wedge_cap_audit",
+    "graph_mutual_knn_rate",
+    "maintenance_compaction_plan",
+    "emb_label_centroid_outliers",
+]
+
+
 def _time_section(spark, qs, names: list[str], sf_dir: str) -> dict[str, float]:
     """Best-of-2 full passes: one transient stall (GC, page cache miss,
     machine contention) otherwise lands verbatim in the recorded number.
@@ -395,6 +414,8 @@ def main() -> int:
     r6_total = round(sum(r6_timings.values()), 3)
     r7_timings = _time_section(spark, qs, EXTENSION_R7, sf_dir)
     r7_total = round(sum(r7_timings.values()), 3)
+    r8_timings = _time_section(spark, qs, EXTENSION_R8, sf_dir)
+    r8_total = round(sum(r8_timings.values()), 3)
 
     # Curation flagships: best-of-2, own stable total (r3 comparison
     # base: extension_queries.dedup_keep_best / pipeline_curate_full).
@@ -419,6 +440,8 @@ def main() -> int:
         "extension_r6_queries": r6_timings,
         "extension_r7_total": r7_total,
         "extension_r7_queries": r7_timings,
+        "extension_r8_total": r8_total,
+        "extension_r8_queries": r8_timings,
     }
     if companion:
         out["companion_sf"] = 0.01
@@ -456,6 +479,7 @@ def main() -> int:
         "extension_r5_total": r5_total,
         "extension_r6_total": r6_total,
         "extension_r7_total": r7_total,
+        "extension_r8_total": r8_total,
     }
     if companion:
         summary["companion_total"] = out["companion_total"]

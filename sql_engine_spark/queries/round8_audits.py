@@ -207,3 +207,149 @@ def _fix_cap_audit_oracle() -> None:
 
 
 _fix_cap_audit_oracle()
+
+
+_WEDGE_CAPS = (8, 16, 32, 64)
+
+
+@register(
+    "graph_wedge_cap_audit",
+    oracle=None,  # composed below (needs the shared kNN CTE)
+    doc="Measured wedge-volume trade of the WEDGE_CAP device "
+    "(operators/graph.capped_adjacency) on the real kNN graph: for "
+    f"each candidate cap in {_WEDGE_CAPS}, the wedge rows the capped "
+    "enumeration keeps — sum over centers of C(min(degree, cap), 2) — "
+    "against the uncapped sum C(degree, 2), plus how many centers the "
+    "cap touches. The companion evidence to graph_degree_histogram "
+    "(which shows the degree tail) and multimodal_phash_cap_audit "
+    "(the same audit contract for the pHash bucket cap): at test "
+    "scale every fraction is 1.0 because max degree < the production "
+    "cap 32; on a hubby graph this relation is the dial-vs-loss "
+    "curve. Exact integers off the node-sized degree relation; one "
+    "final division.",
+)
+def graph_wedge_cap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sql_engine_spark.operators.graph import knn_graph_shared, und_edges
+
+    g = knn_graph_shared(spark, sf_dir)
+    und = und_edges(g)
+    adj = und.select(F.col("a").alias("node")).unionAll(
+        und.select(F.col("b").alias("node"))
+    )
+    deg = adj.groupBy("node").agg(F.count("*").cast("long").alias("deg"))
+    caps = spark.createDataFrame([(c,) for c in _WEDGE_CAPS], "cap long")
+    joined = deg.crossJoin(F.broadcast(caps))
+    kept_deg = F.least(F.col("deg"), F.col("cap"))
+    return (
+        joined.groupBy("cap")
+        .agg(
+            F.sum(F.col("deg") * (F.col("deg") - 1) / 2)
+            .cast("long")
+            .alias("wedges_uncapped"),
+            F.sum(kept_deg * (kept_deg - 1) / 2).cast("long").alias("wedges_kept"),
+            F.sum(F.when(F.col("deg") > F.col("cap"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_centers_capped"),
+        )
+        .select(
+            "cap",
+            "wedges_uncapped",
+            "wedges_kept",
+            "n_centers_capped",
+            (
+                F.col("wedges_kept").cast("double")
+                / F.col("wedges_uncapped").cast("double")
+            ).alias("kept_fraction"),
+        )
+    )
+
+
+@register(
+    "graph_mutual_knn_rate",
+    oracle=None,  # composed below
+    doc="Reciprocity of the directed kNN graph, per rank: of the edges "
+    "src->dst at each rank, how many are RECIPROCATED (dst also lists "
+    "src in its own top-k) — the mutual-kNN signal SemDeDup-style "
+    "semantic dedup uses to separate genuine near-dup pairs (mutual) "
+    "from hub attraction (one-way edges into a popular vector), and "
+    "the cheapest early-warning number for the same hub risk the "
+    "wedge cap mitigates. One edge-sized self-join on the shared "
+    "graph relation (src/dst-keyed, no quadratic stage); exact "
+    "counts, one division.",
+)
+def graph_mutual_knn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sql_engine_spark.operators.graph import knn_graph_shared
+
+    g = knn_graph_shared(spark, sf_dir).select("src", "dst", "rank")
+    rev = g.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    mutual = g.join(rev, ["src", "dst"], "left_semi").groupBy("rank").agg(
+        F.count("*").cast("long").alias("n_mutual")
+    )
+    per_rank = g.groupBy("rank").agg(F.count("*").cast("long").alias("n_edges"))
+    return (
+        per_rank.join(mutual, "rank", "left")
+        .select(
+            "rank",
+            "n_edges",
+            F.coalesce("n_mutual", F.lit(0).cast("long")).alias("n_mutual"),
+            (
+                F.coalesce("n_mutual", F.lit(0)).cast("double")
+                / F.col("n_edges").cast("double")
+            ).alias("mutual_rate"),
+        )
+    )
+
+
+def _fix_graph_audit_oracles() -> None:
+    from sql_engine_spark.operators.graph import sql_knn_shared
+
+    caps = ", ".join(f"({c})" for c in _WEDGE_CAPS)
+    _REGISTRY["graph_wedge_cap_audit"].oracle = f"""
+        WITH knn AS ({sql_knn_shared()}),
+        und AS (
+            SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+            FROM knn
+        ),
+        deg AS (
+            SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+                SELECT a AS node FROM und UNION ALL SELECT b AS node FROM und
+            ) GROUP BY node
+        ),
+        caps(cap) AS (VALUES {caps})
+        SELECT CAST(cap AS BIGINT) AS cap,
+               CAST(SUM((deg * (deg - 1)) // 2) AS BIGINT) AS wedges_uncapped,
+               CAST(SUM((least(deg, cap) * (least(deg, cap) - 1)) // 2)
+                    AS BIGINT) AS wedges_kept,
+               CAST(SUM(CASE WHEN deg > cap THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_centers_capped,
+               CAST(SUM((least(deg, cap) * (least(deg, cap) - 1)) // 2)
+                    AS DOUBLE)
+                   / CAST(SUM((deg * (deg - 1)) // 2) AS DOUBLE)
+                   AS kept_fraction
+        FROM deg CROSS JOIN caps
+        GROUP BY cap
+    """
+    _REGISTRY["graph_mutual_knn_rate"].oracle = f"""
+        WITH knn AS ({sql_knn_shared()}),
+        mut AS (
+            SELECT g.rank, CAST(COUNT(*) AS BIGINT) AS n_mutual
+            FROM knn g
+            WHERE EXISTS (
+                SELECT 1 FROM knn r
+                WHERE r.src = g.dst AND r.dst = g.src
+            )
+            GROUP BY g.rank
+        ),
+        per_rank AS (
+            SELECT rank, CAST(COUNT(*) AS BIGINT) AS n_edges
+            FROM knn GROUP BY rank
+        )
+        SELECT p.rank, p.n_edges,
+               COALESCE(m.n_mutual, 0) AS n_mutual,
+               CAST(COALESCE(m.n_mutual, 0) AS DOUBLE)
+                   / CAST(p.n_edges AS DOUBLE) AS mutual_rate
+        FROM per_rank p LEFT JOIN mut m ON p.rank = m.rank
+    """
+
+
+_fix_graph_audit_oracles()
