@@ -343,6 +343,12 @@ EXTENSION_R8 = [
     "graph_mutual_knn_rate",
     "maintenance_compaction_plan",
     "emb_label_centroid_outliers",
+    "graph_assortativity",
+    "privacy_l_diversity",
+    "approx_kmv_distinct",
+    "curation_semdedup_cells",
+    "maintenance_delete_plan",
+    "events_theta_forecast",
 ]
 
 
