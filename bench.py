@@ -349,6 +349,9 @@ EXTENSION_R8 = [
     "curation_semdedup_cells",
     "maintenance_delete_plan",
     "events_theta_forecast",
+    "events_funnel_wilson_ci",
+    "dedup_semantic_threshold_sweep",
+    "ann_lsh_tables_recall_sweep",
 ]
 
 
