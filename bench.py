@@ -352,6 +352,7 @@ EXTENSION_R8 = [
     "events_funnel_wilson_ci",
     "dedup_semantic_threshold_sweep",
     "ann_lsh_tables_recall_sweep",
+    "streaming_kmv_distinct",
 ]
 
 
