@@ -353,6 +353,10 @@ EXTENSION_R8 = [
     "dedup_semantic_threshold_sweep",
     "ann_lsh_tables_recall_sweep",
     "streaming_kmv_distinct",
+    "dedup_minhash_bbit_audit",
+    "events_activity_streaks",
+    "scan_mor_position_deletes",
+    "multimodal_video_scene_cuts",
 ]
 
 
