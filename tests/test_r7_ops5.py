@@ -76,12 +76,11 @@ def test_durbin_watson_matches_python(spark, sf_dir):
 
 
 def test_modularity_matches_python_on_lpa_labels(spark, sf_dir):
-    from sql_engine_spark.operators.similarity import knn_graph
+    # r8: the graph family standardized on the SHARED build
+    # (planes=4, tables=4, k=5 — operators/graph.knn_graph_shared)
+    from sql_engine_spark.operators.graph import knn_graph_shared
 
-    emb = load(spark, sf_dir, "embeddings")
-    g = knn_graph(
-        emb, id_col="vec_id", vec_col="embedding", planes=4, tables=8, dim=64, k=5
-    )
+    g = knn_graph_shared(spark, sf_dir)
     edges = {
         (min(r.src, r.dst), max(r.src, r.dst)) for r in g.collect()
     }
