@@ -357,6 +357,7 @@ EXTENSION_R8 = [
     "events_activity_streaks",
     "scan_mor_position_deletes",
     "multimodal_video_scene_cuts",
+    "ann_graph_greedy_search",
 ]
 
 

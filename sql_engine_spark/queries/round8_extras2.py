@@ -314,3 +314,187 @@ def multimodal_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("hamming_prev") >= _CUT_THR)
         .select("doc_id", "frame_idx", "hamming_prev")
     )
+
+
+_GREEDY_HOPS = 3
+
+
+@register(
+    "ann_graph_greedy_search",
+    oracle=None,  # composed below (needs the shared kNN CTE)
+    doc="Graph-based ANN query (the NSW/HNSW search primitive — "
+    "Malkov & Yashunin 2016 — the fourth index paradigm next to the "
+    "repo's LSH, IVF and PQ families): greedy best-first walk over "
+    "the UNDIRECTED corpus kNN graph — start at a fixed entry point "
+    f"(min corpus id), take {_GREEDY_HOPS} hops, each moving to the "
+    "neighbor (or staying put) with the best cosine to the query, "
+    "ties to the smallest id. Audited in-row against the exact "
+    "brute-force top-1: regret = best_cosine - found_cosine and the "
+    "hit flag, so the relation IS the search-quality report (greedy "
+    "search on a k=5 graph with one entry point plateaus sometimes — "
+    "that is the measured trade; production adds beam width and "
+    "layers). Each hop is one edge join keyed by the 10 query "
+    "cursors + a query-partitioned argmax over degree-bounded "
+    "candidate lists; the walk composes the SHARED graph relation "
+    "(no rebuild). Oracle unrolls the identical hops.",
+)
+def ann_graph_greedy_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sql_engine_spark.functions.vectors import dot, l2_norm
+    from sql_engine_spark.operators.graph import knn_graph_shared, und_edges
+    from sql_engine_spark.operators.similarity import brute_force_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    g = knn_graph_shared(spark, sf_dir)
+    und = und_edges(g).where((F.col("a") >= 10) & (F.col("b") >= 10))
+    adj = _persist(
+        und.select(F.col("a").alias("node"), F.col("b").alias("nb")).unionAll(
+            und.select(F.col("b").alias("node"), F.col("a").alias("nb"))
+        )
+    )
+    vq = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("__qv"),
+        l2_norm("embedding").alias("__qn"),
+    )
+    vc = _persist(
+        emb.where(F.col("vec_id") >= 10).select(
+            F.col("vec_id").alias("__cid"),
+            F.col("embedding").alias("__cv"),
+            l2_norm("embedding").alias("__cn"),
+        )
+    )
+
+    def scored(cands: DataFrame) -> DataFrame:
+        # (query_id, cand) -> + cosine(query, cand)
+        return (
+            cands.join(vc, cands["cand"] == vc["__cid"])
+            .join(F.broadcast(vq), "query_id")
+            .select(
+                "query_id",
+                "cand",
+                (dot("__qv", "__cv") / (F.col("__qn") * F.col("__cn"))).alias(
+                    "cosine"
+                ),
+            )
+        )
+
+    entry = vc.agg(F.min("__cid").alias("cand"))
+    state = scored(
+        vq.select("query_id").crossJoin(F.broadcast(entry))
+    ).select("query_id", F.col("cand").alias("cur"), F.col("cosine").alias("cur_cos"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand"))
+    for _ in range(_GREEDY_HOPS):
+        cands = (
+            state.join(adj, state["cur"] == adj["node"])
+            .select("query_id", F.col("nb").alias("cand"))
+            .unionByName(state.select("query_id", F.col("cur").alias("cand")))
+            .distinct()
+        )
+        state = (
+            scored(cands)
+            .withColumn("__rk", F.row_number().over(w))
+            .where(F.col("__rk") == 1)
+            .select(
+                "query_id",
+                F.col("cand").alias("cur"),
+                F.col("cosine").alias("cur_cos"),
+            )
+        )
+    brute1 = (
+        brute_force_topk(
+            emb.where(F.col("vec_id") < 10),
+            emb.where(F.col("vec_id") >= 10),
+            id_col="vec_id",
+            vec_col="embedding",
+            k=1,
+        )
+        .select(
+            "query_id",
+            F.col("neighbor_id").alias("brute_id"),
+            F.col("cosine").alias("brute_cosine"),
+        )
+    )
+    return state.join(brute1, "query_id").select(
+        "query_id",
+        F.col("cur").alias("found_id"),
+        F.col("cur_cos").alias("found_cosine"),
+        "brute_id",
+        "brute_cosine",
+        (F.col("brute_cosine") - F.col("cur_cos")).alias("regret"),
+        (F.col("cur") == F.col("brute_id")).alias("hit"),
+    )
+
+
+def _fix_greedy_oracle() -> None:
+    from sql_engine_spark.operators.graph import sql_knn_shared
+    from sql_engine_spark.queries.similarity import _BRUTE_ORACLE
+    from sql_engine_spark.registry import _REGISTRY
+
+    cos = """
+        list_reduce(list_transform(list_zip(q.e, c.e), p -> p[1] * p[2]),
+                    (x, y) -> x + y)
+        / (sqrt(list_reduce(list_transform(q.e, x -> x * x), (x, y) -> x + y))
+           * sqrt(list_reduce(list_transform(c.e, x -> x * x), (x, y) -> x + y)))
+    """
+    rounds = []
+    prev = "s0"
+    for r in range(1, _GREEDY_HOPS + 1):
+        cur = f"s{r}"
+        rounds.append(
+            f"""cand_{r} AS (
+            SELECT DISTINCT query_id, cand FROM (
+                SELECT s.query_id, a.nb AS cand
+                FROM {prev} s JOIN adj a ON a.node = s.cur
+                UNION ALL
+                SELECT query_id, cur AS cand FROM {prev}
+            )
+        ),
+        {cur} AS (
+            SELECT query_id, cand AS cur, cosine AS cur_cos FROM (
+                SELECT x.query_id, x.cand, {cos} AS cosine,
+                       row_number() OVER (PARTITION BY x.query_id
+                           ORDER BY {cos} DESC, x.cand) AS rk
+                FROM cand_{r} x
+                JOIN v c ON c.vec_id = x.cand
+                JOIN v q ON q.vec_id = x.query_id
+            ) WHERE rk = 1
+        )"""
+        )
+        prev = cur
+    rounds_sql = ",\n        ".join(rounds)
+    _REGISTRY["ann_graph_greedy_search"].oracle = f"""
+        WITH knn AS ({sql_knn_shared()}),
+        v AS (
+            SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+            FROM embeddings
+        ),
+        und AS (
+            SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+            FROM knn WHERE src >= 10 AND dst >= 10
+        ),
+        adj AS (
+            SELECT a AS node, b AS nb FROM und
+            UNION ALL
+            SELECT b AS node, a AS nb FROM und
+        ),
+        entry AS (SELECT MIN(vec_id) AS eid FROM v WHERE vec_id >= 10),
+        s0 AS (
+            SELECT q.vec_id AS query_id, e.eid AS cur, {cos} AS cur_cos
+            FROM v q CROSS JOIN entry e JOIN v c ON c.vec_id = e.eid
+            WHERE q.vec_id < 10
+        ),
+        {rounds_sql},
+        brute AS ({_BRUTE_ORACLE}),
+        brute1 AS (
+            SELECT query_id, neighbor_id AS brute_id, cosine AS brute_cosine
+            FROM brute WHERE rank = 1
+        )
+        SELECT s.query_id, s.cur AS found_id, s.cur_cos AS found_cosine,
+               b.brute_id, b.brute_cosine,
+               b.brute_cosine - s.cur_cos AS regret,
+               s.cur = b.brute_id AS hit
+        FROM {prev} s JOIN brute1 b ON s.query_id = b.query_id
+    """
+
+
+_fix_greedy_oracle()
