@@ -357,3 +357,28 @@ def test_oracle_sql_degrades_loudly_when_sf_dir_absent(capsys, monkeypatch):
     for name in ("ann_lsh_topk_derived", "ann_ivf_kmeans_topk"):
         assert name not in out
         assert name in err
+
+
+def test_release_since_only_drops_scoped_persists(spark):
+    """knn_graph_shared releases ONLY its own persisted intermediates:
+    frames a calling operator persisted earlier stay cached."""
+    from pyspark.sql import functions as F
+
+    from sql_engine_spark.operators.dedup import (
+        _persist,
+        cache_mark,
+        release_cached,
+        release_since,
+    )
+
+    release_cached()
+    outer = _persist(spark.range(10).select(F.col("id")))
+    outer.count()
+    mark = cache_mark()
+    inner1 = _persist(spark.range(5).select(F.col("id")))
+    inner2 = _persist(spark.range(3).select(F.col("id")))
+    inner1.count(); inner2.count()
+    assert release_since(mark) == 2
+    assert outer.storageLevel.useMemory  # outer survives the scoped release
+    assert not inner1.storageLevel.useMemory
+    assert release_cached() == 1  # just the outer left
