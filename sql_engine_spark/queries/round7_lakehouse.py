@@ -207,17 +207,12 @@ _PH_BUCKET_CAP = 20
     f"the <= {_HAM_MAX} fence. Output (a, b, hamming) per pair.",
 )
 def multimodal_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sql_engine_spark.queries.round7_multimodal2 import phash_frame
+    from sql_engine_spark.queries.round7_multimodal2 import phash_shared
 
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    copies = docs.where(F.col("doc_id") % 25 == 0).select(
-        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
-    )
-    ph = (
-        phash_frame(spark, docs.unionAll(copies))
-        .select("doc_id", "phash")
-        .persist()
-    )
+    # Augmented-corpus fingerprints come from the shared materialized
+    # build (round7_multimodal2.phash_shared) — a parquet scan, not a
+    # fresh grid + double-DCT pipeline.
+    ph = phash_shared(spark, sf_dir).select("doc_id", "phash")
     bands = ph.select(
         "doc_id",
         "phash",

@@ -47,17 +47,11 @@ _HAM_MAX = 6  # same fence as multimodal_phash_near_dup
     "never runs it.",
 )
 def multimodal_phash_cap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sql_engine_spark.queries.round7_multimodal2 import phash_frame
+    from sql_engine_spark.queries.round7_multimodal2 import phash_shared
 
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    copies = docs.where(F.col("doc_id") % 25 == 0).select(
-        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
-    )
-    ph = (
-        phash_frame(spark, docs.unionAll(copies))
-        .select("doc_id", "phash")
-        .persist()
-    )
+    # Augmented-corpus fingerprints from the shared materialized build
+    # (round7_multimodal2.phash_shared) — a parquet scan per consumer.
+    ph = phash_shared(spark, sf_dir).select("doc_id", "phash")
     # Exact truth: all-pairs Hamming (audit-scale only).
     pa = ph.select(F.col("doc_id").alias("a"), F.col("phash").alias("ha"))
     pb = ph.select(F.col("doc_id").alias("b"), F.col("phash").alias("hb"))
