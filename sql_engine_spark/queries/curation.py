@@ -775,10 +775,10 @@ def _leakage_split_oracle() -> str:
 )
 def curation_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sql_engine_spark.operators import dedup as D
-    from sql_engine_spark.queries.dedup import _MINHASH_PARAMS
+    from sql_engine_spark.queries.dedup import _shared_pairs
 
     docs = load(spark, sf_dir, "documents")
-    pairs = D.minhash_lsh_pairs(docs, "doc_id", "text", **_MINHASH_PARAMS)
+    pairs = _shared_pairs(spark, sf_dir)
     labels = D.connected_components_fixed(pairs, "id_a", "id_b", iterations=3)
     cluster = F.coalesce(F.col("label"), F.col("doc_id"))
     u = F.conv(

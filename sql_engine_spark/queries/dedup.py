@@ -35,6 +35,16 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MINHASH_PARAMS = dict(shingle_k=3, num_hashes=8, bands=4, threshold=0.2)
 
 
+def _shared_pairs(spark, sf_dir, **overrides):
+    """The house MinHash-LSH pair relation, computed from the SHARED
+    hashed-shingle-set build (operators/dedup.shingle_hs_shared) so the
+    twelve consumers of the full-documents pipeline tokenize and hash
+    the corpus once per process instead of once each."""
+    p = {k: v for k, v in _MINHASH_PARAMS.items() if k != "shingle_k"}
+    p.update(overrides)
+    return D.minhash_lsh_pairs_from_hs(D.shingle_hs_shared(spark, sf_dir), **p)
+
+
 def _sql_minhash_lsh(
     k: int,
     num_hashes: int,
@@ -93,8 +103,7 @@ def _sql_minhash_lsh(
     "band-key join and the verify joins; no O(n^2) stage.",
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
-    return D.minhash_lsh_pairs(docs, "doc_id", "text", **_MINHASH_PARAMS)
+    return _shared_pairs(spark, sf_dir)
 
 
 @register(
@@ -108,10 +117,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the bucket stream.",
 )
 def dedup_minhash_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
-    return D.minhash_lsh_pairs(
-        docs, "doc_id", "text", max_bucket_size=20, **_MINHASH_PARAMS
-    )
+    return _shared_pairs(spark, sf_dir, max_bucket_size=20)
 
 
 @register(
@@ -234,8 +240,7 @@ def _sql_cc_iter(prev: str, cur: str) -> str:
     "convergence counter hits zero instead.",
 )
 def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
-    pairs = D.minhash_lsh_pairs(docs, "doc_id", "text", **_MINHASH_PARAMS)
+    pairs = _shared_pairs(spark, sf_dir)
     return D.connected_components_fixed(pairs, "id_a", "id_b", iterations=3).select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )
@@ -311,7 +316,7 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = load(spark, sf_dir, "documents")
-    pairs = D.minhash_lsh_pairs(docs, "doc_id", "text", **_MINHASH_PARAMS)
+    pairs = _shared_pairs(spark, sf_dir)
     cc = D.connected_components_fixed(pairs, "id_a", "id_b", iterations=3)
     toks = docs.select(
         "doc_id", F.size(tokens("text")).cast("long").alias("n_tokens")
@@ -543,7 +548,7 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_crossmodal_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     emb = load(spark, sf_dir, "embeddings")
-    tp = D.minhash_lsh_pairs(docs, "doc_id", "text", **_MINHASH_PARAMS).select(
+    tp = _shared_pairs(spark, sf_dir).select(
         "id_a", "id_b"
     )
     sp = embedding_cosine_pairs(
@@ -583,8 +588,9 @@ def dedup_crossmodal_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     "all-pairs.",
 )
 def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
-    return D.prefix_filter_pairs(docs, "doc_id", "text", shingle_k=3, threshold=0.3)
+    return D.prefix_filter_pairs_from_hs(
+        D.shingle_hs_shared(spark, sf_dir), threshold=0.3
+    )
 
 
 @register(

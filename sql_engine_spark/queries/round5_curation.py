@@ -626,12 +626,10 @@ from sql_engine_spark.queries.dedup import _sql_minhash_lsh  # noqa: E402
     "one broadcast-joined per-source count; nothing quadratic.",
 )
 def curation_dedup_rate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sql_engine_spark.operators.dedup import minhash_lsh_pairs
+    from sql_engine_spark.queries.dedup import _shared_pairs
 
     docs = load(spark, sf_dir, "documents")
-    pairs = minhash_lsh_pairs(
-        docs, "doc_id", "text", shingle_k=3, num_hashes=8, bands=4, threshold=0.2
-    )
+    pairs = _shared_pairs(spark, sf_dir)
     dup_docs = (
         pairs.select(F.col("id_a").alias("id"))
         .unionAll(pairs.select(F.col("id_b").alias("id")))

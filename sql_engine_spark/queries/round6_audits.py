@@ -59,9 +59,9 @@ _RC_T = 0.3  # audit threshold: prefix filter is exact-complete here
     "joins and a 10-row aggregate.",
 )
 def dedup_lsh_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
-    truth = D.prefix_filter_pairs(docs, "doc_id", "text", threshold=_RC_T)
-    lsh = D.minhash_lsh_pairs(docs, "doc_id", "text", threshold=_RC_T)
+    hs = D.shingle_hs_shared(spark, sf_dir)
+    truth = D.prefix_filter_pairs_from_hs(hs, threshold=_RC_T)
+    lsh = D.minhash_lsh_pairs_from_hs(hs, threshold=_RC_T)
     marked = truth.select("id_a", "id_b", "jaccard").join(
         lsh.select("id_a", "id_b", F.lit(1).alias("hit")),
         ["id_a", "id_b"],

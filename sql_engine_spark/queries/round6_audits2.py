@@ -13,7 +13,11 @@ from pyspark.sql import functions as F
 
 from sql_engine_spark.io import load
 from sql_engine_spark.operators import dedup as D
-from sql_engine_spark.queries.dedup import _MINHASH_PARAMS, _sql_minhash_lsh
+from sql_engine_spark.queries.dedup import (
+    _MINHASH_PARAMS,
+    _shared_pairs,
+    _sql_minhash_lsh,
+)
 from sql_engine_spark.queries.similarity import _BRUTE_ORACLE, _ivf_oracle
 from sql_engine_spark.registry import register
 
@@ -104,8 +108,7 @@ _SWEEP_STEPS = (20, 30, 40, 50, 60, 70, 80, 90)  # thresholds x100
     "against integers so no fraction literal crosses the engines.",
 )
 def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
-    pairs = D.minhash_lsh_pairs(docs, "doc_id", "text", **_MINHASH_PARAMS)
+    pairs = _shared_pairs(spark, sf_dir)
     th = F.explode(F.array(*[F.lit(t) for t in _SWEEP_STEPS])).alias("t")
     base = pairs.select("id_b", (F.col("jaccard") * 100).alias("j100"), th)
     return base.groupBy(F.col("t").cast("long").alias("threshold_pct")).agg(
@@ -147,7 +150,7 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def curation_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    pairs = D.minhash_lsh_pairs(docs, "doc_id", "text", **_MINHASH_PARAMS)
+    pairs = _shared_pairs(spark, sf_dir)
     src = docs.select("doc_id", "source")
     j = (
         pairs.join(

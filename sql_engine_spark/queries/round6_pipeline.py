@@ -17,7 +17,11 @@ from pyspark.sql import functions as F
 from sql_engine_spark.io import load
 from sql_engine_spark.operators import dedup as D
 from sql_engine_spark.operators import text as T
-from sql_engine_spark.queries.dedup import _MINHASH_PARAMS, _sql_minhash_lsh
+from sql_engine_spark.queries.dedup import (
+    _MINHASH_PARAMS,
+    _shared_pairs,
+    _sql_minhash_lsh,
+)
 from sql_engine_spark.registry import _REGISTRY, register
 
 _NEW_MOD = 10
@@ -142,7 +146,7 @@ def curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality = T.gopher_quality(docs, "text", "doc_id").select(
         "doc_id", "pass_gopher"
     )
-    pairs = D.minhash_lsh_pairs(docs, "doc_id", "text", **_MINHASH_PARAMS)
+    pairs = _shared_pairs(spark, sf_dir)
     losers = pairs.select(F.col("id_b").alias("doc_id")).distinct()
     base = (
         docs.select("doc_id", "source", "lang")

@@ -74,22 +74,15 @@ _MH_W = 32 // _MH_H
     "id-keyed joins over the existing pair relation.",
 )
 def dedup_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
-    pairs = D.minhash_lsh_pairs(docs, "doc_id", "text", **_MINHASH_PARAMS)
-    from sql_engine_spark.operators.textprep import shingles
+    from sql_engine_spark.queries.dedup import _shared_pairs
 
-    sigs = _persist(
-        docs.withColumn("__t", tokens("text"))
-        .select(
-            F.col("doc_id").alias("id"),
-            F.array_distinct(shingles("__t", _MH_K)).alias("__shset"),
-        )
-        .select(
-            "id",
-            D.minhash_signature(
-                "transform(__shset, s -> md5(s))", _MH_H
-            ).alias("sig"),
-        )
+    hs = D.shingle_hs_shared(spark, sf_dir)
+    pairs = _shared_pairs(spark, sf_dir)
+    # Signatures derive from the SAME shared digest relation the pair
+    # pipeline scans (lane mins are order-independent over the set).
+    sigs = hs.select(
+        F.col("__id").alias("id"),
+        D.minhash_signature("__hs", _MH_H).alias("sig"),
     )
     est = (
         F.expr(
@@ -326,8 +319,10 @@ def curation_survivorship_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from sql_engine_spark.functions.numeric import davg
 
+    from sql_engine_spark.queries.dedup import _shared_pairs
+
     docs = load(spark, sf_dir, "documents")
-    pairs = D.minhash_lsh_pairs(docs, "doc_id", "text", **_MINHASH_PARAMS)
+    pairs = _shared_pairs(spark, sf_dir)
     cc = D.connected_components_fixed(pairs, "id_a", "id_b", iterations=3)
     toks = docs.select(
         "doc_id",

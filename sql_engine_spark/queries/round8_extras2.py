@@ -83,19 +83,16 @@ _MH_W = 32 // _MH_H
     "pairs, 16-bit vs 1-bit lanes.",
 )
 def dedup_minhash_bbit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
-    pairs = D.minhash_lsh_pairs(docs, "doc_id", "text", **_MINHASH_PARAMS)
+    from sql_engine_spark.queries.dedup import _shared_pairs
+
+    pairs = _shared_pairs(spark, sf_dir)
+    # Signatures derive from the SAME shared digest relation the pair
+    # pipeline scans (lane mins are order-independent over the set).
     sigs = _persist(
-        docs.withColumn("__t", tokens("text"))
+        D.shingle_hs_shared(spark, sf_dir)
         .select(
-            F.col("doc_id").alias("id"),
-            F.array_distinct(shingles("__t", _MH_K)).alias("__shset"),
-        )
-        .select(
-            "id",
-            D.minhash_signature(
-                "transform(__shset, s -> md5(s))", _MH_H
-            ).alias("sig"),
+            F.col("__id").alias("id"),
+            D.minhash_signature("__hs", _MH_H).alias("sig"),
         )
         .withColumn(
             "b",
