@@ -358,6 +358,14 @@ EXTENSION_R8 = [
     "scan_mor_position_deletes",
     "multimodal_video_scene_cuts",
     "ann_graph_greedy_search",
+    "agg_jarque_bera",
+    "agg_levene_mean",
+    "agg_cramers_v",
+    "agg_mcnemar",
+    "agg_simpson_diversity",
+    "quality_ks_separation",
+    "quality_hellinger_drift",
+    "privacy_t_closeness",
 ]
 
 
