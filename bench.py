@@ -366,6 +366,11 @@ EXTENSION_R8 = [
     "quality_ks_separation",
     "quality_hellinger_drift",
     "privacy_t_closeness",
+    "graph_hubness_audit",
+    "graph_transitivity_global",
+    "graph_rich_club",
+    "graph_ktruss_support",
+    "emb_davies_bouldin",
 ]
 
 

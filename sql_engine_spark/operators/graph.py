@@ -142,9 +142,12 @@ def sql_pagerank_fixed(
     """
 
 
-def triangle_corner_counts(und: DataFrame) -> DataFrame:
-    """Per-node triangle counts over an undirected edge set `und` with
-    columns (a, b), each edge once in canonical a < b form.
+def triangle_triples(und: DataFrame) -> DataFrame:
+    """One row (x, y, z) per triangle over an undirected edge set `und`
+    with columns (a, b), each edge once in canonical a < b form.
+    x is the minimum corner under the (degree, id) orientation order;
+    y/z are NOT id-sorted — canonicalize sides with least/greatest
+    when unpivoting edges.
 
     DEGREE-ORDERED orientation (the scalable triangle algorithm:
     Suri & Vassilvitskii WWW 2011 / Chiba-Nishizeki): order vertices by
@@ -198,6 +201,15 @@ def triangle_corner_counts(und: DataFrame) -> DataFrame:
         ["y", "z"],
         "left_semi",
     )
+    return tri
+
+
+def triangle_corner_counts(und: DataFrame) -> DataFrame:
+    """Per-node triangle counts from triangle_triples — see there for
+    the degree-ordered enumeration contract. Returns (node,
+    n_triangles) for nodes in >= 1 triangle; each triangle contributes
+    one count to each of its three corners."""
+    tri = triangle_triples(und)
     corners = (
         tri.select(F.col("x").alias("node"))
         .unionAll(tri.select(F.col("y").alias("node")))
