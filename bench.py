@@ -371,6 +371,13 @@ EXTENSION_R8 = [
     "graph_rich_club",
     "graph_ktruss_support",
     "emb_davies_bouldin",
+    "cte_recursive_month_spine",
+    "scalar_try_funcs",
+    "events_spectral_power",
+    "events_seasonal_strength",
+    "text_lix_rix",
+    "text_smog_grade",
+    "multimodal_ahash_dhash",
 ]
 
 
