@@ -378,6 +378,11 @@ EXTENSION_R8 = [
     "text_lix_rix",
     "text_smog_grade",
     "multimodal_ahash_dhash",
+    "quality_gmean_sweep",
+    "curation_effective_sample_size",
+    "agg_fleiss_kappa",
+    "events_gini_activity",
+    "maintenance_snapshot_expiry_plan",
 ]
 
 
