@@ -383,6 +383,10 @@ EXTENSION_R8 = [
     "agg_fleiss_kappa",
     "events_gini_activity",
     "maintenance_snapshot_expiry_plan",
+    "emb_silhouette_sampled",
+    "text_textrank_keywords",
+    "quality_cost_curve",
+    "events_pacf",
 ]
 
 
