@@ -387,6 +387,8 @@ EXTENSION_R8 = [
     "text_textrank_keywords",
     "quality_cost_curve",
     "events_pacf",
+    "streaming_hellinger_drift",
+    "streaming_seasonal_strength",
 ]
 
 

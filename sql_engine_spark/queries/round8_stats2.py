@@ -639,14 +639,9 @@ def quality_ks_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM halves
         )
         SELECT tot.t_a AS n_first_half, tot.t_b AS n_second_half,
-               SUM(sqrt((CAST(n_a AS DOUBLE) / CAST(t_a AS DOUBLE))
-                      * (CAST(n_b AS DOUBLE) / CAST(t_b AS DOUBLE))))
-                   AS bhattacharyya,
+               (CAST(SUM(CAST(round((sqrt((CAST(n_a AS DOUBLE) / CAST(t_a AS DOUBLE)) * (CAST(n_b AS DOUBLE) / CAST(t_b AS DOUBLE)))) * 1000000.0) AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0) AS bhattacharyya,
                sqrt(greatest(CAST(0.0 AS DOUBLE),
-                    1.0 - SUM(sqrt(
-                        (CAST(n_a AS DOUBLE) / CAST(t_a AS DOUBLE))
-                      * (CAST(n_b AS DOUBLE) / CAST(t_b AS DOUBLE))))))
-                   AS hellinger
+                    1.0 - (CAST(SUM(CAST(round((sqrt((CAST(n_a AS DOUBLE) / CAST(t_a AS DOUBLE)) * (CAST(n_b AS DOUBLE) / CAST(t_b AS DOUBLE)))) * 1000000.0) AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0))) AS hellinger
         FROM halves, tot
         GROUP BY tot.t_a, tot.t_b
     """,
@@ -689,7 +684,10 @@ def quality_hellinger_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_b").cast("long").alias("t_b"),
     )
     j = halves.crossJoin(F.broadcast(tot))
-    bc = F.sum(
+    # The Bhattacharyya fold crosses engines (and partitionings) via
+    # ssum: a plain double SUM is partial-aggregation-order-dependent
+    # even on a bounded relation.
+    bc = ssum(
         F.sqrt(
             (F.col("n_a").cast("double") / F.col("t_a").cast("double"))
             * (F.col("n_b").cast("double") / F.col("t_b").cast("double"))

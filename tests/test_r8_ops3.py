@@ -158,8 +158,9 @@ def test_hellinger_drift_matches_python(spark, sf_dir):
     )
     r = _build(spark, sf_dir, "quality_hellinger_drift").collect()[0]
     assert (r.n_first_half, r.n_second_half) == (ta, tb)
-    assert abs(r.bhattacharyya - bc) < 1e-12
-    assert abs(r.hellinger - math.sqrt(max(0.0, 1 - bc))) < 1e-12
+    # The BC fold goes through ssum (1e-6 per-term rounding).
+    assert abs(r.bhattacharyya - bc) < 5e-6
+    assert abs(r.hellinger - math.sqrt(max(0.0, 1 - bc))) < 1e-4
 
 
 def test_t_closeness_matches_python(spark, sf_dir):
