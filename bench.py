@@ -389,6 +389,10 @@ EXTENSION_R8 = [
     "events_pacf",
     "streaming_hellinger_drift",
     "streaming_seasonal_strength",
+    "agg_grubbs_statistic",
+    "agg_dixon_q",
+    "events_atkinson_index",
+    "emb_norm_profile",
 ]
 
 
