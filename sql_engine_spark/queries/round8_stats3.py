@@ -162,6 +162,14 @@ def agg_dixon_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Reciprocal terms are <= 1 but individually small (1/cnt): the default
+# 1e-6 ssum grain is coarse relative to them on low-cardinality user
+# sets, so the fold uses a 1e-9 grain — exact for user counts up to
+# ~9e9 (sum of scaled integers stays inside DECIMAL(38,0) trivially,
+# and inside BIGINT-sized partial sums since each term is <= 1e9).
+_ATK_SCALE = "1000000000.0"
+
+
 @register(
     "events_atkinson_index",
     oracle=f"""
@@ -172,7 +180,7 @@ def agg_dixon_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         s AS (
             SELECT CAST(COUNT(*) AS BIGINT) AS n,
                    CAST(SUM(cnt) AS BIGINT) AS total,
-                   {sql_ssum('1.0 / CAST(cnt AS DOUBLE)')} AS inv_sum
+                   {sql_ssum('1.0 / CAST(cnt AS DOUBLE)', scale=_ATK_SCALE)} AS inv_sum
             FROM u
         )
         SELECT n AS n_users, total AS n_events,
@@ -193,7 +201,7 @@ def agg_dixon_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "an inequality dashboard. One counting aggregate to the user "
     "relation; the reciprocal fold crosses engines via ssum; counts "
     "are >= 1 by construction so the harmonic mean is always "
-    "defined.",
+    "defined. The reciprocal fold uses a 1e-9 grain (see _ATK_SCALE).",
 )
 def events_atkinson_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     u = load(spark, sf_dir, "events").groupBy("user_id").agg(
@@ -202,7 +210,9 @@ def events_atkinson_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = u.agg(
         F.count("*").cast("long").alias("n"),
         F.sum("cnt").cast("long").alias("total"),
-        ssum(F.lit(1.0) / F.col("cnt").cast("double")).alias("inv_sum"),
+        ssum(
+            F.lit(1.0) / F.col("cnt").cast("double"), scale=float(_ATK_SCALE)
+        ).alias("inv_sum"),
     )
     nD = F.col("n").cast("double")
     mean = F.col("total").cast("double") / nD

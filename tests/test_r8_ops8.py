@@ -59,8 +59,8 @@ def test_atkinson_matches_python(spark, sf_dir):
     hmean = n / sum(1.0 / c for c in cnt.values())
     r = _build(spark, sf_dir, "events_atkinson_index").collect()[0]
     assert (r.n_users, r.n_events) == (n, len(rows))
-    assert abs(r.harmonic_mean - hmean) < 1e-4
-    assert abs(r.atkinson_eps2 - (1 - hmean / mean)) < 1e-6
+    assert abs(r.harmonic_mean - hmean) < 1e-6
+    assert abs(r.atkinson_eps2 - (1 - hmean / mean)) < 1e-8
     # Atkinson and Gini agree on direction: both zero iff equal.
     assert 0 <= r.atkinson_eps2 < 1
 
