@@ -393,6 +393,8 @@ EXTENSION_R8 = [
     "agg_dixon_q",
     "events_atkinson_index",
     "emb_norm_profile",
+    "select_group_by_all",
+    "window_named_clause",
 ]
 
 

@@ -153,3 +153,38 @@ def test_ahash_dhash_match_python(spark, sf_dir):
             dhash,
             nbits_d,
         )
+
+
+def test_group_by_all_matches_manual_grouping(spark, sf_dir):
+    got = sorted(
+        tuple(r)
+        for r in _build(spark, sf_dir, "select_group_by_all").collect()
+    )
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus", "l_quantity"
+    ).collect()
+    agg = {}
+    for r in li:
+        k = (r.l_returnflag, r.l_linestatus)
+        n, q = agg.get(k, (0, 0.0))
+        agg[k] = (n + 1, q + r.l_quantity)
+    want = sorted((k[0], k[1], n, q) for k, (n, q) in agg.items())
+    assert [(a, b, n) for a, b, n, _ in got] == [
+        (a, b, n) for a, b, n, _ in want
+    ]
+    for (_, _, _, gq), (_, _, _, wq) in zip(got, want):
+        assert abs(gq - wq) < 1e-3
+
+
+def test_named_window_clause_consistency(spark, sf_dir):
+    rows = _build(spark, sf_dir, "window_named_clause").collect()
+    by_cust = {}
+    for r in rows:
+        by_cust.setdefault(r.o_custkey, []).append(r)
+    for ck, rs in by_cust.items():
+        rs.sort(key=lambda r: r.rn)
+        assert [r.rn for r in rs] == list(range(1, len(rs) + 1))
+        assert all(r.n_orders == len(rs) for r in rs)
+        # running spend is nondecreasing (prices are positive)
+        for a, b in zip(rs, rs[1:]):
+            assert b.running_spend >= a.running_spend
