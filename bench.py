@@ -395,6 +395,7 @@ EXTENSION_R8 = [
     "emb_norm_profile",
     "select_group_by_all",
     "window_named_clause",
+    "ann_greedy_entries_sweep",
 ]
 
 
