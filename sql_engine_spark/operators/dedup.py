@@ -883,6 +883,16 @@ def prefix_filter_pairs(
     forces either choice explicitly (tests pin both plans produce
     identical pairs).
     """
+    # Resolve the dfs-broadcast auto-gate HERE, from the raw source's
+    # file bytes: the persisted hashed-shingle frame hides its file
+    # source from inputFiles() (InMemoryRelation boundary), so the
+    # from_hs fallback would never broadcast on this path.
+    if broadcast_df is None:
+        files = df.select(F.col(id_col), F.col(text_col)).inputFiles()
+        broadcast_df = (
+            0 < len(files)
+            and _total_file_bytes(files) <= _PREFIX_DF_BROADCAST_MAX_SRC_BYTES
+        )
     docs = hashed_shingle_sets(df, id_col, text_col, shingle_k=shingle_k)
     return prefix_filter_pairs_from_hs(
         docs, threshold=threshold, broadcast_df=broadcast_df
