@@ -96,6 +96,14 @@ _MIN_WIDEN_BYTES = 256 << 10
 # with. Derived (file-less) sources are conservatively NOT broadcast.
 _PREFIX_DF_BROADCAST_MAX_SRC_BYTES = 64 << 20
 
+# prefix_filter_pairs_from_hs: the same gate expressed against the
+# MATERIALIZED hashed-shingle relation's on-disk bytes (what a shared
+# parquet input exposes). The digest relation runs ~3-4x the raw text
+# (one 32-hex md5 per shingle, ~1 shingle/token), so the equivalent
+# bound is proportionally larger — this keeps the broadcast engaged at
+# exactly the corpus sizes the source-bytes gate was tuned for.
+_PREFIX_DF_BROADCAST_MAX_HS_BYTES = 256 << 20
+
 
 def _total_file_bytes(files: list[str]) -> int:
     """Best-effort on-disk size of a scan's input files (local paths only;
@@ -909,8 +917,14 @@ def prefix_filter_pairs_from_hs(
     (__id, __hs) — see hashed_shingle_sets / shingle_hs_shared. The
     global rarest-first order, prefix bound, and exact verify all work
     on the digests; output pairs are identical to the from-text path.
-    The dfs broadcast auto-gate reads the relation's own file bytes
-    (hs.inputFiles() walks through to the source scan)."""
+
+    The dfs broadcast auto-gate reads the RELATION's file bytes
+    against _PREFIX_DF_BROADCAST_MAX_HS_BYTES (the digest-relation
+    equivalent of the source-bytes bound). This only resolves for
+    file-backed inputs (the shared parquet build); a derived/persisted
+    frame exposes no files and conservatively gets no hint — the
+    from-text front-end therefore resolves the gate itself from the
+    raw source and passes an explicit broadcast_df."""
     docs = hs
     files = hs.inputFiles()
     dfs = (
@@ -924,7 +938,7 @@ def prefix_filter_pairs_from_hs(
     if broadcast_df is None:
         broadcast_df = (
             0 < len(files)
-            and _total_file_bytes(files) <= _PREFIX_DF_BROADCAST_MAX_SRC_BYTES
+            and _total_file_bytes(files) <= _PREFIX_DF_BROADCAST_MAX_HS_BYTES
         )
     dfs_side = F.broadcast(dfs) if broadcast_df else dfs
     # Order each doc's shingles rarest-first by (df, hash) — a total

@@ -160,9 +160,8 @@ def triangle_triples(und: DataFrame) -> DataFrame:
     a hub's whole neighborhood on one wedge corner (the classic
     last-reducer blowup at 100x).
 
-    Returns (node, n_triangles) for nodes in >= 1 triangle. The result
-    is orientation-independent — the orientation only schedules the
-    enumeration.
+    Returns one row per triangle; the set is orientation-independent
+    — the orientation only schedules the enumeration.
     """
     from sql_engine_spark.operators.dedup import _persist
 

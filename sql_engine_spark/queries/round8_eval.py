@@ -144,6 +144,12 @@ _fix_ess_oracle()
 
 _RATER_TOKENS = ["the", "and", "of"]
 
+# House tokenizer spelling (operators/textprep.sql_tokens) so the rater
+# predicate matches Spark's tokens() exactly on punctuated text.
+from sql_engine_spark.operators.textprep import sql_tokens as _sql_tokens  # noqa: E402
+
+_TOK_SQL = _sql_tokens("text")
+
 
 @register(
     "agg_fleiss_kappa",
@@ -151,8 +157,8 @@ _RATER_TOKENS = ["the", "and", "of"]
         WITH r AS (
             SELECT doc_id,
                    {" + ".join(
-                       "CASE WHEN list_contains(regexp_split_to_array(lower(text),"
-                       f" '[^a-z0-9]+'), '{t}') THEN 1 ELSE 0 END"
+                       "CASE WHEN list_contains("
+                       f"{_TOK_SQL}, '{t}') THEN 1 ELSE 0 END"
                        for t in _RATER_TOKENS
                    )} AS n_t
             FROM documents
@@ -299,6 +305,15 @@ def events_gini_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+# (abspath(sf_dir)) -> table-directory root: the snapshot state is a
+# pure function of the dataset, so it is built ONCE per process (the
+# shared-build cache discipline — repeated bench/oracle/test cycles
+# otherwise each leave two full copies of orders in tmp).
+_EXPIRY_CACHE: dict[str, str] = {}
+
+_EXPIRY_FILES = ["f0", "f1", "f2", "f01"]
+
+
 @register(
     "maintenance_snapshot_expiry_plan",
     oracle="""
@@ -342,32 +357,36 @@ def maintenance_snapshot_expiry_plan(spark: SparkSession, sf_dir: str) -> DataFr
     import os
     import tempfile
 
-    od = load(spark, sf_dir, "orders").select("o_orderkey")
-    root = tempfile.mkdtemp(prefix="snap_expiry_")
-    paths = {}
-    parts = {
-        "f0": F.col("o_orderkey") % 3 == 0,
-        "f1": F.col("o_orderkey") % 3 == 1,
-        "f2": F.col("o_orderkey") % 3 == 2,
-        "f01": (F.col("o_orderkey") % 3).isin(0, 1),
-    }
-    for label, cond in parts.items():
-        p = os.path.join(root, label)
-        od.where(cond).write.mode("overwrite").parquet(p)
-        paths[label] = p
-    manifest = {
-        "0": ["f0", "f1"],
-        "1": ["f0", "f1", "f2"],
-        "2": ["f01", "f2"],
-    }
-    with open(os.path.join(root, "manifest.json"), "w") as f:
-        json.dump(manifest, f)
+    key = os.path.abspath(sf_dir)
+    root = _EXPIRY_CACHE.get(key)
+    if root is None or not os.path.isdir(root):
+        od = load(spark, sf_dir, "orders").select("o_orderkey")
+        root = tempfile.mkdtemp(prefix="snap_expiry_")
+        parts = {
+            "f0": F.col("o_orderkey") % 3 == 0,
+            "f1": F.col("o_orderkey") % 3 == 1,
+            "f2": F.col("o_orderkey") % 3 == 2,
+            "f01": (F.col("o_orderkey") % 3).isin(0, 1),
+        }
+        for label, cond in parts.items():
+            od.where(cond).write.mode("overwrite").parquet(
+                os.path.join(root, label)
+            )
+        manifest = {
+            "0": ["f0", "f1"],
+            "1": ["f0", "f1", "f2"],
+            "2": ["f01", "f2"],
+        }
+        with open(os.path.join(root, "manifest.json"), "w") as f:
+            json.dump(manifest, f)
+        _EXPIRY_CACHE[key] = root
+    paths = {label: os.path.join(root, label) for label in _EXPIRY_FILES}
 
     with open(os.path.join(root, "manifest.json")) as f:
         mf = json.load(f)
     retained = set(mf[max(mf)])
     out = None
-    for label in parts:
+    for label in _EXPIRY_FILES:
         n = (
             spark.read.parquet(paths[label])
             .agg(F.count("*").cast("long").alias("n_rows"))

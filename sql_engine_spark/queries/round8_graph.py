@@ -254,8 +254,7 @@ def graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     deg = _persist(both.groupBy("u").agg(F.count("*").cast("long").alias("deg")))
     ks = F.broadcast(
-        load(spark, sf_dir, "region")
-        .sparkSession.createDataFrame([(k,) for k in _RC_KS], "k INT")
+        spark.createDataFrame([(k,) for k in _RC_KS], "k INT")
     )
     nk = (
         ks.join(deg, deg.deg > F.col("k"))

@@ -371,11 +371,9 @@ def agg_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH toks AS (
             SELECT doc_id,
                    (lang = 'en') AS truth,
-                   list_contains(regexp_split_to_array(lower(text),
-                                                       '[^a-z0-9]+'), 'the')
+                   list_contains(string_split_regex(lower(trim(text)), '\s+'), 'the')
                        AS pred_a,
-                   list_contains(regexp_split_to_array(lower(text),
-                                                       '[^a-z0-9]+'), 'and')
+                   list_contains(string_split_regex(lower(trim(text)), '\s+'), 'and')
                        AS pred_b
             FROM documents
         ),

@@ -180,9 +180,8 @@ _TR_TOPK = 20
             SELECT doc_id, tok, CAST(p AS BIGINT) AS p
             FROM (
                 SELECT doc_id,
-                       unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS tok,
-                       generate_subscripts(
-                           regexp_split_to_array(lower(text), '[^a-z0-9]+'), 1) AS p
+                       unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok,
+                       generate_subscripts(string_split_regex(lower(trim(text)), '\s+'), 1) AS p
                 FROM documents
             ) WHERE len(tok) >= {_TR_MINLEN}
         ),
@@ -375,10 +374,26 @@ def quality_cost_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PACF_LAGS = 5
 
 
+def _mul(a, b):
+    return None if a is None or b is None else a * b
+
+
+def _sub(a, b):
+    return None if a is None or b is None else a - b
+
+
+def _div(a, b):
+    # DuckDB yields NULL on x/0.0 where IEEE gives inf/nan — mirror it.
+    return None if a is None or b is None or b == 0.0 else a / b
+
+
 def _dl_python(rho: list) -> list:
     """Durbin-Levinson recursion -> [phi_11, phi_22, ...]. The EXACT
     op order here is mirrored symbolically by _dl_sql below — keep
-    the two in lockstep."""
+    the two in lockstep. None mirrors SQL NULL (a lag with no day
+    pair, or a constant series with zero variance) and propagates
+    through the recursion exactly as NULL does through the oracle's
+    generated expressions."""
     phis = {}
     pacf = []
     for k in range(1, len(rho) + 1):
@@ -387,14 +402,16 @@ def _dl_python(rho: list) -> list:
         else:
             num = rho[k - 1]
             for j in range(1, k):
-                num = num - phis[(k - 1, j)] * rho[k - 1 - j]
+                num = _sub(num, _mul(phis[(k - 1, j)], rho[k - 1 - j]))
             den = 1.0
             for j in range(1, k):
-                den = den - phis[(k - 1, j)] * rho[j - 1]
-            phi_kk = num / den
+                den = _sub(den, _mul(phis[(k - 1, j)], rho[j - 1]))
+            phi_kk = _div(num, den)
         phis[(k, k)] = phi_kk
         for j in range(1, k):
-            phis[(k, j)] = phis[(k - 1, j)] - phi_kk * phis[(k - 1, k - j)]
+            phis[(k, j)] = _sub(
+                phis[(k - 1, j)], _mul(phi_kk, phis[(k - 1, k - j)])
+            )
         pacf.append(phi_kk)
     return pacf
 
@@ -538,7 +555,12 @@ def events_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     )
     gk = {r.lag: r.gk for r in gk_rows}
-    rho = [gk[k] / g0 for k in range(1, _PACF_LAGS + 1)]
+    # A lag with no (d, d+k) day pair has NO gk row (-> SQL NULL), and
+    # a constant series has g0 == 0 (-> NULL via DuckDB's x/0.0):
+    # carry None so both engines emit the same NULL rows.
+    rho = [
+        _div(gk.get(k), g0) for k in range(1, _PACF_LAGS + 1)
+    ]
     pacf = _dl_python(rho)
     return spark.createDataFrame(
         [(k, rho[k - 1], pacf[k - 1]) for k in range(1, _PACF_LAGS + 1)],

@@ -4,7 +4,6 @@ recomputed independently in pure Python/numpy."""
 from __future__ import annotations
 
 import math
-import re
 from collections import Counter
 
 from sql_engine_spark.io import load
@@ -65,7 +64,7 @@ def test_textrank_matches_python(spark, sf_dir):
     rows = load(spark, sf_dir, "documents").select("doc_id", "text").collect()
     pos = []
     for r in rows:
-        toks = [t for t in re.split(r"[^a-z0-9]+", r.text.lower()) if t]
+        toks = r.text.strip().lower().split()
         for p, t in enumerate(toks, start=1):
             if len(t) >= 4:
                 pos.append((r.doc_id, t, p))

@@ -65,9 +65,13 @@ def test_minhash_consumers_scan_shared_hs_relation(spark, sf_dir):
         spark.catalog.clearCache()
         plan = explain_str(_build(spark, sf_dir, name), "formatted")
         assert os.path.basename(path) in plan or "sqe_hs_" in plan, name
-        # The tokenizer's regexp split never appears: shingling ran
-        # once, at build time.
-        assert "[^a-z0-9]+" not in plan, f"{name} re-tokenizes the corpus"
+        # The tokenizer signature (split of lower(trim(...))) never
+        # appears: shingling ran once, at build time. The sentinel is
+        # the actual textprep.tokens spelling, not a regex the repo
+        # never plans.
+        assert "split(lower(trim(" not in plan, (
+            f"{name} re-tokenizes the corpus"
+        )
 
 
 def test_shared_hs_relation_scan_is_parallel(spark, sf_dir):
