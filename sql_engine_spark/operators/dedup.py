@@ -59,6 +59,54 @@ def release_cached() -> int:
     return n
 
 
+# Temp dirs created by the shared-build caches (shingle/pHash/kNN/
+# triangle/expiry). Registered for one atexit sweep so repeated
+# processes don't accumulate derived corpus copies in tmp (r8 advice).
+_TMP_DIRS: list[str] = []
+
+
+def tracked_tmpdir(prefix: str) -> str:
+    """mkdtemp whose tree is removed at interpreter exit. The shared
+    builds write immutable derived parquet here; within a process the
+    dirs must outlive every consumer (the caches hand out scans of
+    them), so cleanup is process-exit, not per-query."""
+    import atexit
+    import shutil
+    import tempfile
+
+    if not _TMP_DIRS:
+        atexit.register(
+            lambda: [shutil.rmtree(d, ignore_errors=True) for d in _TMP_DIRS]
+        )
+    d = tempfile.mkdtemp(prefix=prefix)
+    _TMP_DIRS.append(d)
+    return d
+
+
+def dataset_fingerprint(sf_dir: str, table: str) -> tuple[int, int]:
+    """(total_bytes, max_mtime_ns) of `{sf_dir}/{table}.parquet` (file or
+    directory tree). Folded into every shared-build cache key so a
+    dataset regenerated IN PLACE invalidates the materialized derived
+    relations instead of serving stale fingerprints (r8 advice)."""
+    import os
+
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    total, mtime = 0, 0
+    try:
+        if os.path.isdir(path):
+            for root, _dirs, files in os.walk(path):
+                for fn in files:
+                    st = os.stat(os.path.join(root, fn))
+                    total += st.st_size
+                    mtime = max(mtime, st.st_mtime_ns)
+        else:
+            st = os.stat(path)
+            total, mtime = st.st_size, st.st_mtime_ns
+    except OSError:
+        pass
+    return (total, mtime)
+
+
 def cache_mark() -> int:
     """Snapshot the persist-tracking list so a scoped builder can later
     release ONLY its own intermediates (`release_since`) without
@@ -231,17 +279,20 @@ def shingle_hs_shared(spark, sf_dir: str, *, shingle_k: int = 3) -> DataFrame:
     every consumer scans it; locally a temp dir carries the same
     contract (immutable, derived, keyed by dataset + params)."""
     import os
-    import tempfile
 
     from sql_engine_spark.io import load
 
-    key = (os.path.abspath(sf_dir), shingle_k)
+    key = (
+        os.path.abspath(sf_dir),
+        dataset_fingerprint(sf_dir, "documents"),
+        shingle_k,
+    )
     path = _HS_CACHE.get(key)
     if path is None or not os.path.isdir(path):
         docs = load(spark, sf_dir, "documents")
         mark = cache_mark()
         hs = hashed_shingle_sets(docs, "doc_id", "text", shingle_k=shingle_k)
-        path = os.path.join(tempfile.mkdtemp(prefix="sqe_hs_"), "hs.parquet")
+        path = os.path.join(tracked_tmpdir("sqe_hs_"), "hs.parquet")
         # Write one file per core: a single small parquet file would hand
         # every consumer a 1-split scan and serialize its first stage
         # (the exploded-digest map work). On a cluster the fingerprint

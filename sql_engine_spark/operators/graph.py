@@ -303,7 +303,8 @@ KNN_K = 5
 # orientation (triangle_corner_counts above) is exact at O(m^1.5).
 WEDGE_CAP = 32
 
-# (abspath(sf_dir), planes, tables, dim, k) -> parquet path, process-local.
+# (abspath(sf_dir), dataset fingerprint, planes, tables, dim, k) ->
+# parquet path, process-local.
 _KNN_CACHE: dict[tuple, str] = {}
 
 
@@ -313,15 +314,26 @@ def knn_graph_shared(spark, sf_dir: str, *, k: int = KNN_K) -> DataFrame:
     (process, dataset) and materialized to parquet. `k` must be
     <= KNN_K and filters the shared relation by rank."""
     import os
-    import tempfile
 
     if k > KNN_K:
         raise ValueError(f"k={k} exceeds the shared build's KNN_K={KNN_K}")
     from sql_engine_spark.io import load
-    from sql_engine_spark.operators.dedup import cache_mark, release_since
+    from sql_engine_spark.operators.dedup import (
+        cache_mark,
+        dataset_fingerprint,
+        release_since,
+        tracked_tmpdir,
+    )
     from sql_engine_spark.operators.similarity import knn_graph
 
-    key = (os.path.abspath(sf_dir), KNN_PLANES, KNN_TABLES, KNN_DIM, KNN_K)
+    key = (
+        os.path.abspath(sf_dir),
+        dataset_fingerprint(sf_dir, "embeddings"),
+        KNN_PLANES,
+        KNN_TABLES,
+        KNN_DIM,
+        KNN_K,
+    )
     path = _KNN_CACHE.get(key)
     if path is None or not os.path.isdir(path):
         emb = load(spark, sf_dir, "embeddings")
@@ -335,7 +347,7 @@ def knn_graph_shared(spark, sf_dir: str, *, k: int = KNN_K) -> DataFrame:
             dim=KNN_DIM,
             k=KNN_K,
         )
-        path = os.path.join(tempfile.mkdtemp(prefix="sqe_knn_"), "knn.parquet")
+        path = os.path.join(tracked_tmpdir("sqe_knn_"), "knn.parquet")
         g.write.mode("overwrite").parquet(path)
         # The write action fully consumed the build's persisted
         # intermediates; drop ONLY those (a calling operator may have

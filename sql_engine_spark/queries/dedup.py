@@ -39,10 +39,15 @@ def _shared_pairs(spark, sf_dir, **overrides):
     """The house MinHash-LSH pair relation, computed from the SHARED
     hashed-shingle-set build (operators/dedup.shingle_hs_shared) so the
     twelve consumers of the full-documents pipeline tokenize and hash
-    the corpus once per process instead of once each."""
+    the corpus once per process instead of once each. A `shingle_k`
+    override routes to the shared BUILD (which caches per k), not to
+    the from-hs scorer — the signature pipeline is k-agnostic once the
+    digests exist (r8 advice: forwarding it blindly raised TypeError)."""
     p = {k: v for k, v in _MINHASH_PARAMS.items() if k != "shingle_k"}
     p.update(overrides)
-    return D.minhash_lsh_pairs_from_hs(D.shingle_hs_shared(spark, sf_dir), **p)
+    shingle_k = p.pop("shingle_k", _MINHASH_PARAMS["shingle_k"])
+    hs = D.shingle_hs_shared(spark, sf_dir, shingle_k=shingle_k)
+    return D.minhash_lsh_pairs_from_hs(hs, **p)
 
 
 def _sql_minhash_lsh(

@@ -138,9 +138,54 @@ def multimodal_phash_dct(spark: SparkSession, sf_dir: str) -> DataFrame:
 # with identical bytes, so the duplicate leg is exercised in data.
 _COPY_OFFSET = 1_000_000
 
-# (abspath(sf_dir),) -> parquet path, process-local (the SURVEY 7.6
-# shared-build template, same discipline as operators/graph._KNN_CACHE).
-_PHASH_CACHE: dict[str, str] = {}
+# (abspath(sf_dir), dataset fingerprint) -> parquet path, process-local
+# (the SURVEY 7.6 shared-build template, same discipline as
+# operators/graph._KNN_CACHE).
+_PHASH_CACHE: dict[tuple, str] = {}
+
+
+def _parquet_max_doc_id(sf_dir: str) -> int | None:
+    """max(doc_id) of `{sf_dir}/documents.parquet` from the parquet
+    FOOTER column statistics — no Spark job. None when statistics are
+    absent (then the _COPY_OFFSET guard cannot engage; the testdata
+    writer always emits them)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    # Accept both layouts: a single file and a Spark-written directory
+    # of part files.
+    if os.path.isdir(path):
+        files = [
+            os.path.join(path, f)
+            for f in sorted(os.listdir(path))
+            if f.endswith(".parquet")
+        ]
+    else:
+        files = [path]
+    mx = None
+    for fp in files:
+        try:
+            md = pq.read_metadata(fp)
+        except OSError:
+            return None
+        idx = next(
+            (
+                i
+                for i in range(md.num_columns)
+                if md.schema.column(i).name == "doc_id"
+            ),
+            None,
+        )
+        if idx is None:
+            return None
+        for rg in range(md.num_row_groups):
+            stats = md.row_group(rg).column(idx).statistics
+            if stats is None or not stats.has_min_max:
+                return None
+            mx = stats.max if mx is None else max(mx, stats.max)
+    return mx
 
 
 def phash_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -159,21 +204,36 @@ def phash_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
     below the offset, the same assumption the copy augmentation itself
     rests on."""
     import os
-    import tempfile
 
     from sql_engine_spark.io import load
-    from sql_engine_spark.operators.dedup import cache_mark, release_since
+    from sql_engine_spark.operators.dedup import (
+        cache_mark,
+        dataset_fingerprint,
+        release_since,
+        tracked_tmpdir,
+    )
 
-    key = os.path.abspath(sf_dir)
+    key = (os.path.abspath(sf_dir), dataset_fingerprint(sf_dir, "documents"))
     path = _PHASH_CACHE.get(key)
     if path is None or not os.path.isdir(path):
         docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+        # The augmentation (and multimodal_phash_dct's sub-offset slice)
+        # assumes real doc_ids sit below _COPY_OFFSET; on a dataset
+        # violating it the slice would silently drop real documents and
+        # collide with the synthetic copies — fail loudly instead
+        # (r8 advice). Footer max-statistics read, not a Spark job.
+        max_id = _parquet_max_doc_id(sf_dir)
+        if max_id is not None and max_id >= _COPY_OFFSET:
+            raise ValueError(
+                f"phash_shared: max(doc_id)={max_id} >= copy offset "
+                f"{_COPY_OFFSET}; raise _COPY_OFFSET above the id range"
+            )
         copies = docs.where(F.col("doc_id") % 25 == 0).select(
             (F.col("doc_id") + _COPY_OFFSET).alias("doc_id"), "text"
         )
         mark = cache_mark()
         ph = phash_frame(spark, docs.unionAll(copies))
-        path = os.path.join(tempfile.mkdtemp(prefix="sqe_phash_"), "phash.parquet")
+        path = os.path.join(tracked_tmpdir("sqe_phash_"), "phash.parquet")
         ph.write.mode("overwrite").parquet(path)
         # The write consumed the build's persisted coefficient relation;
         # drop only intermediates appended by THIS build.

@@ -305,13 +305,21 @@ def events_gini_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-# (abspath(sf_dir)) -> table-directory root: the snapshot state is a
-# pure function of the dataset, so it is built ONCE per process (the
-# shared-build cache discipline — repeated bench/oracle/test cycles
-# otherwise each leave two full copies of orders in tmp).
-_EXPIRY_CACHE: dict[str, str] = {}
+# (abspath(sf_dir), dataset fingerprint) -> table-directory root: the
+# snapshot state is a pure function of the dataset, so it is built ONCE
+# per process (the shared-build cache discipline — repeated
+# bench/oracle/test cycles otherwise each leave two full copies of
+# orders in tmp; tracked_tmpdir sweeps the roots at exit).
+_EXPIRY_CACHE: dict[tuple, str] = {}
 
 _EXPIRY_FILES = ["f0", "f1", "f2", "f01"]
+
+
+def _latest_version(manifest: dict) -> str:
+    """Latest snapshot version key, NUMERICALLY — lexicographic max
+    breaks as soon as a version \"10\" exists (\"9\" > \"10\") and would
+    silently retain the wrong file set (r8 advice)."""
+    return max(manifest, key=int)
 
 
 @register(
@@ -355,13 +363,17 @@ _EXPIRY_FILES = ["f0", "f1", "f2", "f01"]
 def maintenance_snapshot_expiry_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     import json
     import os
-    import tempfile
 
-    key = os.path.abspath(sf_dir)
+    from sql_engine_spark.operators.dedup import (
+        dataset_fingerprint,
+        tracked_tmpdir,
+    )
+
+    key = (os.path.abspath(sf_dir), dataset_fingerprint(sf_dir, "orders"))
     root = _EXPIRY_CACHE.get(key)
     if root is None or not os.path.isdir(root):
         od = load(spark, sf_dir, "orders").select("o_orderkey")
-        root = tempfile.mkdtemp(prefix="snap_expiry_")
+        root = tracked_tmpdir("snap_expiry_")
         parts = {
             "f0": F.col("o_orderkey") % 3 == 0,
             "f1": F.col("o_orderkey") % 3 == 1,
@@ -384,7 +396,7 @@ def maintenance_snapshot_expiry_plan(spark: SparkSession, sf_dir: str) -> DataFr
 
     with open(os.path.join(root, "manifest.json")) as f:
         mf = json.load(f)
-    retained = set(mf[max(mf)])
+    retained = set(mf[_latest_version(mf)])
     out = None
     for label in _EXPIRY_FILES:
         n = (

@@ -739,16 +739,19 @@ _TC_T = "0.2"
         ),
         diffs AS (
             SELECT grp.lang, grp.source, grp.b, grp.n_rows,
-                   SUM(CAST(grp.n_i AS DOUBLE) / CAST(grp.n_rows AS DOUBLE)
-                     - CAST(gdist.n_g AS DOUBLE) / CAST(gdist.n_tot AS DOUBLE))
+                   CAST(SUM(CAST(round(
+                       (CAST(grp.n_i AS DOUBLE) / CAST(grp.n_rows AS DOUBLE)
+                        - CAST(gdist.n_g AS DOUBLE) / CAST(gdist.n_tot AS DOUBLE))
+                       * 1000000000.0) AS DECIMAL(38,0)))
                        OVER (PARTITION BY grp.lang, grp.source
-                             ORDER BY grp.b) AS cum_diff
+                             ORDER BY grp.b) AS DOUBLE)
+                       / 1000000000.0 AS cum_diff
             FROM grp JOIN gdist ON grp.b = gdist.b
         )
         SELECT lang, source, n_rows,
-               SUM(abs(cum_diff)) / 7.0 AS emd,
-               SUM(abs(cum_diff)) / 7.0 > CAST({_TC_T} AS DOUBLE)
-                   AS violates_t
+               {sql_ssum('abs(cum_diff)', scale='1000000000.0')} / 7.0 AS emd,
+               {sql_ssum('abs(cum_diff)', scale='1000000000.0')} / 7.0
+                   > CAST({_TC_T} AS DOUBLE) AS violates_t
         FROM diffs GROUP BY lang, source, n_rows
     """,
     doc="t-closeness audit (Li, Li & Venkatasubramanian, ICDE 2007) "
@@ -799,14 +802,27 @@ def privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     w = Window.partitionBy("lang", "source").orderBy("b")
+    # Exact cumulative: per-row diffs round to the 1e-9 grain in shared
+    # double arithmetic, the running window sums INTEGERS (any frame
+    # association order is safe), and one division returns to double —
+    # the windowed counterpart of ssum (numeric-folds house rule; a
+    # plain double cumsum's association order is engine-dependent).
     diffs = grp.join(F.broadcast(glob), "b").withColumn(
         "cum_diff",
         F.sum(
-            F.col("n_i").cast("double") / F.col("n_rows").cast("double")
-            - F.col("n_g").cast("double") / F.col("n_tot").cast("double")
-        ).over(w),
+            F.round(
+                (
+                    F.col("n_i").cast("double") / F.col("n_rows").cast("double")
+                    - F.col("n_g").cast("double") / F.col("n_tot").cast("double")
+                )
+                * F.lit(1e9)
+            ).cast("decimal(38,0)")
+        )
+        .over(w)
+        .cast("double")
+        / F.lit(1e9),
     )
-    emd = F.sum(F.abs(F.col("cum_diff"))) / F.lit(7.0)
+    emd = ssum(F.abs(F.col("cum_diff")), scale=1e9) / F.lit(7.0)
     return diffs.groupBy("lang", "source", "n_rows").agg(
         emd.alias("emd"),
         (emd > F.lit(float(_TC_T))).alias("violates_t"),

@@ -1,0 +1,157 @@
+"""Round-9 pins for the r8-advice fixes: the phash _COPY_OFFSET guard,
+dataset-fingerprinted shared-build cache keys + tmp cleanup, the
+shingle_k override routing, the numeric manifest-version pick, and the
+cap audit's derived-sample guard."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+# --------------------------------------------------------------------------
+# phash_shared _COPY_OFFSET guard (r8 advice, medium)
+# --------------------------------------------------------------------------
+
+
+def test_phash_shared_rejects_ids_at_copy_offset(spark, tmp_path):
+    from sql_engine_spark.queries.round7_multimodal2 import (
+        _COPY_OFFSET,
+        phash_shared,
+    )
+
+    sf = str(tmp_path / "sfbad")
+    os.makedirs(sf)
+    spark.createDataFrame(
+        [(_COPY_OFFSET + 7, "collides with the synthetic copies")],
+        "doc_id long, text string",
+    ).coalesce(1).write.parquet(os.path.join(sf, "documents.parquet"))
+    with pytest.raises(ValueError, match="copy offset"):
+        phash_shared(spark, sf)
+
+
+def test_parquet_max_doc_id_reads_footer(spark, tmp_path):
+    from sql_engine_spark.queries.round7_multimodal2 import _parquet_max_doc_id
+
+    sf = str(tmp_path / "sfok")
+    os.makedirs(sf)
+    spark.createDataFrame(
+        [(1, "a"), (41, "b"), (12, "c")], "doc_id long, text string"
+    ).coalesce(1).write.parquet(os.path.join(sf, "documents.parquet"))
+    assert _parquet_max_doc_id(sf) == 41
+    assert _parquet_max_doc_id(str(tmp_path / "missing")) is None
+
+
+# --------------------------------------------------------------------------
+# Shared-build cache keys carry a dataset fingerprint (r8 advice)
+# --------------------------------------------------------------------------
+
+
+def test_shingle_cache_invalidates_on_dataset_change(spark, tmp_path):
+    from sql_engine_spark.operators import dedup as D
+
+    sf = str(tmp_path / "sfcopy")
+    os.makedirs(sf)
+    dst = os.path.join(sf, "documents.parquet")
+    shutil.copy(os.path.join(SF_DIR, "documents.parquet"), dst)
+
+    p1 = D.shingle_hs_shared(spark, sf).inputFiles()[0]
+    # Same fingerprint -> cache hit, same materialized relation.
+    p2 = D.shingle_hs_shared(spark, sf).inputFiles()[0]
+    assert os.path.dirname(p1) == os.path.dirname(p2)
+    # Regenerate the dataset in place (mtime moves) -> rebuild.
+    os.utime(dst, ns=(os.stat(dst).st_mtime_ns + 10**9,) * 2)
+    p3 = D.shingle_hs_shared(spark, sf).inputFiles()[0]
+    assert os.path.dirname(p1) != os.path.dirname(p3)
+
+
+def test_tracked_tmpdirs_are_registered_for_cleanup(spark):
+    from sql_engine_spark.operators import dedup as D
+
+    d = D.tracked_tmpdir("sqe_test_")
+    assert os.path.isdir(d)
+    assert d in D._TMP_DIRS
+    # The atexit sweep is rmtree(ignore_errors=True) over _TMP_DIRS;
+    # exercise the same call here.
+    shutil.rmtree(d, ignore_errors=True)
+    assert not os.path.isdir(d)
+    D._TMP_DIRS.remove(d)
+
+
+def test_dataset_fingerprint_tracks_bytes_and_mtime(tmp_path):
+    from sql_engine_spark.operators.dedup import dataset_fingerprint
+
+    sf = str(tmp_path)
+    path = os.path.join(sf, "documents.parquet")
+    with open(path, "wb") as fh:
+        fh.write(b"x" * 100)
+    f1 = dataset_fingerprint(sf, "documents")
+    assert f1[0] == 100
+    os.utime(path, ns=(os.stat(path).st_mtime_ns + 10**9,) * 2)
+    assert dataset_fingerprint(sf, "documents") != f1
+    assert dataset_fingerprint(sf, "missing_table") == (0, 0)
+
+
+# --------------------------------------------------------------------------
+# _shared_pairs shingle_k routing (r8 advice)
+# --------------------------------------------------------------------------
+
+
+def test_shared_pairs_routes_shingle_k_to_build(spark):
+    from sql_engine_spark.queries.dedup import _shared_pairs
+
+    # Through r8 this raised TypeError (minhash_lsh_pairs_from_hs has no
+    # shingle_k parameter); now it returns a differently-shingled build.
+    k3 = _shared_pairs(spark, SF_DIR).count()
+    k2 = _shared_pairs(spark, SF_DIR, shingle_k=2).count()
+    assert k2 >= k3  # 2-shingles are strictly less specific
+
+
+# --------------------------------------------------------------------------
+# Numeric manifest-version pick (r8 advice)
+# --------------------------------------------------------------------------
+
+
+def test_latest_version_is_numeric():
+    from sql_engine_spark.queries.round8_eval import _latest_version
+
+    assert _latest_version({"9": ["a"], "10": ["b"], "2": ["c"]}) == "10"
+    assert _latest_version({"0": [], "1": [], "2": []}) == "2"
+
+
+# --------------------------------------------------------------------------
+# Cap audit derived-sample guard (r8 verdict #1)
+# --------------------------------------------------------------------------
+
+
+def test_cap_audit_threshold_engages_at_scale(tmp_path):
+    from sql_engine_spark.queries.round8_audits import (
+        _CAP_AUDIT_TARGET,
+        _cap_audit_threshold,
+    )
+
+    # At the test scale factors the corpus is at/below the target, so the
+    # sample covers everything (threshold None or near-full); on a huge
+    # corpus the threshold must engage and bound the exact leg.
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sql_engine_spark.operators.similarity import derived_sample_hex
+
+    thr = derived_sample_hex(10**9, target_train_rows=_CAP_AUDIT_TARGET)
+    assert thr is not None  # a 1e9-doc corpus is sampled, not scanned
+    frac = int(thr, 16) / 16 ** len(thr)
+    assert frac * 10**9 < 3 * _CAP_AUDIT_TARGET
+
+    # And the rendered threshold derives from the parquet footer count.
+    sf = str(tmp_path)
+    pq.write_table(
+        pa.table({"doc_id": list(range(50)), "text": ["t"] * 50}),
+        os.path.join(sf, "documents.parquet"),
+    )
+    assert _cap_audit_threshold(sf) is None  # 52 docs << target
