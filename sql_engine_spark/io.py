@@ -22,6 +22,50 @@ TABLES = [
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+# (abspath(sf_dir), dataset fingerprint, table, tag) -> row count.
+# Process-local, same discipline as the shared-build caches (r8 verdict
+# #3): derived-sample consumers each paid a real count() job per build.
+_COUNT_CACHE: dict[tuple, int] = {}
+
+
+def table_row_count(sf_dir: str, name: str) -> int:
+    """Row count of `{sf_dir}/{name}.parquet` from the parquet FOOTER
+    metadata — no Spark job at all. Cached per (process, dataset)."""
+    import pyarrow.parquet as pq
+
+    def compute() -> int:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.isdir(path):
+            return sum(
+                pq.read_metadata(os.path.join(path, f)).num_rows
+                for f in sorted(os.listdir(path))
+                if f.endswith(".parquet")
+            )
+        return pq.read_metadata(path).num_rows
+
+    return count_cached(sf_dir, name, "__all__", compute)
+
+
+def count_cached(sf_dir: str, name: str, tag: str, compute) -> int:
+    """Memoized count keyed by (dataset identity, table, tag). `tag`
+    distinguishes filtered counts (e.g. 'vec_id>=10') from the full
+    table; `compute` runs once per (process, dataset). The key folds
+    the dataset fingerprint so in-place regeneration invalidates."""
+    from sql_engine_spark.operators.dedup import dataset_fingerprint
+
+    key = (
+        os.path.abspath(sf_dir),
+        dataset_fingerprint(sf_dir, name),
+        name,
+        tag,
+    )
+    n = _COUNT_CACHE.get(key)
+    if n is None:
+        n = int(compute())
+        _COUNT_CACHE[key] = n
+    return n
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet") if name != "events" else _load_events(spark, sf_dir)
     return df

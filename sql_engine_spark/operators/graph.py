@@ -360,6 +360,69 @@ def knn_graph_shared(spark, sf_dir: str, *, k: int = KNN_K) -> DataFrame:
     return g
 
 
+# (abspath(sf_dir), dataset fingerprint, knn params) -> parquet path of
+# the triangle-triples relation, process-local. Round-8's last unshared
+# expensive derived relation (r8 verdict #2): four consumers each re-ran
+# the degree-ordered enumeration (~10s of the extension bench, the same
+# redundant O(m^1.5) at scale).
+_TRI_CACHE: dict[tuple, str] = {}
+
+
+def triangle_triples_shared(spark, sf_dir: str) -> DataFrame:
+    """One row (x, y, z) per triangle of the SHARED kNN graph's
+    undirected edge set, built once per (process, dataset) and
+    materialized to parquet — the SURVEY 7.6 shared-build template
+    applied to the closed-wedge family. The enumeration is a pure
+    function of (dataset, knn params); on a real cluster it is the
+    triangle table written by the pipeline's graph stage, and the four
+    consumers (triangle counts, clustering coefficient, global
+    transitivity, k-truss support) scan it instead of re-running the
+    O(m^1.5) wedge join each."""
+    import os
+
+    from sql_engine_spark.operators.dedup import (
+        _persist,
+        cache_mark,
+        dataset_fingerprint,
+        release_since,
+        tracked_tmpdir,
+    )
+
+    key = (
+        os.path.abspath(sf_dir),
+        dataset_fingerprint(sf_dir, "embeddings"),
+        KNN_PLANES,
+        KNN_TABLES,
+        KNN_DIM,
+        KNN_K,
+    )
+    path = _TRI_CACHE.get(key)
+    if path is None or not os.path.isdir(path):
+        mark = cache_mark()
+        und = _persist(und_edges(knn_graph_shared(spark, sf_dir)))
+        tri = triangle_triples(und)
+        path = os.path.join(tracked_tmpdir("sqe_tri_"), "triangles.parquet")
+        tri.write.mode("overwrite").parquet(path)
+        release_since(mark)
+        _TRI_CACHE[key] = path
+    return spark.read.parquet(path)
+
+
+def triangle_corner_counts_shared(spark, sf_dir: str) -> DataFrame:
+    """(node, n_triangles) from the shared triangle relation — the
+    corner redistribution of triangle_corner_counts as a scan plus one
+    aggregate."""
+    tri = triangle_triples_shared(spark, sf_dir)
+    corners = (
+        tri.select(F.col("x").alias("node"))
+        .unionAll(tri.select(F.col("y").alias("node")))
+        .unionAll(tri.select(F.col("z").alias("node")))
+    )
+    return corners.groupBy("node").agg(
+        F.count("*").cast("long").alias("n_triangles")
+    )
+
+
 def und_edges(g: DataFrame) -> DataFrame:
     """Undirected edge set (a, b), a < b, each edge once, from a
     directed kNN graph (src, dst, ...)."""

@@ -54,12 +54,11 @@ from sql_engine_spark.operators.graph import (  # noqa: E402
     "bit-identical.",
 )
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sql_engine_spark.operators.dedup import _persist
-    from sql_engine_spark.operators.graph import triangle_corner_counts
+    from sql_engine_spark.operators.graph import triangle_corner_counts_shared
 
-    g = knn_graph_shared(spark, sf_dir)
-    und = _persist(und_edges(g))
-    return triangle_corner_counts(und)
+    # Shared materialized triangle relation (operators/graph.
+    # triangle_triples_shared): scan + one aggregate, no re-enumeration.
+    return triangle_corner_counts_shared(spark, sf_dir)
 
 
 def _sql_lpa_iter(prev: str, cur: str) -> str:

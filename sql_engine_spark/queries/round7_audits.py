@@ -167,7 +167,7 @@ _CC_UND = """
 def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sql_engine_spark.operators.graph import (
         knn_graph_shared,
-        triangle_corner_counts,
+        triangle_corner_counts_shared,
         und_edges,
     )
 
@@ -177,7 +177,9 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         und.select(F.col("b").alias("node"), F.col("a").alias("nb"))
     )
     deg = adj.groupBy("node").agg(F.count("*").cast("long").alias("degree"))
-    closed = triangle_corner_counts(und).select(
+    # Triangle counts from the shared materialized relation (operators/
+    # graph.triangle_triples_shared) — no per-consumer re-enumeration.
+    closed = triangle_corner_counts_shared(spark, sf_dir).select(
         F.col("node").alias("center"), F.col("n_triangles").alias("triangles")
     )
     t = F.coalesce("triangles", F.lit(0).cast("long"))

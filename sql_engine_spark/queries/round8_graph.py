@@ -26,7 +26,7 @@ from sql_engine_spark.operators.graph import (
     knn_graph_shared,
     sql_knn_shared,
     sql_triangle_corner_counts,
-    triangle_triples,
+    triangle_triples_shared,
     und_edges,
 )
 from sql_engine_spark.registry import register
@@ -172,7 +172,9 @@ def graph_hubness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 def graph_transitivity_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = knn_graph_shared(spark, sf_dir)
     und = _persist(und_edges(g))
-    tri = triangle_triples(und)
+    # Triangles from the shared materialized relation; the degree/edge
+    # aggregates below stay on the (cheap) undirected edge set.
+    tri = triangle_triples_shared(spark, sf_dir)
     both = und.select(F.col("a").alias("u")).unionAll(
         und.select(F.col("b").alias("u"))
     )
@@ -338,7 +340,7 @@ def graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
 def graph_ktruss_support(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = knn_graph_shared(spark, sf_dir)
     und = _persist(und_edges(g))
-    tri = triangle_triples(und)
+    tri = triangle_triples_shared(spark, sf_dir)
     sides = (
         tri.select(F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b"))
         .unionAll(

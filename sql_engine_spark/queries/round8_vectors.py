@@ -45,8 +45,14 @@ _SIL_TARGET = 100
     "reads the sample's actual pairwise geometry).",
 )
 def emb_silhouette_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sql_engine_spark.io import table_row_count
+
     emb = load(spark, sf_dir, "embeddings")
-    thr = derived_sample_hex(emb.count(), target_train_rows=_SIL_TARGET)
+    # Footer-metadata count via the process-local cache — no Spark job
+    # per build (r8 verdict #3); the oracle derives from the same footer.
+    thr = derived_sample_hex(
+        table_row_count(sf_dir, "embeddings"), target_train_rows=_SIL_TARGET
+    )
     s = emb.select(
         "vec_id",
         "label",

@@ -155,3 +155,34 @@ def test_cap_audit_threshold_engages_at_scale(tmp_path):
         os.path.join(sf, "documents.parquet"),
     )
     assert _cap_audit_threshold(sf) is None  # 52 docs << target
+
+
+# --------------------------------------------------------------------------
+# Process-local count cache (r8 verdict #3)
+# --------------------------------------------------------------------------
+
+
+def test_table_row_count_matches_footer_and_caches(spark):
+    import duckdb
+
+    from sql_engine_spark.io import _COUNT_CACHE, count_cached, table_row_count
+
+    n = table_row_count(SF_DIR, "embeddings")
+    truth = duckdb.sql(
+        f"SELECT COUNT(*) FROM '{SF_DIR}/embeddings.parquet'"
+    ).fetchone()[0]
+    assert n == truth
+
+    calls = []
+
+    def compute():
+        calls.append(1)
+        return 42
+
+    assert count_cached(SF_DIR, "embeddings", "__test_tag__", compute) == 42
+    assert count_cached(SF_DIR, "embeddings", "__test_tag__", compute) == 42
+    assert len(calls) == 1  # memoized after the first build
+    # Distinct tags are distinct entries.
+    assert count_cached(SF_DIR, "embeddings", "__test_tag2__", lambda: 7) == 7
+    for k in [k for k in _COUNT_CACHE if k[3].startswith("__test_tag")]:
+        del _COUNT_CACHE[k]
