@@ -320,48 +320,45 @@ def multimodal_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
     "popcount-sum converges EXACTLY to the batch oracle.",
 )
 def streaming_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
+    from sql_engine_spark.streaming.fleet import fleet_view
 
-    from sql_engine_spark.queries.streaming import _state_partitions
-    from sql_engine_spark.streaming.matview import IdempotentMatView
-    from sql_engine_spark.streaming.source import table_stream
-
-    def partial_of(b: DataFrame) -> DataFrame:
-        return b.groupBy(
-            "event_type", (F.col("user_id") / 64).cast("long").alias("w")
-        ).agg(
-            F.expr(
-                "bit_or(shiftleft(CAST(1 AS BIGINT), CAST(user_id % 64 AS INT)))"
-            ).alias("bits")
-        )
-
-    def combine(cur: DataFrame, partial: DataFrame) -> DataFrame:
-        return (
-            cur.unionByName(partial)
-            .groupBy("event_type", "w")
-            .agg(F.expr("bit_or(bits)").alias("bits"))
-        )
-
-    view = IdempotentMatView(
-        tempfile.mkdtemp(prefix="bitmap_view_"),
-        partial_of=partial_of,
-        combine=combine,
-    )
-    with _state_partitions(spark):
-        stream = table_stream(spark, sf_dir, "events", ["event_id"], 4)
-        q = (
-            stream.select("event_type", "user_id")
-            .writeStream.outputMode("append")
-            .foreachBatch(view.merge)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+    # Drained via the shared replay fleet (streaming/fleet.py, r8
+    # verdict #7); the spec below registers at import.
+    view = fleet_view(spark, sf_dir, "bitmap_distinct")
     return (
         view.read(spark)
         .groupBy("event_type")
         .agg(F.sum(F.bit_count("bits")).cast("long").alias("n_users"))
     )
+
+
+def _bitmap_partial(b: DataFrame) -> DataFrame:
+    return b.groupBy(
+        "event_type", (F.col("user_id") / 64).cast("long").alias("w")
+    ).agg(
+        F.expr(
+            "bit_or(shiftleft(CAST(1 AS BIGINT), CAST(user_id % 64 AS INT)))"
+        ).alias("bits")
+    )
+
+
+def _bitmap_combine(cur: DataFrame, partial: DataFrame) -> DataFrame:
+    return (
+        cur.unionByName(partial)
+        .groupBy("event_type", "w")
+        .agg(F.expr("bit_or(bits)").alias("bits"))
+    )
+
+
+def _register_bitmap_fleet() -> None:
+    from sql_engine_spark.streaming.fleet import register_fleet_view
+
+    register_fleet_view(
+        "bitmap_distinct", partial_of=_bitmap_partial, combine=_bitmap_combine
+    )
+
+
+_register_bitmap_fleet()
 
 
 _REGISTRY["streaming_bitmap_distinct"].oracle = _REGISTRY[

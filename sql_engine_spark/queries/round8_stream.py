@@ -15,6 +15,32 @@ from pyspark.sql import functions as F
 from sql_engine_spark.io import load
 from sql_engine_spark.queries.round8_extras import _KMV_HEX, _KMV_K, _KMV_M
 from sql_engine_spark.registry import _REGISTRY, register
+from sql_engine_spark.streaming.fleet import fleet_view, register_fleet_view
+
+
+def _kmv_hashes(b: DataFrame) -> DataFrame:
+    return b.select(
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, _KMV_HEX),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("hv")
+    )
+
+
+def _kmv_partial(b: DataFrame) -> DataFrame:
+    return _kmv_hashes(b).distinct().orderBy("hv").limit(_KMV_K)
+
+
+def _kmv_combine(cur: DataFrame, partial: DataFrame) -> DataFrame:
+    return cur.unionByName(partial).distinct().orderBy("hv").limit(_KMV_K)
+
+
+register_fleet_view(
+    "kmv_distinct", partial_of=_kmv_partial, combine=_kmv_combine
+)
 
 
 @register(
@@ -27,55 +53,22 @@ from sql_engine_spark.registry import _REGISTRY, register
     "(shard synopses merge in any order), the textbook mergeable-"
     "summary contract (Agarwal et al., 'Mergeable Summaries'). View "
     f"state is AT MOST k={_KMV_K} rows regardless of stream length; "
-    "per-trigger cost is O(batch) + O(k). The drained view yields "
-    "the same k-th minimum — and therefore the same estimate row — "
-    "as the batch approx_kmv_distinct, whose oracle it shares "
-    "(exact-convergence gate, the streaming_bitmap_distinct "
-    "pattern). The exact-distinct audit column reads the batch table "
-    "once at the end (it is the convergence target, not stream "
-    "state).",
+    "per-trigger cost is O(batch) + O(k). Drained via the SHARED "
+    "replay fleet (streaming/fleet.py — one micro-batch pass per "
+    "process updates all four events-sourced twins; per-view state "
+    "isolation intact). The drained view yields the same k-th minimum "
+    "— and therefore the same estimate row — as the batch "
+    "approx_kmv_distinct, whose oracle it shares (exact-convergence "
+    "gate, the streaming_bitmap_distinct pattern). The exact-distinct "
+    "audit column reads the batch table once at the end (it is the "
+    "convergence target, not stream state).",
 )
 def streaming_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-
-    from sql_engine_spark.queries.streaming import _state_partitions
-    from sql_engine_spark.streaming.matview import IdempotentMatView
-    from sql_engine_spark.streaming.source import table_stream
-
-    def hashes(b: DataFrame) -> DataFrame:
-        return b.select(
-            F.conv(
-                F.substring(F.md5(F.col("user_id").cast("string")), 1, _KMV_HEX),
-                16,
-                10,
-            )
-            .cast("long")
-            .alias("hv")
-        )
-
-    def partial_of(b: DataFrame) -> DataFrame:
-        return hashes(b).distinct().orderBy("hv").limit(_KMV_K)
-
-    def combine(cur: DataFrame, partial: DataFrame) -> DataFrame:
-        return (
-            cur.unionByName(partial).distinct().orderBy("hv").limit(_KMV_K)
-        )
-
-    view = IdempotentMatView(
-        tempfile.mkdtemp(prefix="kmv_view_"),
-        partial_of=partial_of,
-        combine=combine,
-    )
-    with _state_partitions(spark):
-        stream = table_stream(spark, sf_dir, "events", ["event_id"], 4)
-        q = (
-            stream.select("user_id")
-            .writeStream.outputMode("append")
-            .foreachBatch(view.merge)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+    # Drained through the SHARED replay fleet (streaming/fleet.py, r8
+    # verdict #7): one micro-batch pass per (process, dataset) updates
+    # all four events-sourced matview twins; this view keeps its own
+    # directory, marker, and merge functions — state isolation intact.
+    view = fleet_view(spark, sf_dir, "kmv_distinct")
     kth = view.read(spark).agg(
         F.max("hv").cast("long").alias("h_k"),
         F.count("*").cast("long").alias("k_used"),

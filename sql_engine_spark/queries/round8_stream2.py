@@ -13,7 +13,6 @@ converged numbers hash-match the same DuckDB oracle.
 
 from __future__ import annotations
 
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -30,11 +29,19 @@ def _day_col() -> F.Column:
     )
 
 
-def _count_view(prefix: str, keys: list[str]):
-    from sql_engine_spark.streaming.matview import IdempotentMatView
+def _register_count_view(name: str, select_cols_of, keys: list[str]) -> None:
+    """A (keys -> count) matview spec on the shared replay fleet
+    (streaming/fleet.py): partial = per-batch grouped counts over the
+    spec's OWN projection of the raw events batch, merge = summed
+    counts. Mergeable, bounded by the key-domain size."""
+    from sql_engine_spark.streaming.fleet import register_fleet_view
 
     def partial_of(b: DataFrame) -> DataFrame:
-        return b.groupBy(*keys).agg(F.count("*").cast("long").alias("c"))
+        return (
+            b.select(*select_cols_of())
+            .groupBy(*keys)
+            .agg(F.count("*").cast("long").alias("c"))
+        )
 
     def combine(cur: DataFrame, partial: DataFrame) -> DataFrame:
         return (
@@ -43,25 +50,13 @@ def _count_view(prefix: str, keys: list[str]):
             .agg(F.sum("c").cast("long").alias("c"))
         )
 
-    return IdempotentMatView(
-        tempfile.mkdtemp(prefix=prefix), partial_of=partial_of, combine=combine
-    )
+    register_fleet_view(name, partial_of=partial_of, combine=combine)
 
 
-def _drain(spark: SparkSession, sf_dir: str, view, select_cols) -> None:
-    from sql_engine_spark.queries.streaming import _state_partitions
-    from sql_engine_spark.streaming.source import table_stream
-
-    with _state_partitions(spark):
-        stream = table_stream(spark, sf_dir, "events", ["event_id"], 4)
-        q = (
-            stream.select(*select_cols)
-            .writeStream.outputMode("append")
-            .foreachBatch(view.merge)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+_register_count_view(
+    "hellinger_counts", lambda: ["event_type", _day_col()], ["event_type", "d"]
+)
+_register_count_view("seasonal_counts", lambda: [_day_col()], ["d"])
 
 
 @register(
@@ -79,9 +74,9 @@ def _drain(spark: SparkSession, sf_dir: str, view, select_cols) -> None:
     "the drift monitor a live ingest pipeline reads every trigger.",
 )
 def streaming_hellinger_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    view = _count_view("hell_view_", ["event_type", "d"])
-    _drain(spark, sf_dir, view, ["event_type", _day_col()])
-    daily = view.read(spark)
+    from sql_engine_spark.streaming.fleet import fleet_view
+
+    daily = fleet_view(spark, sf_dir, "hellinger_counts").read(spark)
     mid = daily.agg(
         F.floor((F.min("d") + F.max("d")) / 2).cast("long").alias("mid")
     )
@@ -138,9 +133,9 @@ def streaming_hellinger_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     "even applicable to the arriving stream.",
 )
 def streaming_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
-    view = _count_view("seas_view_", ["d"])
-    _drain(spark, sf_dir, view, [_day_col()])
-    daily = view.read(spark)
+    from sql_engine_spark.streaming.fleet import fleet_view
+
+    daily = fleet_view(spark, sf_dir, "seasonal_counts").read(spark)
     dowm = daily.groupBy((F.col("d") % 7).alias("dow")).agg(
         (dsum(F.col("c").cast("double")) / F.count("*").cast("double")).alias(
             "dow_mean"
