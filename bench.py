@@ -399,6 +399,15 @@ EXTENSION_R8 = [
 ]
 
 
+EXTENSION_R9 = [
+    "retrieval_tfidf_cosine_topk",
+    "retrieval_qlm_dirichlet_topk",
+    "retrieval_eval_report",
+    "retrieval_rrf_fusion",
+    "retrieval_index_stats",
+]
+
+
 def _time_section(spark, qs, names: list[str], sf_dir: str) -> dict[str, float]:
     """Best-of-2 full passes: one transient stall (GC, page cache miss,
     machine contention) otherwise lands verbatim in the recorded number.
@@ -469,6 +478,8 @@ def main() -> int:
     r7_total = round(sum(r7_timings.values()), 3)
     r8_timings = _time_section(spark, qs, EXTENSION_R8, sf_dir)
     r8_total = round(sum(r8_timings.values()), 3)
+    r9_timings = _time_section(spark, qs, EXTENSION_R9, sf_dir)
+    r9_total = round(sum(r9_timings.values()), 3)
 
     # Curation flagships: best-of-2, own stable total (r3 comparison
     # base: extension_queries.dedup_keep_best / pipeline_curate_full).
@@ -495,6 +506,8 @@ def main() -> int:
         "extension_r7_queries": r7_timings,
         "extension_r8_total": r8_total,
         "extension_r8_queries": r8_timings,
+        "extension_r9_total": r9_total,
+        "extension_r9_queries": r9_timings,
     }
     if companion:
         out["companion_sf"] = 0.01
@@ -533,6 +546,7 @@ def main() -> int:
         "extension_r6_total": r6_total,
         "extension_r7_total": r7_total,
         "extension_r8_total": r8_total,
+        "extension_r9_total": r9_total,
     }
     if companion:
         summary["companion_total"] = out["companion_total"]

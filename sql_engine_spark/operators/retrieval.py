@@ -89,6 +89,81 @@ def sql_inverted_index(max_df: int | None = None, source: str = "documents") -> 
 BM25_K1 = 1.2
 BM25_B = 0.75
 
+# (abspath(sf_dir), dataset fingerprint) -> index dir, process-local —
+# the SURVEY 7.6 shared-build template applied to retrieval BEFORE the
+# family grows (r8 verdict #8: build the index once, don't refactor
+# after, as was needed for the graph family).
+_BM25_IDX_CACHE: dict[tuple, str] = {}
+
+
+def bm25_index_shared(spark: SparkSession, sf_dir: str):
+    """The retrieval index over `{sf_dir}/documents`, built ONCE per
+    (process, dataset) and materialized to parquet: the postings
+    relation tf = (doc_id, token, tf, dl) and the doc-stats relation
+    docs = (doc_id, dl). A pure function of the corpus — on a real
+    cluster these are the index tables a pipeline's indexing stage
+    writes (bucketed by token and doc respectively); locally a temp
+    dir carries the same contract. Returns (tf_df, docstats_df)."""
+    import os
+
+    from sql_engine_spark.io import load
+    from sql_engine_spark.operators.dedup import (
+        cache_mark,
+        dataset_fingerprint,
+        release_since,
+        tracked_tmpdir,
+    )
+
+    key = (os.path.abspath(sf_dir), dataset_fingerprint(sf_dir, "documents"))
+    root = _BM25_IDX_CACHE.get(key)
+    if root is None or not os.path.isdir(root):
+        from sql_engine_spark.operators.dedup import _persist
+
+        docs = load(spark, sf_dir, "documents")
+        mark = cache_mark()
+        base = _persist(
+            docs.select(
+                "doc_id", tokens("text").alias("__t")
+            ).select("doc_id", "__t", F.size("__t").cast("long").alias("dl"))
+        )
+        tf = (
+            base.select("doc_id", "dl", F.explode("__t").alias("token"))
+            .groupBy("doc_id", "token")
+            .agg(F.count("*").cast("long").alias("tf"), F.first("dl").alias("dl"))
+        )
+        root = tracked_tmpdir("sqe_bm25idx_")
+        target = spark.sparkContext.defaultParallelism
+        tf.repartition(target).write.mode("overwrite").parquet(
+            os.path.join(root, "tf.parquet")
+        )
+        base.select("doc_id", "dl").write.mode("overwrite").parquet(
+            os.path.join(root, "docs.parquet")
+        )
+        release_since(mark)
+        _BM25_IDX_CACHE[key] = root
+    return (
+        spark.read.parquet(os.path.join(root, "tf.parquet")),
+        spark.read.parquet(os.path.join(root, "docs.parquet")),
+    )
+
+
+def sql_bm25_index(source: str = "documents") -> str:
+    """Oracle CTE fragment mirroring bm25_index_shared: yields
+    `idx_tf(doc_id, token, tf, dl)` and `idx_docs(doc_id, dl)`."""
+    toks = sql_tokens("text")
+    return f"""idx_base AS (
+            SELECT doc_id, {toks} AS t,
+                   CAST(len({toks}) AS BIGINT) AS dl
+            FROM {source}
+        ),
+        idx_tf AS (
+            SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf,
+                   ANY_VALUE(dl) AS dl
+            FROM (SELECT doc_id, dl, unnest(t) AS token FROM idx_base)
+            GROUP BY doc_id, token
+        ),
+        idx_docs AS (SELECT doc_id, dl FROM idx_base)"""
+
 
 def bm25_topk(
     df: DataFrame,
@@ -133,24 +208,65 @@ def bm25_topk(
         .groupBy("doc_id", "token")
         .agg(F.count("*").cast("double").alias("tf"), F.first("dl").alias("dl"))
     )
+    # Robertson idf WITHOUT the log (see _bm25_score_rank): libm `ln`
+    # differs between the JVM and glibc in the last ulp (measured on
+    # this corpus: Math.log(0x1.451c3a672dbfcp+0) = ...376 vs glibc
+    # ...377), so the idf stays the raw odds ratio — pure rational
+    # arithmetic, bit-reproducible in any IEEE-754 engine. CAVEAT
+    # (round-4 advice): dropping the log is monotone PER TERM but the
+    # per-document SUM over several terms is NOT rank-equivalent to
+    # true BM25 — a rare term's un-logged idf dominates far harder
+    # than its logged form, so multi-term top-k lists CAN differ from
+    # canonical BM25, beyond any rescale. This operator's contract is
+    # "deterministic BM25-family scorer, exact cross-engine"; where
+    # canonical BM25 ranking matters more than bit-equality, plug
+    # F.log back in (and ln() in sql_bm25_topk) and accept
+    # hash-compare on rank only.
+    return _bm25_score_rank(tf, stats, qterms, k)
+
+
+def bm25_topk_from_index(
+    tf_idx: DataFrame,
+    docstats: DataFrame,
+    queries: list[tuple[str, str]],
+    *,
+    k: int = 10,
+) -> DataFrame:
+    """bm25_topk over the prebuilt shared index (bm25_index_shared):
+    identical scores — the (doc, term) tf aggregate is exactly what the
+    index stores, stats derive from the doc-stats relation by the same
+    exact-integer-sum avgdl, and the scoring/fold/top-k pipeline is
+    shared verbatim."""
+    spark = tf_idx.sparkSession
+    qterms = spark.createDataFrame(queries, ["query_id", "qtext"]).select(
+        "query_id", F.explode(F.array_distinct(tokens("qtext"))).alias("token")
+    )
+    stats = docstats.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count("*").cast("double")).alias(
+            "avgdl"
+        ),
+    )
+    qtok = qterms.select("token").distinct()
+    tf = tf_idx.join(F.broadcast(qtok), "token").select(
+        "doc_id",
+        "token",
+        F.col("tf").cast("double").alias("tf"),
+        F.col("dl").cast("double").alias("dl"),
+    )
+    return _bm25_score_rank(tf, stats, qterms, k)
+
+
+def _bm25_score_rank(
+    tf: DataFrame, stats: DataFrame, qterms: DataFrame, k: int
+) -> DataFrame:
+    """Shared tail of the BM25 pipeline: rational idf, per-term scores,
+    sorted-term fold, salted two-level top-k. `tf` columns
+    (doc_id, token, tf double, dl double); `stats` (n_docs, avgdl)."""
     dfreq = tf.groupBy("token").agg(F.count("*").cast("double").alias("dfreq"))
     scored = (
         tf.join(F.broadcast(dfreq), "token")
         .crossJoin(F.broadcast(stats))
-        # Robertson idf WITHOUT the log: libm `ln` differs between the
-        # JVM and glibc in the last ulp (measured on this corpus:
-        # Math.log(0x1.451c3a672dbfcp+0) = ...376 vs glibc ...377), so
-        # the idf stays the raw odds ratio — pure rational arithmetic,
-        # bit-reproducible in any IEEE-754 engine. CAVEAT (round-4
-        # advice): dropping the log is monotone PER TERM but the
-        # per-document SUM over several terms is NOT rank-equivalent
-        # to true BM25 — a rare term's un-logged idf dominates far
-        # harder than its logged form, so multi-term top-k lists CAN
-        # differ from canonical BM25, beyond any rescale. This
-        # operator's contract is "deterministic BM25-family scorer,
-        # exact cross-engine"; where canonical BM25 ranking matters
-        # more than bit-equality, plug F.log back in here (and ln() in
-        # sql_bm25_topk) and accept hash-compare on rank only.
         .withColumn(
             "idf",
             (F.col("n_docs") - F.col("dfreq") + F.lit(0.5))
@@ -168,8 +284,6 @@ def bm25_topk(
             ),
         )
         .join(F.broadcast(qterms), "token")
-        # Fold each (query, doc)'s term scores in sorted-term order so
-        # the double sum is bit-deterministic under any partitioning.
         .groupBy("query_id", "doc_id")
         .agg(
             F.expr(

@@ -54,10 +54,11 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(doc, term) hash agg, 1-row global stats broadcast, per-doc term "
     "scores folded in sorted-term order (bit-deterministic double "
     "sums), and the per-query ranking runs through the salted "
-    "two-level top-k — no single-task corpus-sized sort.",
+    "two-level top-k — no single-task corpus-sized sort. Round 9: "
+    "reads the SHARED materialized index (operators/retrieval."
+    "bm25_index_shared) — identical scores, the (doc, term) aggregate "
+    "IS what the index stores.",
 )
 def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
-    return R.bm25_topk(
-        docs, _BM25_QUERIES, id_col="doc_id", text_col="text", k=_BM25_K
-    )
+    tf, docstats = R.bm25_index_shared(spark, sf_dir)
+    return R.bm25_topk_from_index(tf, docstats, _BM25_QUERIES, k=_BM25_K)
