@@ -405,6 +405,17 @@ EXTENSION_R9 = [
     "retrieval_eval_report",
     "retrieval_rrf_fusion",
     "retrieval_index_stats",
+    "events_page_hinkley",
+    "events_rsi_cutler",
+    "events_bollinger_bands",
+    "events_max_drawdown",
+    "agg_cliffs_delta",
+    "agg_friedman_kendall_w",
+    "agg_cochrans_q",
+    "agg_gini_mean_difference",
+    "agg_lorenz_deciles",
+    "agg_quartile_dispersion",
+    "agg_cronbach_alpha",
 ]
 
 
