@@ -416,6 +416,8 @@ EXTENSION_R9 = [
     "agg_lorenz_deciles",
     "agg_quartile_dispersion",
     "agg_cronbach_alpha",
+    "curation_kcenter_coreset",
+    "curation_submodular_coverage",
 ]
 
 

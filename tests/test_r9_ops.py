@@ -212,3 +212,85 @@ def test_index_stats_matches_python(spark, sf_dir, corpus):
             mx,
         )
         assert r.corpus_share == pytest.approx(bcf / total_cf)
+
+
+# --------------------------------------------------------------------------
+# Greedy coreset selectors (round-9 curation)
+# --------------------------------------------------------------------------
+
+
+def test_kcenter_coreset_matches_python(spark, sf_dir):
+    rows = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    vecs = {r.vec_id: [float(x) for x in r.embedding] for r in rows}
+
+    def d2(a, b):
+        return max(0.0, sum(x * x for x in a) - 2 * sum(
+            x * y for x, y in zip(a, b)
+        ) + sum(y * y for y in b))
+
+    first = min(vecs)
+    centers = [first]
+    md = {i: d2(v, vecs[first]) for i, v in vecs.items()}
+    radii = [max(md.values())]
+    import math
+
+    for _ in range(4):
+        nxt = max(vecs, key=lambda i: (md[i], -i))
+        centers.append(nxt)
+        for i, v in vecs.items():
+            md[i] = min(md[i], d2(v, vecs[nxt]))
+        radii.append(max(md.values()))
+    got = sorted(
+        _build(spark, sf_dir, "curation_kcenter_coreset").collect(),
+        key=lambda r: r.round,
+    )
+    assert [r.vec_id for r in got] == centers
+    for r, rad in zip(got, radii):
+        assert r.radius_after == pytest.approx(math.sqrt(rad), rel=1e-9)
+
+
+def test_submodular_coverage_matches_python(spark, sf_dir, corpus):
+    import hashlib
+    from collections import Counter
+
+    def shingles(toks):
+        if len(toks) < 3:
+            return {" ".join(toks)}
+        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+    dv = {
+        d: {hashlib.md5(s.encode()).hexdigest() for s in shingles(t)}
+        for d, t in corpus.items()
+    }
+    df = Counter()
+    for digs in dv.values():
+        df.update(digs)
+    vocab = set(
+        s for s, _ in sorted(df.items(), key=lambda kv: (-kv[1], kv[0]))[:1000]
+    )
+    covered: set = set()
+    want = []
+    for r in range(1, 6):
+        best = min(
+            ((-len((digs & vocab) - covered), d) for d, digs in dv.items()),
+        )
+        sc, doc = -best[0], best[1]
+        new = (dv[doc] & vocab) - covered
+        covered |= new
+        want.append((r, doc, sc, len(covered), len(covered) / 1000))
+    got = sorted(
+        _build(spark, sf_dir, "curation_submodular_coverage").collect(),
+        key=lambda r: r.round,
+    )
+    for g, (r, doc, sc, tot, frac) in zip(got, want):
+        assert (g.round, g.doc_id, g.new_shingles, g.covered_total) == (
+            r,
+            doc,
+            sc,
+            tot,
+        )
+        assert g.coverage_frac == pytest.approx(frac)
