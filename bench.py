@@ -418,6 +418,11 @@ EXTENSION_R9 = [
     "agg_cronbach_alpha",
     "curation_kcenter_coreset",
     "curation_submodular_coverage",
+    "streaming_page_hinkley",
+    "streaming_max_drawdown",
+    "maintenance_manifest_diff",
+    "emb_knn_margin_audit",
+    "quality_weighted_kappa",
 ]
 
 

@@ -322,6 +322,46 @@ def _latest_version(manifest: dict) -> str:
     return max(manifest, key=int)
 
 
+def expiry_fixture_root(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per process, dataset) the snapshot-table fixture:
+    files f0/f1/f2 plus compaction rewrite f01 and a versioned JSON
+    manifest. Shared by the snapshot-expiry plan and the round-9
+    manifest diff."""
+    import json
+    import os
+
+    from sql_engine_spark.operators.dedup import (
+        dataset_fingerprint,
+        tracked_tmpdir,
+    )
+
+    key = (os.path.abspath(sf_dir), dataset_fingerprint(sf_dir, "orders"))
+    root = _EXPIRY_CACHE.get(key)
+    if root is None or not os.path.isdir(root):
+        od = load(spark, sf_dir, "orders").select("o_orderkey")
+        root = tracked_tmpdir("snap_expiry_")
+        parts = {
+            "f0": F.col("o_orderkey") % 3 == 0,
+            "f1": F.col("o_orderkey") % 3 == 1,
+            "f2": F.col("o_orderkey") % 3 == 2,
+            "f01": (F.col("o_orderkey") % 3).isin(0, 1),
+        }
+        for label, cond in parts.items():
+            od.where(cond).write.mode("overwrite").parquet(
+                os.path.join(root, label)
+            )
+        manifest = {
+            "0": ["f0", "f1"],
+            "1": ["f0", "f1", "f2"],
+            "2": ["f01", "f2"],
+        }
+        with open(os.path.join(root, "manifest.json"), "w") as f:
+            json.dump(manifest, f)
+        _EXPIRY_CACHE[key] = root
+    return root
+
+
+
 @register(
     "maintenance_snapshot_expiry_plan",
     oracle="""
@@ -364,34 +404,7 @@ def maintenance_snapshot_expiry_plan(spark: SparkSession, sf_dir: str) -> DataFr
     import json
     import os
 
-    from sql_engine_spark.operators.dedup import (
-        dataset_fingerprint,
-        tracked_tmpdir,
-    )
-
-    key = (os.path.abspath(sf_dir), dataset_fingerprint(sf_dir, "orders"))
-    root = _EXPIRY_CACHE.get(key)
-    if root is None or not os.path.isdir(root):
-        od = load(spark, sf_dir, "orders").select("o_orderkey")
-        root = tracked_tmpdir("snap_expiry_")
-        parts = {
-            "f0": F.col("o_orderkey") % 3 == 0,
-            "f1": F.col("o_orderkey") % 3 == 1,
-            "f2": F.col("o_orderkey") % 3 == 2,
-            "f01": (F.col("o_orderkey") % 3).isin(0, 1),
-        }
-        for label, cond in parts.items():
-            od.where(cond).write.mode("overwrite").parquet(
-                os.path.join(root, label)
-            )
-        manifest = {
-            "0": ["f0", "f1"],
-            "1": ["f0", "f1", "f2"],
-            "2": ["f01", "f2"],
-        }
-        with open(os.path.join(root, "manifest.json"), "w") as f:
-            json.dump(manifest, f)
-        _EXPIRY_CACHE[key] = root
+    root = expiry_fixture_root(spark, sf_dir)
     paths = {label: os.path.join(root, label) for label in _EXPIRY_FILES}
 
     with open(os.path.join(root, "manifest.json")) as f:

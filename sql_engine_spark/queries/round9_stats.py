@@ -84,7 +84,12 @@ def _daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     "shift. Calendar-bounded windows only.",
 )
 def events_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
-    daily = _daily(spark, sf_dir)
+    return ph_from_daily(_daily(spark, sf_dir))
+
+
+def ph_from_daily(daily: DataFrame) -> DataFrame:
+    """Page-Hinkley algebra over any (day, cnt) relation — shared by the
+    batch operator and its streaming matview twin (round9_stream)."""
     tot = daily.agg(
         F.sum("cnt").cast("long").alias("n"),
         F.count("*").cast("long").alias("d"),
@@ -329,7 +334,12 @@ def events_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     "exact integers.",
 )
 def events_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
-    daily = _daily(spark, sf_dir)
+    return drawdown_from_daily(_daily(spark, sf_dir))
+
+
+def drawdown_from_daily(daily: DataFrame) -> DataFrame:
+    """Drawdown algebra over any (day, cnt) relation — shared by the
+    batch operator and its streaming matview twin (round9_stream)."""
     run = Window.orderBy("day").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )

@@ -272,3 +272,103 @@ def test_cronbach_alpha_matches_python(spark, sf_dir):
     assert got.sum_item_var == pytest.approx((v1 + v2) + v3, rel=1e-12)
     assert got.total_var == pytest.approx(vt, rel=1e-12)
     assert got.cronbach_alpha == pytest.approx(alpha, rel=1e-12)
+
+
+# --------------------------------------------------------------------------
+# Round-9 extras: manifest diff, kNN margin, weighted kappa, fleet twins
+# --------------------------------------------------------------------------
+
+
+def test_manifest_diff_matches_python(spark, sf_dir):
+    counts = duckdb.sql(
+        f"""SELECT SUM(CASE WHEN o_orderkey % 3 = 0 THEN 1 ELSE 0 END),
+                   SUM(CASE WHEN o_orderkey % 3 = 1 THEN 1 ELSE 0 END),
+                   SUM(CASE WHEN o_orderkey % 3 = 2 THEN 1 ELSE 0 END)
+            FROM '{sf_dir}/orders.parquet'"""
+    ).fetchone()
+    n0, n1, n2 = (int(c) for c in counts)
+    want = {
+        (0, 1, "f0", "kept", n0),
+        (0, 1, "f1", "kept", n1),
+        (0, 1, "f2", "added", n2),
+        (1, 2, "f0", "removed", n0),
+        (1, 2, "f1", "removed", n1),
+        (1, 2, "f01", "added", n0 + n1),
+        (1, 2, "f2", "kept", n2),
+    }
+    got = {
+        (r.from_version, r.to_version, r.file, r.change, r.n_rows)
+        for r in _build(spark, sf_dir, "maintenance_manifest_diff").collect()
+    }
+    assert got == want
+
+
+def test_knn_margin_matches_python(spark, sf_dir):
+    from sql_engine_spark.operators.graph import knn_graph_shared
+
+    g = knn_graph_shared(spark, sf_dir).collect()
+    lab = {
+        r.vec_id: r.label
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", "label")
+        .collect()
+    }
+    best = {}
+    for e in g:
+        same = lab[e.src] == lab[e.dst]
+        cur = best.setdefault(e.src, [None, None])
+        k = 0 if same else 1
+        cur[k] = e.cosine if cur[k] is None else max(cur[k], e.cosine)
+    per_label = defaultdict(list)
+    for src, (bs, bd) in best.items():
+        if bs is not None and bd is not None:
+            per_label[lab[src]].append(bs - bd)
+    got = {r.label: r for r in _build(spark, sf_dir, "emb_knn_margin_audit").collect()}
+    assert set(got) == set(per_label)
+    for label, margins in per_label.items():
+        r = got[label]
+        assert r.n_nodes == len(margins)
+        # The operator folds margins through dsum (1e-6 DECIMAL grain);
+        # an exact-double python sum differs by up to n*5e-7 absolute.
+        assert r.mean_margin == pytest.approx(
+            sum(margins) / len(margins), abs=1e-4
+        )
+        assert r.frac_positive == pytest.approx(
+            sum(1 for m in margins if m > 0) / len(margins)
+        )
+
+
+def test_weighted_kappa_matches_python(spark, sf_dir):
+    rows = duckdb.sql(
+        f"SELECT doc_id, text, n_chars FROM '{sf_dir}/documents.parquet'"
+    ).fetchall()
+    n = len(rows)
+    by_chars = sorted(rows, key=lambda r: (r[2], r[0]))
+    by_ntok = sorted(rows, key=lambda r: (len(r[1].strip().lower().split()), r[0]))
+    b1 = {r[0]: (5 * i) // n for i, r in enumerate(by_chars)}
+    b2 = {r[0]: (5 * i) // n for i, r in enumerate(by_ntok)}
+    o = Counter((b1[r[0]], b2[r[0]]) for r in rows)
+    ri = Counter()
+    cj = Counter()
+    for (i, j), c in o.items():
+        ri[i] += c
+        cj[j] += c
+    num = sum((i - j) ** 2 / 16.0 * c for (i, j), c in o.items())
+    den = sum(
+        (i - j) ** 2 / 16.0 * (ri[i] * cj[j] / n) for i in ri for j in cj
+    )
+    got = _build(spark, sf_dir, "quality_weighted_kappa").collect()[0]
+    assert got.n_docs == n
+    assert got.sum_w_obs == pytest.approx(num, rel=1e-12)
+    assert got.sum_w_exp == pytest.approx(den, rel=1e-6)
+    assert got.kappa_weighted == pytest.approx(1 - num / den, rel=1e-6)
+
+
+def test_fleet_twins_converge_to_batch(spark, sf_dir):
+    for s_name, b_name in (
+        ("streaming_page_hinkley", "events_page_hinkley"),
+        ("streaming_max_drawdown", "events_max_drawdown"),
+    ):
+        s = {tuple(r) for r in _build(spark, sf_dir, s_name).collect()}
+        b = {tuple(r) for r in _build(spark, sf_dir, b_name).collect()}
+        assert s == b, s_name
