@@ -423,6 +423,11 @@ EXTENSION_R9 = [
     "maintenance_manifest_diff",
     "emb_knn_margin_audit",
     "quality_weighted_kappa",
+    "quality_spiegelhalter_z",
+    "events_turning_points",
+    "events_ljung_box",
+    "emb_energy_distance_sampled",
+    "privacy_suppression_plan",
 ]
 
 

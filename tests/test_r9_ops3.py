@@ -1,0 +1,143 @@
+"""Round-9 quality/diagnostics set: independent Python recompute pins."""
+
+from __future__ import annotations
+
+import math
+from collections import defaultdict
+
+import duckdb
+import pytest
+
+from sql_engine_spark.registry import all_queries
+
+
+def _build(spark, sf_dir, name):
+    return all_queries()[name].build(spark, sf_dir)
+
+
+def test_spiegelhalter_z_matches_python(spark, sf_dir):
+    rows = duckdb.sql(
+        f"SELECT n_chars, lang FROM '{sf_dir}/documents.parquet'"
+    ).fetchall()
+    lo = float(min(r[0] for r in rows))
+    hi = float(max(r[0] for r in rows))
+    num = den = 0.0
+    for nc, lang in rows:
+        p = (nc - lo) / (hi - lo)
+        y = 1.0 if lang == "en" else 0.0
+        num += (y - p) * (1 - 2 * p)
+        den += (1 - 2 * p) ** 2 * p * (1 - p)
+    got = _build(spark, sf_dir, "quality_spiegelhalter_z").collect()[0]
+    assert got.n == len(rows)
+    assert got.num == pytest.approx(num, abs=1e-6)
+    assert got.den == pytest.approx(den, abs=1e-6)
+    assert got.spiegelhalter_z == pytest.approx(num / math.sqrt(den), rel=1e-5)
+    assert got.miscalibrated_5pct == (abs(num / math.sqrt(den)) > 1.96)
+
+
+@pytest.fixture(scope="module")
+def daily(sf_dir):
+    rows = duckdb.sql(
+        f"""SELECT CAST(date_trunc('day', ts) AS DATE) AS day, COUNT(*) AS c
+            FROM '{sf_dir}/events.parquet' GROUP BY 1 ORDER BY 1"""
+    ).fetchall()
+    return [int(c) for _, c in rows]
+
+
+def test_turning_points_matches_python(spark, sf_dir, daily):
+    turns = sum(
+        1
+        for i in range(1, len(daily) - 1)
+        if (daily[i] > daily[i - 1] and daily[i] > daily[i + 1])
+        or (daily[i] < daily[i - 1] and daily[i] < daily[i + 1])
+    )
+    n_int = len(daily) - 2
+    exp = 2.0 * n_int / 3.0
+    z = (turns - exp) / math.sqrt((16.0 * len(daily) - 29.0) / 90.0)
+    got = _build(spark, sf_dir, "events_turning_points").collect()[0]
+    assert (got.n_days, got.n_turns) == (len(daily), turns)
+    assert got.expected_turns == pytest.approx(exp)
+    assert got.z == pytest.approx(z)
+
+
+def test_ljung_box_matches_python(spark, sf_dir, daily):
+    d = len(daily)
+    mean = sum(daily) / d
+    dev = [c - mean for c in daily]
+    s0 = sum(v * v for v in dev)
+    acc = 0.0
+    for k in range(1, 8):
+        rk = sum(dev[t] * dev[t - k] for t in range(k, d)) / s0
+        acc += rk * rk / (d - k)
+    q = d * (d + 2.0) * acc
+    got = _build(spark, sf_dir, "events_ljung_box").collect()[0]
+    assert (got.n_days, got.h_lags) == (d, 7)
+    assert got.ljung_box_q == pytest.approx(q, rel=1e-5)
+
+
+def test_energy_distance_matches_python(spark, sf_dir):
+    rows = duckdb.sql(
+        f"SELECT vec_id, label, embedding FROM '{sf_dir}/embeddings.parquet'"
+    ).fetchall()
+    # sf0.001 has 500 rows > target 100 -> the derived sample engages;
+    # mirror the threshold exactly.
+    from sql_engine_spark.operators.similarity import derived_sample_hex
+    import hashlib
+
+    thr = derived_sample_hex(len(rows), target_train_rows=100)
+    if thr is not None:
+        rows = [
+            r
+            for r in rows
+            if hashlib.md5(str(r[0]).encode()).hexdigest()[: len(thr)] < thr
+        ]
+    pts = [((r[1] % 2 == 0), [float(x) for x in r[2]]) for r in rows]
+
+    def d(a, b):
+        return math.sqrt(
+            max(0.0, sum(x * x for x in a) - 2 * sum(x * y for x, y in zip(a, b)) + sum(y * y for y in b))
+        )
+
+    sums = defaultdict(lambda: [0.0, 0])
+    for i in range(len(pts)):
+        for j in range(i + 1, len(pts)):
+            gi, gj = pts[i][0], pts[j][0]
+            kind = "xx" if gi and gj else "yy" if not gi and not gj else "xy"
+            sums[kind][0] += d(pts[i][1], pts[j][1])
+            sums[kind][1] += 1
+    means = {k: s / n for k, (s, n) in sums.items()}
+    got = _build(spark, sf_dir, "emb_energy_distance_sampled").collect()[0]
+    assert got.n_x == sum(1 for g, _ in pts if g)
+    assert got.n_y == sum(1 for g, _ in pts if not g)
+    # mean folds through dsum (1e-6 DECIMAL grain per pair distance)
+    assert got.mean_cross == pytest.approx(means["xy"], abs=1e-5)
+    assert got.energy_distance == pytest.approx(
+        2 * means["xy"] - means["xx"] - means["yy"], abs=3e-5
+    )
+
+
+def test_suppression_plan_matches_python(spark, sf_dir):
+    rows = duckdb.sql(
+        f"""SELECT lang, source, COUNT(*) FROM '{sf_dir}/documents.parquet'
+            GROUP BY 1, 2"""
+    ).fetchall()
+    per_lang = defaultdict(lambda: [0, 0, 0, 0])
+    for lang, _src, n in rows:
+        e = per_lang[lang]
+        e[0] += 1
+        if n < 5:
+            e[1] += 1
+            e[2] += n
+        else:
+            e[3] += n
+    got = {r.lang: r for r in _build(spark, sf_dir, "privacy_suppression_plan").collect()}
+    assert set(got) == set(per_lang)
+    for lang, (g, sg, lost, kept) in per_lang.items():
+        r = got[lang]
+        assert (r.n_groups, r.n_suppressed_groups, r.rows_lost, r.rows_kept) == (
+            g,
+            sg,
+            lost,
+            kept,
+        )
+        assert r.loss_frac == pytest.approx(lost / (lost + kept))
