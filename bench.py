@@ -428,6 +428,11 @@ EXTENSION_R9 = [
     "events_ljung_box",
     "emb_energy_distance_sampled",
     "privacy_suppression_plan",
+    "ann_ivf_balance_audit",
+    "curation_cluster_purity",
+    "graph_component_size_histogram",
+    "text_shingle_simpson_by_source",
+    "select_star_except",
 ]
 
 

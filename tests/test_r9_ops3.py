@@ -141,3 +141,138 @@ def test_suppression_plan_matches_python(spark, sf_dir):
             kept,
         )
         assert r.loss_frac == pytest.approx(lost / (lost + kept))
+
+
+# --------------------------------------------------------------------------
+# Round-9 vectors/clusters/engine batch
+# --------------------------------------------------------------------------
+
+
+def test_ivf_balance_matches_python(spark, sf_dir):
+    rows = duckdb.sql(
+        f"""SELECT vec_id, embedding FROM '{sf_dir}/embeddings.parquet'
+            WHERE vec_id >= 10 ORDER BY vec_id"""
+    ).fetchall()
+    seeds = []
+    for vid, emb in rows[:4]:
+        e = [float(x) for x in emb]
+        n = math.sqrt(sum(x * x for x in e))
+        seeds.append((vid, [x / n for x in e]))
+    counts = defaultdict(int)
+    for vid, emb in rows:
+        e = [float(x) for x in emb]
+        best = max(
+            seeds, key=lambda s: (sum(a * b for a, b in zip(e, s[1])), -s[0])
+        )
+        counts[best[0]] += 1
+    got = {r.cent_id: r for r in _build(spark, sf_dir, "ann_ivf_balance_audit").collect()}
+    assert {k: r.n_vectors for k, r in got.items()} == dict(counts)
+    n = sum(counts.values())
+    for k, r in got.items():
+        assert r.share == pytest.approx(counts[k] / n)
+        assert r.load_factor == pytest.approx(counts[k] / n * 4.0)
+
+
+def test_cluster_purity_matches_python(spark, sf_dir):
+    from sql_engine_spark.registry import all_queries as _aq
+
+    docs = duckdb.sql(
+        f"SELECT doc_id, md5(text) FROM '{sf_dir}/documents.parquet'"
+    ).fetchall()
+    tg_by_key = {}
+    for d, k in docs:
+        tg_by_key[k] = min(tg_by_key.get(k, d), d)
+    cc = {
+        r.doc_id: r.cluster_id
+        for r in _build(spark, sf_dir, "dedup_connected_components").collect()
+    }
+    cells = defaultdict(int)
+    for d, k in docs:
+        cells[(cc.get(d, d), tg_by_key[k])] += 1
+    by_cl = defaultdict(int)
+    by_tg = defaultdict(int)
+    for (cl, tg), c in cells.items():
+        by_cl[cl] = max(by_cl[cl], c)
+        by_tg[tg] = max(by_tg[tg], c)
+    n = len(docs)
+    p = sum(by_cl.values()) / n
+    ip = sum(by_tg.values()) / n
+    got = _build(spark, sf_dir, "curation_cluster_purity").collect()[0]
+    assert got.n_docs == n
+    assert (got.n_clusters, got.n_truth_groups) == (len(by_cl), len(by_tg))
+    assert got.purity == pytest.approx(p)
+    assert got.inverse_purity == pytest.approx(ip)
+    assert got.f_purity == pytest.approx(2 * p * ip / (p + ip))
+
+
+def test_component_histogram_matches_python(spark, sf_dir):
+    from sql_engine_spark.operators.graph import knn_graph_shared
+
+    edges = {
+        (min(r.src, r.dst), max(r.src, r.dst))
+        for r in knn_graph_shared(spark, sf_dir).collect()
+    }
+    # 3 rounds of min-label propagation, same as the fixed-iteration op.
+    nodes = {n for e in edges for n in e}
+    label = {n: n for n in nodes}
+    for _ in range(3):
+        nxt = dict(label)
+        for a, b in edges:
+            m = min(label[a], label[b])
+            nxt[a] = min(nxt[a], m)
+            nxt[b] = min(nxt[b], m)
+        label = nxt
+    spine = duckdb.sql(
+        f"SELECT vec_id FROM '{sf_dir}/embeddings.parquet'"
+    ).fetchall()
+    comp = defaultdict(int)
+    for (vid,) in spine:
+        comp[label.get(vid, vid)] += 1
+    hist = defaultdict(int)
+    for sz in comp.values():
+        hist[sz] += 1
+    got = {
+        r.component_size: r
+        for r in _build(spark, sf_dir, "graph_component_size_histogram").collect()
+    }
+    assert {k: r.n_components for k, r in got.items()} == dict(hist)
+    for k, r in got.items():
+        assert r.n_nodes == k * hist[k]
+
+
+def test_shingle_simpson_matches_python(spark, sf_dir):
+    import hashlib
+
+    rows = duckdb.sql(
+        f"SELECT doc_id, source, text FROM '{sf_dir}/documents.parquet'"
+    ).fetchall()
+    per = defaultdict(lambda: defaultdict(int))
+    for _d, src, text in rows:
+        toks = text.strip().lower().split()
+        if len(toks) < 3:
+            sh = {" ".join(toks)}
+        else:
+            sh = {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+        for s in sh:
+            per[src][hashlib.md5(s.encode()).hexdigest()] += 1
+    got = {
+        r.source: r
+        for r in _build(spark, sf_dir, "text_shingle_simpson_by_source").collect()
+    }
+    assert set(got) == set(per)
+    for src, digs in per.items():
+        r = got[src]
+        tot = sum(digs.values())
+        s2 = sum(c * c for c in digs.values())
+        assert (r.n_distinct_shingles, r.n_total) == (len(digs), tot)
+        assert r.simpson_lambda == pytest.approx(s2 / (tot * tot))
+
+
+def test_select_star_except_schema_and_rows(spark, sf_dir):
+    df = _build(spark, sf_dir, "select_star_except")
+    assert df.columns == ["doc_id", "lang", "source", "n_chars"]
+    want = duckdb.sql(
+        f"""SELECT COUNT(*) FROM '{sf_dir}/documents.parquet'
+            WHERE n_chars % 7 = 0"""
+    ).fetchone()[0]
+    assert df.count() == want
