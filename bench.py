@@ -433,6 +433,8 @@ EXTENSION_R9 = [
     "graph_component_size_histogram",
     "text_shingle_simpson_by_source",
     "select_star_except",
+    "multimodal_quadrant_ahash",
+    "agg_chebyshev_bound_check",
 ]
 
 

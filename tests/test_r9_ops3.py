@@ -276,3 +276,71 @@ def test_select_star_except_schema_and_rows(spark, sf_dir):
             WHERE n_chars % 7 = 0"""
     ).fetchone()[0]
     assert df.count() == want
+
+
+# --------------------------------------------------------------------------
+# Quadrant aHash + Chebyshev check
+# --------------------------------------------------------------------------
+
+
+def test_quadrant_ahash_matches_python(spark, sf_dir):
+    import hashlib
+
+    rows = duckdb.sql(
+        f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet'"
+    ).fetchall()
+    qhashes = {}
+    for doc_id, text in rows:
+        digs = [
+            hashlib.md5(f"{text}#{c}".encode()).hexdigest() for c in range(4)
+        ]
+        grid = {}
+        for i in range(8):
+            for j in range(8):
+                p = 8 * i + j
+                h = digs[p // 16]
+                b = p % 16
+                grid[(i, j)] = 16 * int(h[2 * b], 16) + int(h[2 * b + 1], 16)
+        for quad in range(4):
+            qi, qj = divmod(quad, 2)
+            cells = {
+                (i, j): v
+                for (i, j), v in grid.items()
+                if i // 4 == qi and j // 4 == qj
+            }
+            s = sum(cells.values())
+            bits = 0
+            for (i, j), v in cells.items():
+                if 16 * v > s:
+                    bits |= 1 << (4 * (i % 4) + (j % 4))
+            qhashes[(doc_id, quad)] = bits
+    pairs = defaultdict(int)
+    by_qh = defaultdict(list)
+    for (d, q), hsh in qhashes.items():
+        by_qh[(q, hsh)].append(d)
+    for (_q, _h), docs in by_qh.items():
+        docs = sorted(docs)
+        for i in range(len(docs)):
+            for j in range(i + 1, len(docs)):
+                pairs[(docs[i], docs[j])] += 1
+    got = {
+        (r.id_a, r.id_b): r.n_quadrant_matches
+        for r in _build(spark, sf_dir, "multimodal_quadrant_ahash").collect()
+    }
+    assert got == dict(pairs)
+
+
+def test_chebyshev_check_matches_python(spark, sf_dir, daily):
+    n = len(daily)
+    s1 = sum(daily)
+    q = sum(c * c for c in daily)
+    got = {r.k: r for r in _build(spark, sf_dir, "agg_chebyshev_bound_check").collect()}
+    for k in (2, 3, 4):
+        within = sum(
+            1 for c in daily if (n * c - s1) ** 2 < k * k * (n * q - s1 * s1)
+        )
+        r = got[k]
+        assert (r.n_days, r.n_within) == (n, within)
+        assert r.frac_within == pytest.approx(within / n)
+        assert r.chebyshev_floor == pytest.approx(1 - 1 / k**2)
+        assert r.satisfied == (within / n >= 1 - 1 / k**2)
