@@ -22,11 +22,13 @@ gate (or name the consumers) when touching operators/ or functions/.
 from __future__ import annotations
 
 import json
+import os
 import subprocess
 import sys
 import time
 
-sys.path.insert(0, ".")
+# The repo root, not "." — the gate must work from any cwd.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from sql_engine_spark.oracle import run_all
 from sql_engine_spark.session import get_spark
@@ -34,26 +36,40 @@ from sql_engine_spark.session import get_spark
 
 def changed_query_names(ref: str) -> list[str]:
     """Registered queries whose builder's defining module changed vs
-    `ref` (git-diff-derived; includes uncommitted working-tree edits)."""
+    `ref` (git-diff-derived; includes uncommitted working-tree edits).
+    Paths resolve against the git TOPLEVEL, not os.getcwd() — running
+    from another directory must not silently match nothing (a false
+    green)."""
     import os
 
     from sql_engine_spark.registry import all_queries
 
+    top = subprocess.run(
+        ["git", "rev-parse", "--show-toplevel"],
+        capture_output=True,
+        text=True,
+        check=True,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    ).stdout.strip()
     out = subprocess.run(
         ["git", "diff", "--name-only", ref, "--"],
         capture_output=True,
         text=True,
         check=True,
+        cwd=top,
     ).stdout
-    changed = {os.path.normpath(p) for p in out.splitlines() if p.endswith(".py")}
+    changed = {
+        os.path.normpath(os.path.join(top, p))
+        for p in out.splitlines()
+        if p.endswith(".py")
+    }
     names = []
     for name, q in all_queries().items():
         mod = sys.modules.get(q.build.__module__)
         src = getattr(mod, "__file__", None)
         if src is None:
             continue
-        rel = os.path.normpath(os.path.relpath(src, os.getcwd()))
-        if rel in changed:
+        if os.path.normpath(os.path.abspath(src)) in changed:
             names.append(name)
     return sorted(names)
 
@@ -67,7 +83,12 @@ def main() -> int:
         args = args[2:]
     if args and args[0] == "--changed":
         args = args[1:]
-        if args and args[0].startswith(("HEAD", "main", "@")):
+        # The next token is a git REF unless it names an existing
+        # directory (the sf_dir positional) — no prefix heuristic, so
+        # SHAs and remote refs resolve instead of silently rebinding.
+        import os
+
+        if args and not os.path.isdir(args[0]):
             changed_ref = args[0]
             args = args[1:]
         else:

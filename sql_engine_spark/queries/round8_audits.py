@@ -48,13 +48,10 @@ def _cap_audit_threshold(sf_dir: str) -> str | None:
     every 25th doc_id; the exact copy count is data-dependent, but the
     threshold only needs to be the SAME deterministic value in both
     engines — derived_sample_hex tolerates the ~4% slack)."""
-    import os
-
-    import pyarrow.parquet as pq
-
+    from sql_engine_spark.io import table_row_count
     from sql_engine_spark.operators.similarity import derived_sample_hex
 
-    n = pq.read_metadata(os.path.join(sf_dir, "documents.parquet")).num_rows
+    n = table_row_count(sf_dir, "documents")
     return derived_sample_hex(n + n // 25, target_train_rows=_CAP_AUDIT_TARGET)
 
 

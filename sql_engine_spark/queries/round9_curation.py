@@ -249,8 +249,12 @@ def curation_submodular_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             row.dig for row in rem.where(F.col("doc_id") == top.doc_id).collect()
         }
         covered |= new_digs
+        # Divide by the ACTUAL universe size — min(_MC_V, distinct
+        # shingles) — matching the oracle's COUNT(*) FROM vocab (review
+        # finding: the constant diverges on corpora with < _MC_V
+        # distinct shingles).
         picked.append(
-            (r, int(top.doc_id), int(top.sc), len(covered), len(covered) / _MC_V)
+            (r, int(top.doc_id), int(top.sc), len(covered), len(covered) / len(vocab))
         )
     return spark.createDataFrame(
         picked,

@@ -355,8 +355,7 @@ def emb_energy_distance_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dist",
     )
     m = kinds.groupBy("kind").agg(
-        (dsum(F.col("dist")) / F.count("*").cast("double")).alias("mean_d"),
-        F.count("*").cast("long").alias("n_pairs"),
+        (dsum(F.col("dist")) / F.count("*").cast("double")).alias("mean_d")
     )
     counts = s.agg(
         F.sum(F.when(F.col("grp_x"), 1).otherwise(0)).cast("long").alias("n_x"),
@@ -364,6 +363,15 @@ def emb_energy_distance_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     piv = m.groupBy().pivot("kind", ["xx", "yy", "xy"]).agg(
         F.first("mean_d")
+    )
+    # Degenerate samples (a pair-kind empty because one parity group is
+    # absent) yield ZERO rows, matching the oracle's CROSS JOIN against
+    # the empty kind (review finding: the pivot otherwise emitted one
+    # NULL-column row and the gate would row-count mismatch).
+    piv = piv.where(
+        F.col("xx").isNotNull()
+        & F.col("yy").isNotNull()
+        & F.col("xy").isNotNull()
     )
     return counts.crossJoin(F.broadcast(piv)).select(
         "n_x",
@@ -379,14 +387,11 @@ def emb_energy_distance_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _fix_energy_oracle() -> None:
     def render(sf_dir: str) -> str:
-        import os
+        from sql_engine_spark.io import table_row_count
 
-        import pyarrow.parquet as pq
-
-        n = pq.read_metadata(
-            os.path.join(sf_dir, "embeddings.parquet")
-        ).num_rows
-        thr = derived_sample_hex(n, target_train_rows=_ED_TARGET)
+        thr = derived_sample_hex(
+            table_row_count(sf_dir, "embeddings"), target_train_rows=_ED_TARGET
+        )
         pred = (
             f"WHERE substring(md5(CAST(vec_id AS VARCHAR)), 1, {len(thr)})"
             f" < '{thr}'"

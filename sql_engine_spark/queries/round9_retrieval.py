@@ -307,8 +307,7 @@ def retrieval_qlm_dirichlet_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     qpc = F.broadcast(qterms.join(pc, "token").select("query_id", "token", "p_c"))
     cand = (
-        tf_idx.join(F.broadcast(qterms.select("token").distinct()), "token")
-        .join(F.broadcast(qterms), "token")
+        tf_idx.join(F.broadcast(qterms), "token")
         .select("query_id", "doc_id", "dl")
         .distinct()
     )

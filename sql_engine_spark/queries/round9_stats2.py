@@ -91,17 +91,25 @@ _CD_A, _CD_B = "purchase", "click"
     "misread. Exact integer rank sums, two divisions.",
 )
 def agg_cliffs_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sql_engine_spark.io import count_cached
+
     ev = _persist(
         load(spark, sf_dir, "events")
         .where(F.col("event_type").isin(_CD_A, _CD_B))
         .select("event_id", "event_type", "value")
+    )
+    # Memoized filtered count (r8 verdict #3 / review finding): n_rows
+    # only sizes the rank buckets, and the filtered cardinality is a
+    # pure function of the dataset.
+    n_rows = count_cached(
+        sf_dir, "events", f"type_in_{_CD_A}_{_CD_B}", lambda: ev.count()
     )
     ranked = bucketed_value_rank(
         ev,
         part_cols=[],
         value_col="value",
         tie_col="event_id",
-        n_rows=ev.count(),
+        n_rows=n_rows,
         out_col="__rank",
     )
     g = ranked.agg(

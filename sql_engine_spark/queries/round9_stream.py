@@ -18,6 +18,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+import sql_engine_spark.queries.round8_stream2  # noqa: F401 — registers the
+# seasonal_counts fleet spec these twins read; without the import a
+# partial test import would hit an unknown-spec error (review finding).
 from sql_engine_spark.queries.round9_stats import (
     drawdown_from_daily,
     ph_from_daily,

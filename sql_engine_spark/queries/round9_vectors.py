@@ -157,7 +157,11 @@ def curation_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cell = lab.groupBy("cl", "tg").agg(F.count("*").cast("long").alias("c"))
     cell = _persist(cell)
-    n = lab.count()
+    # One row per document by construction — the cached footer count,
+    # not a per-build Spark job (review finding; r8 verdict #3).
+    from sql_engine_spark.io import table_row_count
+
+    n = table_row_count(sf_dir, "documents")
     pur = (
         cell.groupBy("cl")
         .agg(F.max("c").alias("mx"))
@@ -189,11 +193,9 @@ def _fix_purity_oracle() -> None:
     cc = _REGISTRY["dedup_connected_components"].oracle
 
     def render(sf_dir: str) -> str:
-        import duckdb
+        from sql_engine_spark.io import table_row_count
 
-        n = duckdb.sql(
-            f"SELECT COUNT(*) FROM '{sf_dir}/documents.parquet'"
-        ).fetchone()[0]
+        n = table_row_count(sf_dir, "documents")
         return f"""
         WITH cc AS ({cc}),
         docs AS (SELECT doc_id, md5(text) AS key FROM documents),

@@ -71,6 +71,11 @@ def fleet_view(spark: SparkSession, sf_dir: str, name: str):
     from sql_engine_spark.streaming.matview import IdempotentMatView
     from sql_engine_spark.streaming.source import table_stream
 
+    if name not in _SPECS:
+        raise KeyError(
+            f"fleet spec {name!r} is not registered — import the query "
+            f"module that registers it (known: {sorted(_SPECS)})"
+        )
     key = (os.path.abspath(sf_dir), dataset_fingerprint(sf_dir, "events"))
     dirs = _DRAINED.setdefault(key, {})
     missing = [n for n in _SPECS if n not in dirs]

@@ -178,13 +178,23 @@ def test_t_closeness_matches_python(spark, sf_dir):
         for r in _build(spark, sf_dir, "privacy_t_closeness").collect()
     }
     assert set(got) == set(per)
+    def _rha(x):
+        import math as _m
+
+        f = _m.floor(abs(x) + 0.5)
+        return f if x >= 0 else -f
+
     for key, cnt in per.items():
         n_g = sum(cnt.values())
-        cum, emd = 0.0, 0.0
+        # Round-9 numeric hardening: the operator quantizes per-bucket
+        # diffs at the 1e-9 grain (exact integer window cumsum + ssum)
+        # — mirror the identical scaled-integer folds.
+        cum_int, emd_int = 0, 0
         for bkt in range(8):
-            cum += cnt[bkt] / n_g - glob[bkt] / n_tot
-            emd += abs(cum)
-        emd /= 7.0
+            diff = cnt[bkt] / n_g - glob[bkt] / n_tot
+            cum_int += int(_rha(diff * 1e9))
+            emd_int += int(_rha(abs(cum_int / 1e9) * 1e9))
+        emd = (emd_int / 1e9) / 7.0
         r = got[key]
         assert r.n_rows == n_g
         assert abs(r.emd - emd) < 1e-12
