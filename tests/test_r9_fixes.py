@@ -248,3 +248,43 @@ def test_fleet_view_converges_to_batch(spark):
         ).fetchall()
     }
     assert got == want
+
+
+# --------------------------------------------------------------------------
+# check_oracle --changed fast path (r8 verdict #5)
+# --------------------------------------------------------------------------
+
+
+def test_changed_query_names_maps_modules(tmp_path, monkeypatch):
+    import importlib.util
+    import subprocess
+
+    spec = importlib.util.spec_from_file_location(
+        "check_oracle", "/root/repo/scripts/check_oracle.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    # No diff vs HEAD in a clean tree of this test's scope -> mapping
+    # returns a (possibly empty) sorted subset of registered names.
+    from sql_engine_spark.registry import all_queries
+
+    names = mod.changed_query_names("HEAD")
+    assert names == sorted(names)
+    assert set(names) <= set(all_queries())
+
+    # Every name from a one-module diff maps back to that module.
+    diff_out = subprocess.run(
+        ["git", "diff", "--name-only", "HEAD~1", "--"],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+    ).stdout
+    changed_files = {p for p in diff_out.splitlines() if p.endswith(".py")}
+    got = mod.changed_query_names("HEAD~1")
+    import sys as _sys
+
+    for n in got:
+        q = all_queries()[n]
+        src = _sys.modules[q.build.__module__].__file__
+        assert any(src.endswith(p) for p in changed_files), (n, src)
