@@ -501,8 +501,9 @@ _SQL_DECOMP = f"""
     """
 
 
-def _decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
-    daily = _daily(spark, sf_dir)
+def decompose_from_daily(daily: DataFrame) -> DataFrame:
+    """Classical MA decomposition of a (day, cnt) relation — shared by
+    the batch operator and the fleet streaming twin."""
     w = Window.orderBy("day").rowsBetween(-3, 3)
     t = daily.select(
         "day",
@@ -548,7 +549,7 @@ def _decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     "grows with time, not data volume.",
 )
 def events_ma_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _decompose(spark, sf_dir)
+    return decompose_from_daily(_daily(spark, sf_dir))
 
 
 @register(
@@ -592,7 +593,13 @@ def events_ma_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     "DOUBLE). Day-grid-sized relations throughout.",
 )
 def events_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    decomp = _decompose(spark, sf_dir).where(F.col("remainder").isNotNull())
+    return seasonal_anomaly_from_daily(_daily(spark, sf_dir))
+
+
+def seasonal_anomaly_from_daily(daily: DataFrame) -> DataFrame:
+    """MAD anomaly flags on the decomposition remainder — shared by the
+    batch operator and the fleet streaming twin."""
+    decomp = decompose_from_daily(daily).where(F.col("remainder").isNotNull())
     w = Window.orderBy("remainder", "day")
     r = decomp.select(
         "day",
