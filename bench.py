@@ -437,6 +437,43 @@ EXTENSION_R9 = [
     "agg_chebyshev_bound_check",
 ]
 
+# Round-9 late-session additions: own section so the earlier r9 seal's
+# extension_r9_total stays comparable to BENCH_LOCAL_r9.json.
+EXTENSION_R9B = [
+    "join_bloom_prune",
+    "select_lateral_topn",
+    "scalar_distinct_predicates",
+    "maintenance_zorder_clustering",
+    "approx_kmv_intersection",
+    "sample_priority_weighted",
+    "agg_mood_median_test",
+    "stats_kendall_tau_binned",
+    "events_cuped_adjustment",
+    "events_ma_decomposition",
+    "events_seasonal_anomaly",
+    "agg_sn_estimator_daily",
+    "ann_sign_hamming_rerank",
+    "retrieval_ndcg_at10",
+    "quality_selection_rate_parity",
+    "privacy_generalization_ladder",
+    "events_granger_lag1",
+    "agg_siegel_tukey",
+    "events_qini_uplift_deciles",
+    "retrieval_rm3_expansion",
+    "streaming_seasonal_anomaly",
+    "events_randomization_test",
+    "agg_tukey_hsd_pairs",
+    "text_boilerplate_prefix",
+    "events_circular_hour_stats",
+    "events_attribution_window_sweep",
+    "approx_rank_synopsis_quantiles",
+    "events_concurrency_profile",
+    "scan_rowgroup_stats_audit",
+    "emb_label_noise_candidates",
+    "events_ewma_control_chart",
+    "events_bot_regularity_flags",
+]
+
 
 def _time_section(spark, qs, names: list[str], sf_dir: str) -> dict[str, float]:
     """Best-of-2 full passes: one transient stall (GC, page cache miss,
@@ -510,6 +547,8 @@ def main() -> int:
     r8_total = round(sum(r8_timings.values()), 3)
     r9_timings = _time_section(spark, qs, EXTENSION_R9, sf_dir)
     r9_total = round(sum(r9_timings.values()), 3)
+    r9b_timings = _time_section(spark, qs, EXTENSION_R9B, sf_dir)
+    r9b_total = round(sum(r9b_timings.values()), 3)
 
     # Curation flagships: best-of-2, own stable total (r3 comparison
     # base: extension_queries.dedup_keep_best / pipeline_curate_full).
@@ -538,6 +577,8 @@ def main() -> int:
         "extension_r8_queries": r8_timings,
         "extension_r9_total": r9_total,
         "extension_r9_queries": r9_timings,
+        "extension_r9b_total": r9b_total,
+        "extension_r9b_queries": r9b_timings,
     }
     if companion:
         out["companion_sf"] = 0.01
@@ -577,6 +618,7 @@ def main() -> int:
         "extension_r7_total": r7_total,
         "extension_r8_total": r8_total,
         "extension_r9_total": r9_total,
+        "extension_r9b_total": r9b_total,
     }
     if companion:
         summary["companion_total"] = out["companion_total"]

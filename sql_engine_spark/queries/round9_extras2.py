@@ -359,20 +359,44 @@ def maintenance_zorder_clustering(spark: SparkSession, sf_dir: str) -> DataFrame
     zy = " + ".join(f"((y8 DIV {1 << i}) % 2) * {4 ** i}" for i in range(8))
     z = pts.withColumn(
         "zval", F.expr(f"CAST({zx} AS BIGINT) + 2 * CAST({zy} AS BIGINT)")
+    ).withColumn(
+        "__key", F.col("l_orderkey") * 8 + F.col("l_linenumber")
     )
-    w_lin = Window.orderBy("l_orderkey", "l_linenumber")
-    w_z = Window.orderBy("zval", "l_orderkey", "l_linenumber")
-    filed = z.select(
+    # Both file orders rank through the bucketed two-level scan — a bare
+    # global row_number window would funnel the whole rewrite through
+    # one task; the real OPTIMIZE job's range exchange is exactly what
+    # bucketed_value_rank spells.
+    from sql_engine_spark.io import table_row_count
+    from sql_engine_spark.operators.prefix import bucketed_value_rank
+
+    n_rows = table_row_count(sf_dir, "lineitem")
+    r1 = bucketed_value_rank(
+        z,
+        part_cols=[],
+        value_col="__key",
+        tie_col="__key",
+        n_rows=n_rows,
+        out_col="__rk_lin",
+    )
+    r2 = bucketed_value_rank(
+        r1,
+        part_cols=[],
+        value_col="zval",
+        tie_col="__key",
+        n_rows=n_rows,
+        out_col="__rk_z",
+    )
+    filed = r2.select(
         "l_partkey",
         "l_suppkey",
         "max_p",
         "max_s",
-        ((F.row_number().over(w_lin) - 1) / _ZFILE_ROWS)
-        .cast("long")
-        .alias("file_linear"),
-        ((F.row_number().over(w_z) - 1) / _ZFILE_ROWS)
-        .cast("long")
-        .alias("file_zorder"),
+        ((F.col("__rk_lin") - 1) / _ZFILE_ROWS).cast("long").alias(
+            "file_linear"
+        ),
+        ((F.col("__rk_z") - 1) / _ZFILE_ROWS).cast("long").alias(
+            "file_zorder"
+        ),
     )
     lin = filed.select(
         F.lit("linear").alias("strategy"),
