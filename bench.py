@@ -472,6 +472,9 @@ EXTENSION_R9B = [
     "emb_label_noise_candidates",
     "events_ewma_control_chart",
     "events_bot_regularity_flags",
+    "scalar_variant_json",
+    "setop_union_by_name",
+    "order_nulls_placement",
 ]
 
 

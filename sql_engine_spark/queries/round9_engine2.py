@@ -45,15 +45,15 @@ from sql_engine_spark.registry import register
     "the typed-variant path. Pure per-row map, zero shuffles.",
 )
 def scalar_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load(spark, sf_dir, "events").select("event_id", "props")
-    k = F.expr("variant_get(parse_json(props), '$.k', 'long')")
-    missing = F.expr("variant_get(parse_json(props), '$.missing', 'long')")
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", F.expr("parse_json(props)").alias("__v")
+    )
+    k = F.expr("variant_get(__v, '$.k', 'long')")
+    missing = F.expr("variant_get(__v, '$.missing', 'long')")
     return ev.select(
         "event_id",
         k.alias("k"),
-        F.expr(
-            "variant_get(parse_json(props), '$.k', 'long') DIV 10"
-        ).alias("k_decade"),
+        F.expr("variant_get(__v, '$.k', 'long') DIV 10").alias("k_decade"),
         missing.isNull().alias("missing_is_null"),
     )
 

@@ -139,9 +139,14 @@ _RM3_K = 10
 def retrieval_rm3_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf_idx, docstats = bm25_index_shared(spark, sf_dir)
     qterms = _qterms_df(spark)
-    fb = bm25_topk_from_index(
-        tf_idx, docstats, _BM25_QUERIES, k=_RM3_FB_DOCS
-    ).select("query_id", "doc_id")
+    # One first-pass scoring serves both consumers: the top-3 feedback
+    # set is a rank-prefix of the top-10 original ranking.
+    orig10_ranked = bm25_topk_from_index(
+        tf_idx, docstats, _BM25_QUERIES, k=_RM3_K
+    )
+    fb = orig10_ranked.where(F.col("rank") <= _RM3_FB_DOCS).select(
+        "query_id", "doc_id"
+    )
     cand = (
         tf_idx.join(F.broadcast(fb), "doc_id")
         .join(F.broadcast(qterms), ["query_id", "token"], "left_anti")
@@ -170,9 +175,9 @@ def retrieval_rm3_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("dl").cast("double").alias("dl"),
     )
     eranked = _bm25_score_rank(tf2, stats, q2, _RM3_K)
-    orig10 = bm25_topk_from_index(
-        tf_idx, docstats, _BM25_QUERIES, k=_RM3_K
-    ).select("query_id", "doc_id", F.lit(1).alias("__orig"))
+    orig10 = orig10_ranked.select(
+        "query_id", "doc_id", F.lit(1).alias("__orig")
+    )
     return eranked.join(
         orig10, ["query_id", "doc_id"], "left"
     ).select(
