@@ -475,6 +475,8 @@ EXTENSION_R9B = [
     "scalar_variant_json",
     "setop_union_by_name",
     "order_nulls_placement",
+    "streaming_ewma_control_chart",
+    "emb_anisotropy_profile",
 ]
 
 

@@ -161,6 +161,12 @@ def events_ewma_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = ev.groupBy(
         F.date_trunc("day", "ts").cast("date").alias("day")
     ).agg(F.count("*").cast("long").alias("cnt"))
+    return ewma_cc_from_daily(daily)
+
+
+def ewma_cc_from_daily(daily: DataFrame) -> DataFrame:
+    """EWMA control chart over a (day, cnt) relation — shared by the
+    batch operator and the fleet streaming twin."""
     m = daily.agg(
         F.count("*").cast("long").alias("n"),
         F.sum("cnt").cast("long").alias("s"),

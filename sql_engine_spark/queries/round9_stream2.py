@@ -49,3 +49,27 @@ def streaming_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
 _REGISTRY["streaming_seasonal_anomaly"].oracle = _REGISTRY[
     "events_seasonal_anomaly"
 ].oracle
+
+
+@register(
+    "streaming_ewma_control_chart",
+    oracle=None,  # spliced below: the batch EWMA-chart oracle
+    doc="Streaming EWMA control chart: reads the bounded daily-count "
+    "matview maintained by the SHARED replay fleet and runs the "
+    "identical halving-fold + sqrt(1/3)-limit algebra as "
+    "events_ewma_control_chart, whose oracle it SHARES (exact batch "
+    "convergence). A third zero-cost fleet consumer this session.",
+)
+def streaming_ewma_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sql_engine_spark.queries.round9_quality2 import ewma_cc_from_daily
+
+    return ewma_cc_from_daily(_view_daily(spark, sf_dir))
+
+
+import sql_engine_spark.queries.round9_quality2  # noqa: E402,F401 — the
+# batch twin must be registered before its oracle is spliced (this
+# module loads earlier in queries/__init__).
+
+_REGISTRY["streaming_ewma_control_chart"].oracle = _REGISTRY[
+    "events_ewma_control_chart"
+].oracle

@@ -485,3 +485,94 @@ def privacy_generalization_ladder(spark: SparkSession, sf_dir: str) -> DataFrame
         ).alias("suppression_fraction"),
         (F.col("rows_suppressed") == 0).alias("k_satisfied"),
     )
+
+
+# ---------------------------------------------------------------------------
+# emb_anisotropy_profile — how directionally concentrated is the space?
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "emb_anisotropy_profile",
+    oracle=f"""
+        WITH v AS (
+            SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+            FROM embeddings
+        ),
+        cnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM v),
+        d AS (
+            SELECT CAST(i AS BIGINT) AS pos, e[i + 1] AS val
+            FROM (SELECT e, unnest(range(0, len(e))) AS i FROM v)
+        ),
+        mu AS (
+            SELECT pos, {sql_ssum('val')} / CAST((SELECT n FROM cnt) AS DOUBLE)
+                       AS mu
+            FROM d GROUP BY pos
+        ),
+        mv AS (
+            SELECT sqrt({sql_ssum('mu * mu', scale='1000000000.0')})
+                       AS mean_vec_norm
+            FROM mu
+        ),
+        mn AS (
+            SELECT {sql_ssum(
+                'sqrt(list_reduce(list_transform(e, '
+                'x -> x * x), (a, b) -> a + b))')}
+                   / CAST((SELECT n FROM cnt) AS DOUBLE) AS mean_norm
+            FROM v
+        )
+        SELECT n, mean_norm, mean_vec_norm,
+               mean_vec_norm / mean_norm AS anisotropy
+        FROM cnt CROSS JOIN mn CROSS JOIN mv
+    """,
+    doc="Embedding-space anisotropy profile (Ethayarajh EMNLP 2019's "
+    "observation that contextual embedding spaces collapse into a "
+    "narrow cone; Mu & Viswanath's all-but-the-top remedy): the ratio "
+    "||mean vector|| / mean(||v||). Near 0 = centered/isotropic "
+    "(cosine similarities are meaningful); near 1 = all vectors share "
+    "a dominant direction (every cosine is inflated and dedup/ANN "
+    "thresholds calibrated on it silently break). The per-dimension "
+    "mean is one posexplode + 64-group aggregate (dimension-bounded), "
+    "the norms fold through the house sequential reduction, and every "
+    "corpus-sized double crosses engines via ssum. The audit a "
+    "pipeline runs before trusting any cosine threshold it tuned "
+    "elsewhere.",
+)
+def emb_anisotropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sql_engine_spark.functions.vectors import l2_norm
+
+    emb = load(spark, sf_dir, "embeddings").select("embedding")
+    cnt = emb.agg(F.count("*").cast("long").alias("n"))
+    d = emb.select(
+        F.posexplode(F.col("embedding")).alias("pos", "valf")
+    ).select(
+        F.col("pos").cast("long").alias("pos"),
+        F.col("valf").cast("double").alias("val"),
+    )
+    mu = (
+        d.groupBy("pos")
+        .agg(ssum(F.col("val")).alias("s"))
+        .crossJoin(F.broadcast(cnt))
+        .select((F.col("s") / F.col("n").cast("double")).alias("mu"))
+    )
+    mv = mu.agg(
+        F.sqrt(ssum(F.col("mu") * F.col("mu"), scale=1e9)).alias(
+            "mean_vec_norm"
+        )
+    )
+    mn = (
+        emb.select(l2_norm("embedding").alias("nrm"))
+        .agg(ssum(F.col("nrm")).alias("s"))
+        .crossJoin(F.broadcast(cnt))
+        .select((F.col("s") / F.col("n").cast("double")).alias("mean_norm"))
+    )
+    return (
+        cnt.crossJoin(F.broadcast(mn))
+        .crossJoin(F.broadcast(mv))
+        .select(
+            "n",
+            "mean_norm",
+            "mean_vec_norm",
+            (F.col("mean_vec_norm") / F.col("mean_norm")).alias("anisotropy"),
+        )
+    )
