@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from sql_engine_spark.io import load, table_row_count
+from sql_engine_spark.io import load
 from sql_engine_spark.operators.prefix import bucketed_value_rank
 from sql_engine_spark.registry import register
 
