@@ -22,7 +22,13 @@ def test_phash_consumers_scan_shared_relation(spark, sf_dir):
     from sql_engine_spark.queries.round7_multimodal2 import _PHASH_CACHE, phash_shared
 
     phash_shared(spark, sf_dir)  # prime the cache
-    path = _PHASH_CACHE[os.path.abspath(sf_dir)]
+    # Cache keys are (abspath, dataset_fingerprint) since the r9
+    # hardening — match on the path component.
+    path = next(
+        v
+        for k, v in _PHASH_CACHE.items()
+        if (k[0] if isinstance(k, tuple) else k) == os.path.abspath(sf_dir)
+    )
     for name in (
         "multimodal_phash_dct",
         "multimodal_phash_near_dup",
