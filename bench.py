@@ -477,6 +477,9 @@ EXTENSION_R9B = [
     "order_nulls_placement",
     "streaming_ewma_control_chart",
     "emb_anisotropy_profile",
+    "agg_median_polish",
+    "events_forecast_ensemble_backtest",
+    "events_did_placebo_pretrends",
 ]
 
 
