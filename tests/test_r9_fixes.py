@@ -168,9 +168,16 @@ def test_table_row_count_matches_footer_and_caches(spark):
     from sql_engine_spark.io import _COUNT_CACHE, count_cached, table_row_count
 
     n = table_row_count(SF_DIR, "embeddings")
-    truth = duckdb.sql(
-        f"SELECT COUNT(*) FROM '{SF_DIR}/embeddings.parquet'"
-    ).fetchone()[0]
+    # Explicit short-lived connection: the module-global default
+    # connection accumulates state across a 1,000-test suite and has
+    # been observed failing order-dependently.
+    con = duckdb.connect()
+    try:
+        truth = con.execute(
+            f"SELECT COUNT(*) FROM '{SF_DIR}/embeddings.parquet'"
+        ).fetchone()[0]
+    finally:
+        con.close()
     assert n == truth
 
     calls = []
@@ -237,16 +244,18 @@ def test_fleet_view_converges_to_batch(spark):
 
     daily = fleet_view(spark, SF_DIR, "seasonal_counts").read(spark)
     got = {(r.d, r.c) for r in daily.collect()}
-    want = {
-        (int(d), int(c))
-        for d, c in duckdb.sql(
+    con = duckdb.connect()
+    try:
+        rows = con.execute(
             f"""
             SELECT CAST(epoch(CAST(ts AS DATE)) // 86400 AS BIGINT) AS d,
                    COUNT(*) AS c
             FROM '{SF_DIR}/events.parquet' GROUP BY 1
             """
         ).fetchall()
-    }
+    finally:
+        con.close()
+    want = {(int(d), int(c)) for d, c in rows}
     assert got == want
 
 
