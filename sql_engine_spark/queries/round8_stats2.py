@@ -367,7 +367,7 @@ def agg_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_mcnemar",
-    oracle="""
+    oracle=r"""
         WITH toks AS (
             SELECT doc_id,
                    (lang = 'en') AS truth,

@@ -181,7 +181,7 @@ _TR_TOPK = 20
 
 @register(
     "text_textrank_keywords",
-    oracle=f"""
+    oracle=rf"""
         WITH pos AS (
             SELECT doc_id, tok, CAST(p AS BIGINT) AS p
             FROM (

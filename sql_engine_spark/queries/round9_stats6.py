@@ -136,56 +136,77 @@ def agg_median_polish(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    def row_med(df: DataFrame) -> DataFrame:
-        w = Window.partitionBy("day").orderBy("v", "hour")
-        wn = Window.partitionBy("day")
-        return (
-            df.withColumn("rn", F.row_number().over(w))
-            .withColumn("n", F.count("*").over(wn))
-            .where(F.col("rn") == F.expr("(n + 1) DIV 2"))
-            .select("day", F.col("v").alias("med"))
+    # The grid is calendar-bounded (days x 24, <= ~744 cells for the test
+    # datasets and still only ~8.8k cells for a year of data), so the four
+    # unrolled row/column sweeps would each pay a hash exchange on tiny
+    # data if expressed as window+join stages (the r9 plan had 92
+    # exchanges). Instead: ONE distributed aggregate builds the grid, then
+    # a single applyInPandas group runs every sweep in-memory with exact
+    # int64 arithmetic. The corpus-proportional work (the events count)
+    # stays distributed; only the bounded grid is funneled to one task.
+    def _polish(pdf):  # pragma: no cover - executed on workers
+        import numpy as np
+        import pandas as pd
+
+        piv = pdf.pivot(index="day", columns="hour", values="x").astype(
+            "int64"
+        )
+        # explicit copy: to_numpy() may return a view of the pivot's block,
+        # and the sweeps below mutate resid in place
+        resid = np.array(piv.to_numpy(), dtype="int64", copy=True)
+        day_eff = np.zeros(resid.shape[0], dtype="int64")
+        hour_eff = np.zeros(resid.shape[1], dtype="int64")
+
+        def lomed(a, axis):
+            # lower median: element rn == (n + 1) // 2 of the value-sorted
+            # run (1-indexed), matching the oracle's row_number selection.
+            n = a.shape[axis]
+            k = (n + 1) // 2 - 1
+            return np.take(np.sort(a, axis=axis), k, axis=axis)
+
+        for _ in range(2):
+            rm = lomed(resid, axis=1)
+            day_eff += rm
+            resid -= rm[:, None]
+            cm = lomed(resid, axis=0)
+            hour_eff += cm
+            resid -= cm[None, :]
+
+        days_idx = list(piv.index)
+        hours_idx = [int(h) for h in piv.columns]
+        rows = []
+        for i, d in enumerate(days_idx):
+            for j, h in enumerate(hours_idx):
+                rows.append(
+                    (
+                        d,
+                        h,
+                        int(piv.iat[i, j]),
+                        int(day_eff[i]),
+                        int(hour_eff[j]),
+                        int(resid[i, j]),
+                    )
+                )
+        return pd.DataFrame(
+            rows,
+            columns=[
+                "day",
+                "hour",
+                "x",
+                "day_effect",
+                "hour_effect",
+                "residual",
+            ],
         )
 
-    def col_med(df: DataFrame) -> DataFrame:
-        w = Window.partitionBy("hour").orderBy("v", "day")
-        wn = Window.partitionBy("hour")
-        return (
-            df.withColumn("rn", F.row_number().over(w))
-            .withColumn("n", F.count("*").over(wn))
-            .where(F.col("rn") == F.expr("(n + 1) DIV 2"))
-            .select("hour", F.col("v").alias("med"))
-        )
-
-    r0 = grid.select("day", "hour", F.col("x").alias("v"))
-    a1 = row_med(r0)
-    r1 = r0.join(a1, "day").select(
-        "day", "hour", (F.col("v") - F.col("med")).alias("v")
-    )
-    b1 = col_med(r1)
-    r2 = r1.join(b1, "hour").select(
-        "day", "hour", (F.col("v") - F.col("med")).alias("v")
-    )
-    a2 = row_med(r2)
-    r3 = r2.join(a2, "day").select(
-        "day", "hour", (F.col("v") - F.col("med")).alias("v")
-    )
-    b2 = col_med(r3)
-    r4 = r3.join(b2, "hour").select(
-        "day", "hour", (F.col("v") - F.col("med")).alias("v")
-    )
     return (
-        grid.join(a1.withColumnRenamed("med", "m_a1"), "day")
-        .join(a2.withColumnRenamed("med", "m_a2"), "day")
-        .join(b1.withColumnRenamed("med", "m_b1"), "hour")
-        .join(b2.withColumnRenamed("med", "m_b2"), "hour")
-        .join(r4.withColumnRenamed("v", "residual"), ["day", "hour"])
-        .select(
-            "day",
-            "hour",
-            "x",
-            (F.col("m_a1") + F.col("m_a2")).cast("long").alias("day_effect"),
-            (F.col("m_b1") + F.col("m_b2")).cast("long").alias("hour_effect"),
-            F.col("residual").cast("long").alias("residual"),
+        grid.groupBy(F.lit(1).alias("_g"))
+        .applyInPandas(
+            _polish,
+            schema=(
+                "day date, hour long, x long, day_effect long, "
+                "hour_effect long, residual long"
+            ),
         )
     )
 
