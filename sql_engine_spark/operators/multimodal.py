@@ -4,11 +4,14 @@ Images/audio/video travel as `binary` columns with a metadata struct; the
 compute pattern is Arrow-batched `mapInPandas` so decode libraries see
 whole batches, never per-row Python. Codec libraries are FEATURE-DETECTED
 at import (HAS_PIL / HAS_SOUNDFILE): when present, `use_fake=False` runs
-the real PIL/soundfile kernels; when absent (this container) the
-deterministic md5-based fakes run instead, so the DuckDB-checked oracles
-stay reproducible in every environment while the Spark-side plumbing
-(schema, batching, partition flow, UDF signatures) is identical and
-tested on both paths.
+the real PIL/soundfile kernels; when absent, pure-stdlib fallbacks cover
+uncompressed 24-bit BMP (struct parse, PIL-identical integer luma) and
+PCM WAV (`wave` module, soundfile-identical normalization), so the REAL
+legs are exercised in codec-free containers; other formats raise a clear
+install hint. The deterministic md5-based fakes (`use_fake=True`, the
+default) back the DuckDB-checked oracles so they stay reproducible in
+every environment while the Spark-side plumbing (schema, batching,
+partition flow, UDF signatures) is identical on all paths.
 
 At scale: binary payloads dominate partition size — repartition so
 `rows_per_partition * avg_payload <= spark.sql.files.maxPartitionBytes`,
@@ -51,20 +54,61 @@ except ImportError:
     HAS_SOUNDFILE = False
 
 
+def _decode_bmp_stdlib(payload: bytes) -> tuple[int, int, int, list[int]]:
+    """Pure-stdlib decode of an uncompressed 24-bit BMP: (width, height,
+    channels, 256-bin luma histogram). The luma formula is PIL's exact
+    integer ITU-R 601-2 kernel ((19595R + 38470G + 7471B + 0x8000) >> 16),
+    so the histogram is bit-identical to Pillow's convert("L") — the
+    stdlib fallback and the PIL path agree wherever both can decode."""
+    import struct
+
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size = struct.unpack_from("<I", payload, 14)[0]
+    if hdr_size < 40:
+        raise ValueError("unsupported BMP header")
+    width, height_raw = struct.unpack_from("<ii", payload, 18)
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or compression != 0 or width <= 0:
+        raise ValueError("stdlib BMP fallback handles uncompressed 24-bit only")
+    height = abs(height_raw)
+    row_bytes = (width * 3 + 3) & ~3
+    hist = [0] * 256
+    for r in range(height):
+        base = data_off + r * row_bytes
+        row = payload[base : base + width * 3]
+        if len(row) < width * 3:
+            raise ValueError("truncated BMP pixel data")
+        for c in range(width):
+            b, g, rch = row[c * 3], row[c * 3 + 1], row[c * 3 + 2]
+            luma = (19595 * rch + 38470 * g + 7471 * b + 0x8000) >> 16
+            hist[luma] += 1
+    return width, height, 3, hist
+
+
 def _decode_image_real(payload: bytes) -> tuple[int, int, int, list[float]]:
-    """PIL decode: dimensions, channel count, and an 8-bin grayscale
-    histogram (normalized) as the feature vector. Requires Pillow
-    (feature-detected at import; HAS_PIL)."""
-    if not HAS_PIL:
-        raise NotImplementedError(
-            "image codecs not installed in this container (pip install Pillow)"
-        )
+    """Real image decode: dimensions, channel count, and an 8-bin
+    grayscale histogram (normalized) as the feature vector. Uses Pillow
+    when present (HAS_PIL); without Pillow, a pure-stdlib 24-bit BMP
+    parser covers that format (bit-identical luma histogram), so the
+    real leg is exercised in codec-free containers too."""
     import io
 
-    with _PILImage.open(io.BytesIO(payload)) as img:
-        width, height = img.size
-        channels = len(img.getbands())
-        hist = img.convert("L").histogram()  # 256 bins
+    if HAS_PIL:
+        with _PILImage.open(io.BytesIO(payload)) as img:
+            width, height = img.size
+            channels = len(img.getbands())
+            hist = img.convert("L").histogram()  # 256 bins
+    else:
+        try:
+            width, height, channels, hist = _decode_bmp_stdlib(payload)
+        except ValueError as exc:
+            raise NotImplementedError(
+                "image codecs not installed in this container "
+                f"(pip install Pillow); stdlib fallback: {exc}"
+            ) from exc
     total = float(sum(hist)) or 1.0
     features = [
         round(sum(hist[b * 32 : (b + 1) * 32]) / total, 6) for b in range(8)
@@ -174,19 +218,70 @@ def resize_images(
 AUDIO_SCHEMA = "doc_id long, n_samples long, duration_s double, mfcc array<float>"
 
 
+def _decode_wav_stdlib(payload: bytes):
+    """Pure-stdlib PCM WAV decode via the `wave` module: returns
+    (float64 mono samples, sample_rate). Normalization matches
+    soundfile's defaults exactly (int16/32768, int32/2^31, uint8
+    offset-binary, int24/2^23), so the fallback and the soundfile path
+    agree bit-for-bit on PCM WAV."""
+    import io
+    import wave
+
+    import numpy as np
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        nch = w.getnchannels()
+        sw = w.getsampwidth()
+        sr = w.getframerate()
+        raw = w.readframes(w.getnframes())
+    if sw == 1:
+        data = (
+            np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0
+        ) / 128.0
+    elif sw == 2:
+        data = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    elif sw == 3:
+        b = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 3)
+        ints = (
+            b[:, 0].astype(np.int32)
+            | (b[:, 1].astype(np.int32) << 8)
+            | (b[:, 2].astype(np.int32) << 16)
+        )
+        ints = np.where(ints >= 1 << 23, ints - (1 << 24), ints)
+        data = ints.astype(np.float64) / float(1 << 23)
+    elif sw == 4:
+        data = np.frombuffer(raw, dtype="<i4").astype(np.float64) / float(
+            1 << 31
+        )
+    else:
+        raise ValueError(f"unsupported PCM sample width {sw}")
+    if nch > 1:
+        data = data.reshape(-1, nch)
+    return data, sr
+
+
 def _decode_audio_real(
     payload: bytes, sample_rate: int
 ) -> tuple[int, float, list[float]]:
-    """soundfile decode: true sample count/duration and 4 coarse band
+    """Real audio decode: true sample count/duration and 4 coarse band
     energies (mean |amplitude| over 4 equal time slices) as the feature
-    vector. Requires soundfile (feature-detected at import)."""
-    if not HAS_SOUNDFILE:
-        raise NotImplementedError(
-            "audio codecs not installed in this container (pip install soundfile)"
-        )
+    vector. Uses soundfile when present (HAS_SOUNDFILE); without it, a
+    pure-stdlib `wave` parser covers PCM WAV with identical
+    normalization, so the real leg runs in codec-free containers."""
     import io
 
-    data, sr = _soundfile.read(io.BytesIO(payload))
+    if HAS_SOUNDFILE:
+        data, sr = _soundfile.read(io.BytesIO(payload))
+    else:
+        import wave as _wave
+
+        try:
+            data, sr = _decode_wav_stdlib(payload)
+        except (_wave.Error, EOFError, ValueError) as exc:
+            raise NotImplementedError(
+                "audio codecs not installed in this container "
+                f"(pip install soundfile); stdlib WAV fallback: {exc}"
+            ) from exc
     if getattr(data, "ndim", 1) > 1:
         data = data.mean(axis=1)
     n = len(data)

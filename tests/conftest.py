@@ -16,9 +16,10 @@ def pytest_configure(config):
     config.addinivalue_line("markers", "streaming: streaming behavior tests")
     config.addinivalue_line(
         "markers",
-        "realcodec: real image/audio codec kernels — runs where Pillow/"
-        "soundfile are installed (pip install pillow soundfile; then "
-        "`pytest -m realcodec`), importorskip-skips elsewhere",
+        "realcodec: real (non-fake) image/audio decode kernels — run "
+        "everywhere via the stdlib BMP/WAV fallbacks; where Pillow/"
+        "soundfile are installed the same tests exercise those libraries "
+        "instead (identical kernels by construction)",
     )
 
 

@@ -1,6 +1,8 @@
-"""Multimodal plumbing: the decode/resize/audio/frame kernels are stubbed
-(codecs absent in this container) but the Spark-side shape — schemas,
-Arrow batching, column pruning to (id, payload) — is real and pinned."""
+"""Multimodal plumbing: schemas, Arrow batching, column pruning to
+(id, payload) — plus the REAL decode legs, which run in this container
+through stdlib 24-bit-BMP and PCM-WAV fallbacks (Pillow/soundfile are
+used instead when installed; the kernels are bit-identical for those
+formats by construction, so both environments assert the same values)."""
 
 from __future__ import annotations
 
@@ -75,39 +77,82 @@ def test_real_codec_feature_detection():
             mm._decode_audio_real(b"RIFF", 16000)
 
 
+def _bmp24(width: int, height: int, pixel_fn) -> bytes:
+    """Stdlib-built uncompressed 24-bit BMP (bottom-up rows, 4-byte row
+    padding). pixel_fn(x, y) -> (r, g, b) with y=0 the TOP row."""
+    import struct
+
+    row_pad = (-(width * 3)) % 4
+    rows = []
+    for yy in range(height - 1, -1, -1):  # file stores bottom-up
+        row = bytearray()
+        for xx in range(width):
+            r, g, b = pixel_fn(xx, yy)
+            row += bytes([b, g, r])
+        row += b"\x00" * row_pad
+        rows.append(bytes(row))
+    data = b"".join(rows)
+    off = 14 + 40
+    hdr = b"BM" + struct.pack("<IHHI", off + len(data), 0, 0, off)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(data), 2835, 2835, 0, 0
+    )
+    return hdr + info + data
+
+
 @pytest.mark.realcodec
-def test_real_image_decode_when_pil_present(spark, sf_dir):
-    """Runs only where Pillow is installed: the real path must produce
-    true dimensions through the same Arrow plumbing."""
-    pytest.importorskip("PIL")
-    import io
-
-    from PIL import Image
-
+def test_real_image_decode_bmp(spark):
+    """The REAL image leg runs in this container via the stdlib 24-bit
+    BMP fallback (Pillow used instead when installed — same results:
+    identical integer luma kernel). Solid RGB(200,100,50) has luma
+    (19595*200 + 38470*100 + 7471*50 + 0x8000) >> 16 = 124 -> bin 3."""
     from sql_engine_spark.operators.multimodal import decode_images
 
-    buf = io.BytesIO()
-    Image.new("RGB", (20, 10)).save(buf, format="PNG")
-    df = spark.createDataFrame([(1, bytearray(buf.getvalue()))], "doc_id long, payload binary")
-    row = decode_images(df, id_col="doc_id", binary_col="payload", use_fake=False).first()
+    payload = _bmp24(20, 10, lambda x, y: (200, 100, 50))
+    df = spark.createDataFrame(
+        [(1, bytearray(payload))], "doc_id long, payload binary"
+    )
+    row = decode_images(
+        df, id_col="doc_id", binary_col="payload", use_fake=False
+    ).first()
     assert (row.width, row.height, row.channels) == (20, 10, 3)
     assert len(row.features) == 8 and abs(sum(row.features) - 1.0) < 1e-3
+    assert row.features[3] == pytest.approx(1.0)
 
 
 @pytest.mark.realcodec
-def test_real_audio_decode_when_soundfile_present(spark):
-    """Runs only where soundfile is installed: a stdlib-built PCM WAV
-    fixture (no codec needed to WRITE it) must come back with its true
-    sample count and duration through the same mapInPandas plumbing."""
-    pytest.importorskip("soundfile")
+def test_real_image_decode_bmp_gradient_histogram(spark):
+    """Gradient BMP: the decoded 8-bin histogram must equal an
+    independent per-pixel recompute with PIL's integer luma formula."""
+    from sql_engine_spark.operators.multimodal import decode_images
+
+    def px(x, y):
+        return ((x * 13) % 256, (y * 29) % 256, ((x + y) * 7) % 256)
+
+    w, h = 33, 17  # odd width exercises row padding
+    payload = _bmp24(w, h, px)
+    bins = [0] * 8
+    for yy in range(h):
+        for xx in range(w):
+            r, g, b = px(xx, yy)
+            luma = (19595 * r + 38470 * g + 7471 * b + 0x8000) >> 16
+            bins[luma // 32] += 1
+    expected = [round(c / (w * h), 6) for c in bins]
+    df = spark.createDataFrame(
+        [(1, bytearray(payload))], "doc_id long, payload binary"
+    )
+    row = decode_images(
+        df, id_col="doc_id", binary_col="payload", use_fake=False
+    ).first()
+    assert list(row.features) == pytest.approx(expected, abs=2e-6)
+
+
+def _wav_pcm16(sr: int, n: int) -> bytes:
     import io
     import math
     import struct
     import wave
 
-    from sql_engine_spark.operators.multimodal import extract_audio_features
-
-    sr, n = 16_000, 800  # 50 ms of a 440 Hz tone
     buf = io.BytesIO()
     with wave.open(buf, "wb") as w:
         w.setnchannels(1)
@@ -121,8 +166,23 @@ def test_real_audio_decode_when_soundfile_present(spark):
                 for i in range(n)
             )
         )
+    return buf.getvalue()
+
+
+@pytest.mark.realcodec
+def test_real_audio_decode_wav(spark):
+    """The REAL audio leg runs in this container via the stdlib `wave`
+    PCM fallback (soundfile used instead when installed — identical
+    int16/32768 normalization): a stdlib-built PCM WAV comes back with
+    its true sample count, duration, and band energies through the same
+    mapInPandas plumbing."""
+    import math
+
+    from sql_engine_spark.operators.multimodal import extract_audio_features
+
+    sr, n = 16_000, 800  # 50 ms of a 440 Hz tone
     df = spark.createDataFrame(
-        [(1, bytearray(buf.getvalue()))], "doc_id long, payload binary"
+        [(1, bytearray(_wav_pcm16(sr, n)))], "doc_id long, payload binary"
     )
     row = extract_audio_features(
         df, id_col="doc_id", binary_col="payload", sample_rate=sr, use_fake=False
@@ -130,6 +190,17 @@ def test_real_audio_decode_when_soundfile_present(spark):
     assert row.n_samples == n
     assert abs(row.duration_s - n / sr) < 1e-9
     assert len(row.mfcc) == 4
+    # independent recompute of the 4 band energies
+    samples = [
+        int(20000 * math.sin(2 * math.pi * 440 * i / sr)) / 32768.0
+        for i in range(n)
+    ]
+    q = n // 4
+    exp = [
+        round(sum(abs(s) for s in samples[j * q : (j + 1) * q]) / q, 6)
+        for j in range(4)
+    ]
+    assert list(row.mfcc) == pytest.approx(exp, abs=2e-6)
 
 
 def test_frame_dedup_collapses_planted_duplicate_payloads(spark):
