@@ -2,7 +2,17 @@
 """Fast iteration loop: run the oracle gate over all registered queries.
 
 Usage: python scripts/check_oracle.py [--json OUT.json] [--changed [REF]]
-                                      [sf_dir] [query ...]
+                                      [--workers N] [sf_dir] [query ...]
+
+With --workers N, the registry is sharded across N subprocesses (each
+its own SparkSession + DuckDB connection; cores split evenly via
+SPARK_GRAFT_CPUS) and the per-shard JSON results are merged into one
+artifact identical in shape to a serial run. Shards group queries by
+name family (agg_*, retrieval_*, graph_*, ...) greedy-balanced by
+count, so per-process shared builds (postings index, kNN graph,
+triangle relation) are built once per family, not once per worker.
+This is the per-round seal fast path (r9 verdict #5: the serial
+two-sf seal had grown to ~35 min).
 
 With --json, writes the full per-query result map (ok flag, row counts,
 problems) as one JSON artifact — the committed per-round evidence that
@@ -74,12 +84,114 @@ def changed_query_names(ref: str) -> list[str]:
     return sorted(names)
 
 
+def shard_by_family(names: list[str], workers: int) -> list[list[str]]:
+    """Greedy-balanced shards keeping each name family (prefix before the
+    first underscore) on one worker, so per-process shared builds are
+    reused within the shard instead of rebuilt N times."""
+    fams: dict[str, list[str]] = {}
+    for n in names:
+        fams.setdefault(n.split("_", 1)[0], []).append(n)
+    shards: list[list[str]] = [[] for _ in range(workers)]
+    for _, ns in sorted(fams.items(), key=lambda kv: (-len(kv[1]), kv[0])):
+        min(shards, key=len).extend(ns)
+    return [sorted(s) for s in shards if s]
+
+
+def run_sharded(
+    sf_dir: str, names: list[str], workers: int, json_out: str | None
+) -> int:
+    import tempfile
+
+    here = os.path.abspath(__file__)
+    shards = shard_by_family(names, workers)
+    cpus_total = os.cpu_count() or 8
+    cpus_each = max(2, cpus_total // max(1, len(shards)))
+    t0 = time.time()
+    procs = []
+    for i, shard in enumerate(shards):
+        tf = tempfile.NamedTemporaryFile(
+            suffix=f".shard{i}.json", delete=False
+        )
+        tf.close()
+        env = dict(
+            os.environ,
+            SPARK_GRAFT_CPUS=str(cpus_each),
+            SPARK_GRAFT_SHUFFLE_PARTITIONS=str(max(8, cpus_each)),
+        )
+        p = subprocess.Popen(
+            [sys.executable, here, "--json", tf.name, sf_dir, *shard],
+            env=env,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            text=True,
+        )
+        procs.append((p, tf.name, shard))
+    merged: dict[str, dict] = {}
+    hard_fail = False
+    for p, path, shard in procs:
+        out, err = p.communicate()
+        try:
+            with open(path) as fh:
+                payload = json.load(fh)
+            merged.update(payload["queries"])
+        except (OSError, ValueError, KeyError):
+            hard_fail = True
+            for n in shard:
+                merged.setdefault(
+                    n,
+                    {
+                        "ok": False,
+                        "spark_rows": 0,
+                        "oracle_rows": 0,
+                        "problems": [
+                            f"shard crashed rc={p.returncode}: {err[-300:]}"
+                        ],
+                    },
+                )
+        finally:
+            try:
+                os.unlink(path)
+            except OSError:
+                pass
+    elapsed = time.time() - t0
+    bad = sum(1 for v in merged.values() if not v["ok"])
+    for name in sorted(merged):
+        r = merged[name]
+        status = "OK  " if r["ok"] else "FAIL"
+        extra = f" ({r['spark_rows']} rows)" if r["ok"] else ""
+        print(f"{status} {name}{extra}")
+        if not r["ok"]:
+            for pr in r["problems"]:
+                print(f"     {pr[:500]}")
+    print(
+        f"== {len(merged) - bad}/{len(merged)} passed in {elapsed:.1f}s "
+        f"at {sf_dir} ({len(shards)} workers x local[{cpus_each}])"
+    )
+    if json_out:
+        payload = {
+            "sf_dir": sf_dir,
+            "elapsed_sec": round(elapsed, 1),
+            "workers": len(shards),
+            "passed": len(merged) - bad,
+            "total": len(merged),
+            "queries": merged,
+        }
+        with open(json_out, "w") as fh:
+            json.dump(payload, fh, indent=1, sort_keys=True)
+        print(f"wrote {json_out}")
+    return 1 if (bad or hard_fail) else 0
+
+
 def main() -> int:
     args = sys.argv[1:]
     json_out = None
     changed_ref = None
+    workers = 0
     if args and args[0] == "--json":
         json_out = args[1]
+        args = args[2:]
+    if args and args[0] == "--workers":
+        workers = int(args[1])
         args = args[2:]
     if args and args[0] == "--changed":
         args = args[1:]
@@ -101,6 +213,12 @@ def main() -> int:
             print(f"no registered query modules changed vs {changed_ref}")
             return 0
         print(f"{len(names)} queries from modules changed vs {changed_ref}")
+    if workers > 1:
+        if names is None:
+            from sql_engine_spark.registry import all_queries
+
+            names = sorted(all_queries())
+        return run_sharded(sf_dir, names, workers, json_out)
     spark = get_spark("oracle-check")
     spark.sparkContext.setLogLevel("ERROR")
     t0 = time.time()
