@@ -30,6 +30,11 @@ from pyspark.sql import functions as F
 from sql_engine_spark.functions.numeric import DEC
 
 DAMPING = 0.85
+# PageRank contribution-rounding scale (see pagerank_fixed): 1e12 keeps
+# ~8 significant digits on 1e-4-magnitude contributions while round()
+# stays exact in shared IEEE double arithmetic (values < 2^53).
+_PR_SCALE = 1_000_000_000_000.0
+_PR_SCALE_SQL = "1000000000000.0"
 
 
 def pagerank_fixed(
@@ -79,8 +84,25 @@ def pagerank_fixed(
             .join(deg, "__src")
             .select("__dst", (F.col("__r") / F.col("__deg")).alias("__c"))
         )
+        # ssum discipline, fine scale: contributions are ~1/(N*deg)
+        # (1e-4 and below), so rounding them on the DECIMAL(27,6) grid
+        # keeps only ~2 significant digits AND delegates the rounding to
+        # each engine's double->decimal converter (Spark shortest-repr,
+        # DuckDB exact expansion — they disagree at .5 boundaries;
+        # observed 8.5e-7 rank divergence on the gen_sf.py clone, r10).
+        # round(c * 1e12) in shared IEEE double arithmetic, exact
+        # integer sum, one scale-back division: bit-identical per round
+        # in both engines, which makes the whole iteration bit-identical
+        # by induction.
         sums = contrib.groupBy("__dst").agg(
-            F.sum(F.col("__c").cast(DEC)).cast("double").alias("__in")
+            (
+                F.sum(
+                    F.round(F.col("__c") * F.lit(_PR_SCALE)).cast(
+                        "decimal(38,0)"
+                    )
+                ).cast("double")
+                / F.lit(_PR_SCALE)
+            ).alias("__in")
         )
         ranks = (
             base.join(sums, base["__node"] == sums["__dst"], "left")
@@ -118,7 +140,9 @@ def sql_pagerank_fixed(
                    b.N AS N
             FROM pr_base b LEFT JOIN (
                 SELECT e.dst AS node,
-                       CAST(SUM(CAST(p.r / d.deg AS DECIMAL(27,6))) AS DOUBLE) AS inm
+                       CAST(SUM(CAST(round((p.r / d.deg) * {_PR_SCALE_SQL})
+                           AS DECIMAL(38,0))) AS DOUBLE) / {_PR_SCALE_SQL}
+                           AS inm
                 FROM pr_edges e
                 JOIN {prev} p ON p.node = e.src
                 JOIN pr_deg d ON d.src = e.src

@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from sql_engine_spark.functions.numeric import dsum, sql_dsum
 from sql_engine_spark.io import load
+from sql_engine_spark.queries.extras import _exact_double
 from sql_engine_spark.operators.dedup import (
     _persist,
     minhash_signature,
@@ -215,6 +216,13 @@ def ann_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "events_cohort_ltv",
+    # NOTE day_value stays DECIMAL through the running-total window and
+    # converts to double ONCE via the split cast (_exact_double): a
+    # per-cell CAST AS DOUBLE before the window makes the cumulative sum
+    # a float reduction, and DuckDB's windowed SUM over doubles is a
+    # segment tree (different addition order than Spark's sequential
+    # running frame) — observed 6e-12 divergence on the gen_sf.py sf0.1
+    # clone (r10), invisible on the driver data by luck.
     oracle=f"""
         WITH firsts AS (
             SELECT user_id, CAST(MIN(ts) AS DATE) AS cohort_day
@@ -224,20 +232,25 @@ def ann_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT f.cohort_day,
                    date_diff('day', f.cohort_day, CAST(e.ts AS DATE))
                        AS age_days,
-                   {sql_dsum('e.value')} AS day_value
+                   SUM(CAST(e.value AS DECIMAL(27,6))) AS day_value
             FROM events e JOIN firsts f ON e.user_id = f.user_id
             GROUP BY 1, 2
         ),
         sizes AS (
             SELECT cohort_day, CAST(COUNT(*) AS BIGINT) AS cohort_users
             FROM firsts GROUP BY cohort_day
+        ),
+        cum AS (
+            SELECT c.cohort_day, c.age_days, s.cohort_users,
+                   SUM(c.day_value) OVER (
+                       PARTITION BY c.cohort_day ORDER BY c.age_days
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS cum_dec
+            FROM cells c JOIN sizes s ON c.cohort_day = s.cohort_day
         )
-        SELECT c.cohort_day, c.age_days, s.cohort_users,
-               CAST(SUM(c.day_value) OVER (
-                   PARTITION BY c.cohort_day ORDER BY c.age_days
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-               ) AS DOUBLE) AS cum_value
-        FROM cells c JOIN sizes s ON c.cohort_day = s.cohort_day
+        SELECT cohort_day, age_days, cohort_users,
+               {_exact_double('cum_dec')} AS cum_value
+        FROM cum
     """,
     doc="Cohort lifetime-value curve: users grouped by first-seen day, "
     "cumulative event value by cohort age — the LTV table under every "
@@ -262,7 +275,9 @@ def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "age_days"
             ),
         )
-        .agg(dsum(F.col("value")).alias("day_value"))
+        .agg(
+            F.sum(F.col("value").cast("decimal(27,6)")).alias("day_value")
+        )
     )
     sizes = firsts.groupBy("cohort_day").agg(
         F.count("*").cast("long").alias("cohort_users")
@@ -272,13 +287,21 @@ def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("age_days")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # day_value stays DECIMAL through the window (exact running total,
+    # matching the oracle's split-cast finish) — see the register() note.
     return (
         cells.join(sizes, "cohort_day")
+        .withColumn("cum_dec", F.sum("day_value").over(w))
         .select(
             "cohort_day",
             "age_days",
             "cohort_users",
-            F.sum("day_value").over(w).cast("double").alias("cum_value"),
+            (
+                (F.col("cum_dec") - (F.col("cum_dec") % 1))
+                .cast("decimal(27,0)")
+                .cast("double")
+                + (F.col("cum_dec") % 1).cast("double")
+            ).alias("cum_value"),
         )
     )
 
