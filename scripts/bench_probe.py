@@ -31,12 +31,16 @@ sys.path.insert(0, {root!r})
 from sql_engine_spark.registry import all_queries
 from sql_engine_spark.session import get_spark
 
-name, sf_dir = {name!r}, {sf_dir!r}
+name, sf_dir, passes = {name!r}, {sf_dir!r}, {passes}
 spark = get_spark()
 q = all_queries()[name]
-t0 = time.time()
-q.build(spark, sf_dir).write.mode("overwrite").format("noop").save()
-print("PROBE_OK %.3f" % (time.time() - t0), flush=True)
+walls = []
+for _ in range(passes):
+    spark.catalog.clearCache()
+    t0 = time.time()
+    q.build(spark, sf_dir).write.mode("overwrite").format("noop").save()
+    walls.append(round(time.time() - t0, 3))
+print("PROBE_OK " + " ".join(str(w) for w in walls), flush=True)
 """
 
 
@@ -44,8 +48,21 @@ def free_gb(path: str = "/") -> float:
     return shutil.disk_usage(path).free / 1e9
 
 
-def probe(name: str, sf_dir: str, timeout: float, min_free: float) -> dict:
-    code = _CHILD.format(root=HERE, name=name, sf_dir=sf_dir)
+def _sweep_spark_tmp() -> None:
+    """Remove leaked Spark scratch dirs after a SIGKILLed child (the JVM
+    never runs its shutdown hooks, so blockmgr-*/spark-* spill dirs
+    survive and would trip the disk guard for every later query)."""
+    import glob
+
+    for pat in ("/tmp/blockmgr-*", "/tmp/spark-*"):
+        for p in glob.glob(pat):
+            shutil.rmtree(p, ignore_errors=True)
+
+
+def probe(
+    name: str, sf_dir: str, timeout: float, min_free: float, passes: int = 1
+) -> dict:
+    code = _CHILD.format(root=HERE, name=name, sf_dir=sf_dir, passes=passes)
     t0 = time.time()
     child = subprocess.Popen(
         [sys.executable, "-c", code],
@@ -61,28 +78,37 @@ def probe(name: str, sf_dir: str, timeout: float, min_free: float) -> dict:
         if time.time() - t0 > timeout:
             child.kill()
             child.wait()
+            _sweep_spark_tmp()
             return {"status": "timeout", "wall": round(time.time() - t0, 1)}
         if free_gb() < min_free:
+            at_kill = round(free_gb(), 1)
             child.kill()
             child.wait()
+            _sweep_spark_tmp()
             return {
                 "status": "disk_blowup",
                 "wall": round(time.time() - t0, 1),
-                "free_gb_at_kill": round(free_gb(), 1),
+                "free_gb_at_kill": at_kill,
             }
         time.sleep(2.0)
     out = child.stdout.read() if child.stdout else ""
+    walls: list[float] = []
     for line in out.splitlines():
         if line.startswith("PROBE_OK "):
-            status, wall = "ok", float(line.split()[1])
+            status = "ok"
+            walls = [float(w) for w in line.split()[1:]]
+            wall = min(walls)
     if status != "ok":
         status = f"exit_{child.returncode}"
-    return {"status": status, "wall": wall}
+    r = {"status": status, "wall": wall}
+    if len(walls) > 1:
+        r["walls"] = walls
+    return r
 
 
 def main() -> int:
     args = [a for a in sys.argv[1:]]
-    timeout, min_free = 420.0, 15.0
+    timeout, min_free, passes = 420.0, 15.0, 1
     if "--timeout" in args:
         i = args.index("--timeout")
         timeout = float(args[i + 1])
@@ -91,11 +117,15 @@ def main() -> int:
         i = args.index("--min-free-gb")
         min_free = float(args[i + 1])
         del args[i : i + 2]
+    if "--passes" in args:
+        i = args.index("--passes")
+        passes = int(args[i + 1])
+        del args[i : i + 2]
     sf_dir, out_path, names = args[0], args[1], args[2:]
     results: dict[str, dict] = {}
     for name in names:
         print(f"== {name} ...", flush=True)
-        r = probe(name, sf_dir, timeout, min_free)
+        r = probe(name, sf_dir, timeout, min_free, passes)
         results[name] = r
         print(f"   {r}", flush=True)
         with open(out_path, "w") as f:

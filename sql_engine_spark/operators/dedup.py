@@ -1020,17 +1020,40 @@ def prefix_filter_pairs_from_hs(
     # The LENGTH filter (Arasu et al.): J(x,y) >= t forces
     # t*|x| <= |y| <= |x|/t, so size-incompatible prefix collisions are
     # dropped inside the join, before the distinct.
+    #
+    # The POSITIONAL filter (PPJoin, Xiao et al. WWW 2008) prunes the
+    # rest: a collision at 1-based prefix positions (pa, pb) can carry
+    # at most 1 + min(|x|-pa, |y|-pb) common elements (both lists share
+    # ONE global sort order), while J >= t needs overlap >= ceil(c *
+    # (|x|+|y|)) with c = t/(1+t). Filtering every collision row by
+    # that bound is COMPLETENESS-PRESERVING: for a qualifying pair the
+    # FIRST common prefix element sees all O >= minoverlap common
+    # elements at-or-after its positions, so its row always passes.
+    # This is what keeps the candidate set answer-sized on corpora
+    # with a saturated shingle vocabulary, where the plain prefix
+    # lemma degrades toward quadratic (no shingle is rare — measured
+    # at the r10 sf1 stress seal: sum(df^2) grew 94x for 10x docs and
+    # the unfiltered candidate verify spilled ~70 GB).
+    c_minov = repr(threshold / (1.0 + threshold))
     probes = ordered.select(
-        "__id", "__n", F.explode("__prefix").alias("__h")
-    )
+        "__id", "__n", F.posexplode("__prefix").alias("__p0", "__h")
+    ).select("__id", "__n", (F.col("__p0") + 1).alias("__p"), "__h")
     a, b = probes.alias("a"), probes.alias("b")
+    ubound = F.lit(1) + F.least(
+        F.col("a.__n") - F.col("a.__p"), F.col("b.__n") - F.col("b.__p")
+    )
+    minov = F.ceil(
+        F.lit(float(c_minov))
+        * (F.col("a.__n") + F.col("b.__n")).cast("double")
+    )
     candidates = (
         a.join(
             b,
             (F.col("a.__h") == F.col("b.__h"))
             & (F.col("a.__id") < F.col("b.__id"))
             & (F.col("b.__n") * F.lit(threshold) <= F.col("a.__n"))
-            & (F.col("a.__n") * F.lit(threshold) <= F.col("b.__n")),
+            & (F.col("a.__n") * F.lit(threshold) <= F.col("b.__n"))
+            & (ubound >= minov),
         )
         .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
         .distinct()
@@ -1050,10 +1073,14 @@ def prefix_filter_pairs_from_hs(
 def sql_prefix_filter_pairs(
     *, shingle_k: int = 3, threshold: float = 0.3, source: str = "documents"
 ) -> str:
-    """DuckDB oracle: the identical prefix-filter pipeline."""
+    """DuckDB oracle: the identical prefix-filter pipeline (length +
+    PPJoin positional filters mirrored — they only prune candidates
+    that fail the exact verify, so the answer is unchanged, but the
+    oracle pays the same answer-sized candidate set as the engine)."""
     from sql_engine_spark.operators.textprep import sql_shingles, sql_tokens
 
     toks = sql_tokens("text")
+    c_minov = repr(threshold / (1.0 + threshold))
     return f"""
         WITH docs AS (
             SELECT doc_id AS id,
@@ -1081,13 +1108,19 @@ def sql_prefix_filter_pairs(
             FROM ordered
         ),
         probes AS (
-            SELECT id, hs, len(hs) AS n, unnest(prefix) AS h FROM prefixes
+            SELECT id, len(hs) AS n,
+                   unnest(prefix) AS h,
+                   generate_subscripts(prefix, 1) AS p
+            FROM prefixes
         ),
         candidates AS (
             SELECT DISTINCT a.id AS id_a, b.id AS id_b
             FROM probes a JOIN probes b
               ON a.h = b.h AND a.id < b.id
              AND b.n * {threshold} <= a.n AND a.n * {threshold} <= b.n
+             AND 1 + LEAST(a.n - a.p, b.n - b.p)
+                 >= CEIL(CAST({c_minov} AS DOUBLE)
+                         * CAST(a.n + b.n AS DOUBLE))
         )
         SELECT id_a, id_b,
                len(list_intersect(pa.hs, pb.hs))
