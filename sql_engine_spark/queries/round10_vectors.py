@@ -363,3 +363,65 @@ def emb_residual_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("sse2") / F.col("sse1"))
         .alias("residual_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ann_knn_graph_derived — the kNN graph at the 100 TB operating point
+# ---------------------------------------------------------------------------
+
+
+def _derived_knn_oracle(sf_dir: str) -> str:
+    """Callable oracle (the ann_lsh_topk_derived pattern): the plane
+    count is a pure function of the corpus row count, so the SQL is
+    deterministic per dataset — rendered with the exact count the
+    Spark build derives from."""
+    import duckdb
+
+    from sql_engine_spark.operators.similarity import (
+        derived_planes,
+        sql_knn_graph,
+    )
+
+    n = duckdb.sql(
+        f"SELECT COUNT(*) FROM '{sf_dir}/embeddings.parquet'"
+    ).fetchone()[0]
+    return sql_knn_graph(
+        planes=derived_planes(n), tables=KNN_TABLES, dim=KNN_DIM, k=KNN_K
+    )
+
+
+@register(
+    "ann_knn_graph_derived",
+    oracle=_derived_knn_oracle,
+    doc="Batch kNN graph with the plane count DERIVED from the corpus "
+    "size (planes = ceil(log2(n/1024)), floored/capped — operators/"
+    "similarity.derived_planes) instead of the graph family's pinned "
+    "4: the 100 TB operating point, where expected bucket volume "
+    "stays ~1024 rows as corpora grow and the build stays ~linear. "
+    "The r10 sf1 stress probe measured the PINNED build at ~37x wall "
+    "for 10x vectors (in-bucket candidate pairs grow quadratically "
+    "once buckets saturate); this derived build is the documented "
+    "remedy, registered first-class so the scale path has its own "
+    "exact oracle (rendered per dataset via the callable-oracle "
+    "mechanism, the ann_lsh_topk_derived pattern). The pinned-param "
+    "graph family stays as-is — its params are part of its sealed "
+    "answers; a production deployment flips knn_graph_shared to this "
+    "derivation.",
+)
+def ann_knn_graph_derived(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sql_engine_spark.operators.similarity import (
+        derived_planes,
+        knn_graph,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    n = emb.count()
+    return knn_graph(
+        emb,
+        id_col="vec_id",
+        vec_col="embedding",
+        planes=derived_planes(n),
+        tables=KNN_TABLES,
+        dim=KNN_DIM,
+        k=KNN_K,
+    )

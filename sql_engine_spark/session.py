@@ -68,6 +68,14 @@ def get_spark(
         .config("spark.sql.parquet.aggregatePushdown", "true")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # Long-session shuffle-file hygiene: ContextCleaner only removes
+        # shuffle files when the driver GC collects the corresponding
+        # ShuffleDependency — a long benchmark/ETL session with a large
+        # driver heap can accumulate every shuffle it ever ran (the r10
+        # sf1 stress run filled 79 GB of /tmp spill this way and died of
+        # ENOSPC mid-suite). Forcing a periodic driver GC bounds the
+        # window; on a real cluster this also returns executor disk.
+        .config("spark.cleaner.periodicGC.interval", "60s")
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
