@@ -152,6 +152,40 @@ _PREFIX_DF_BROADCAST_MAX_SRC_BYTES = 64 << 20
 # exactly the corpus sizes the source-bytes gate was tuned for.
 _PREFIX_DF_BROADCAST_MAX_HS_BYTES = 256 << 20
 
+# Verify-join broadcast gate (r10 sf1 stress finding): the exact-Jaccard
+# verify joins candidates (bare 16-byte id pairs) against the shingle-set
+# relation TWICE. Planned as shuffle joins, the FIRST join's output — a
+# candidate row with one ~2 KB digest array attached — is re-shuffled for
+# the second id key; at the sf1 stress scale (43M post-filter candidates,
+# measured) that fat intermediate spilled ~70 GB and died of ENOSPC. With
+# the set relation broadcast (it is corpus-cardinality, tiny next to the
+# candidate stream: ~80 MB at sf1), fat rows stream through two broadcast
+# hash joins and the J >= t filter WITHOUT ever hitting an exchange. The
+# gate reads the relation's on-disk bytes; above it (set relation itself
+# huge) the shuffle join is kept — at that scale the production answer is
+# bucketing both sides by id, not a broadcast.
+_VERIFY_SETS_BROADCAST_MAX_BYTES = 256 << 20
+
+
+def _verify_jaccard(candidates, sets, threshold: float):
+    """Exact-Jaccard verify of (id_a, id_b) candidates against the
+    (__id, __hs) set relation — the shared tail of the set-similarity
+    family (minhash_lsh_pairs, prefix_filter_pairs). Broadcasts the set
+    relation when its file-backed size passes the gate (see
+    _VERIFY_SETS_BROADCAST_MAX_BYTES)."""
+    files = sets.inputFiles()
+    if 0 < len(files) and _total_file_bytes(files) <= _VERIFY_SETS_BROADCAST_MAX_BYTES:
+        sets = F.broadcast(sets)
+    jac = F.size(F.array_intersect("sa.__hs", "sb.__hs")) / F.size(
+        F.array_union("sa.__hs", "sb.__hs")
+    )
+    return (
+        candidates.join(sets.alias("sa"), F.col("id_a") == F.col("sa.__id"))
+        .join(sets.alias("sb"), F.col("id_b") == F.col("sb.__id"))
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
 
 def _total_file_bytes(files: list[str]) -> int:
     """Best-effort on-disk size of a scan's input files (local paths only;
@@ -403,16 +437,7 @@ def minhash_lsh_pairs_from_hs(
         .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
         .distinct()
     )
-    sets = hs.select("__id", "__hs")
-    jac = F.size(F.array_intersect("sa.__hs", "sb.__hs")) / F.size(
-        F.array_union("sa.__hs", "sb.__hs")
-    )
-    return (
-        candidates.join(sets.alias("sa"), F.col("id_a") == F.col("sa.__id"))
-        .join(sets.alias("sb"), F.col("id_b") == F.col("sb.__id"))
-        .select("id_a", "id_b", jac.alias("jaccard"))
-        .where(F.col("jaccard") >= threshold)
-    )
+    return _verify_jaccard(candidates, hs.select("__id", "__hs"), threshold)
 
 
 def shared_ngram_stats(
@@ -1058,16 +1083,7 @@ def prefix_filter_pairs_from_hs(
         .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
         .distinct()
     )
-    sets = docs.select("__id", "__hs")
-    jac = F.size(F.array_intersect("sa.__hs", "sb.__hs")) / F.size(
-        F.array_union("sa.__hs", "sb.__hs")
-    )
-    return (
-        candidates.join(sets.alias("sa"), F.col("id_a") == F.col("sa.__id"))
-        .join(sets.alias("sb"), F.col("id_b") == F.col("sb.__id"))
-        .select("id_a", "id_b", jac.alias("jaccard"))
-        .where(F.col("jaccard") >= threshold)
-    )
+    return _verify_jaccard(candidates, docs.select("__id", "__hs"), threshold)
 
 
 def sql_prefix_filter_pairs(
