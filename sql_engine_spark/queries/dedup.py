@@ -523,15 +523,60 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Crossmodal semantic side: OR-amplified multitable LSH at the
+# crossmodal threshold — the SCALE path (bucket-confined candidates),
+# replacing the label-blocked all-pairs cosine whose per-block volume
+# grows quadratically with the corpus (r10 sf1 stress finding: the
+# label-blocked leg was 100x the pair volume at 10x vectors). Bonus:
+# LSH also surfaces CROSS-label near-dups the label blocking was
+# structurally blind to.
+_XM_TABLES = 8
+_XM_PLANES = 4
+_XM_SEM_T = 0.2
+
+
+def _sql_xm_sem_pairs() -> str:
+    from sql_engine_spark.operators.similarity import sql_lsh_bucket
+
+    cos = """
+        list_reduce(list_transform(list_zip(a.e, c.e), p -> p[1] * p[2]),
+                    (x, y) -> x + y)
+        / (sqrt(list_reduce(list_transform(a.e, x -> x * x), (x, y) -> x + y))
+           * sqrt(list_reduce(list_transform(c.e, x -> x * x), (x, y) -> x + y)))
+    """
+    bucket_rows = "\n            UNION ALL ".join(
+        f"SELECT vec_id, {t} AS t, "
+        f"{sql_lsh_bucket('e', _XM_PLANES, 64, offset=t * _XM_PLANES)} AS bk"
+        " FROM xv"
+        for t in range(_XM_TABLES)
+    )
+    return f"""
+        xv AS (
+            SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+            FROM embeddings
+        ),
+        xb AS ({bucket_rows}),
+        xcands AS (
+            SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+            FROM xb x JOIN xb y
+              ON x.t = y.t AND x.bk = y.bk AND x.vec_id < y.vec_id
+        ),
+        sem_pairs AS (
+            SELECT id_a, id_b
+            FROM xcands
+            JOIN xv a ON a.vec_id = id_a
+            JOIN xv c ON c.vec_id = id_b
+            WHERE {cos} >= {_XM_SEM_T}
+        )"""
+
+
 @register(
     "dedup_crossmodal_agreement",
     oracle=f"""
         WITH text_pairs AS (
             SELECT id_a, id_b FROM ({_sql_minhash_lsh(3, 8, 4, 0.2)})
         ),
-        sem_pairs AS (
-            SELECT id_a, id_b FROM ({_EMB_ORACLE.strip()})
-        )
+        {_sql_xm_sem_pairs()}
         SELECT COALESCE(t.id_a, s.id_a) AS id_a,
                COALESCE(t.id_b, s.id_b) AS id_b,
                t.id_a IS NOT NULL AS text_dup,
@@ -543,21 +588,38 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
           ON t.id_a = s.id_a AND t.id_b = s.id_b
     """,
     doc="Cross-modal dedup agreement: the near-dup pairs surfaced by "
-    "text MinHash-LSH vs by embedding cosine (vec_id and doc_id share "
-    "the id space in the testdata), full-outer joined and classified "
-    "both/text_only/semantic_only — the audit a curation run does "
-    "before trusting one modality's dedup to stand in for the other. "
-    "Composes two existing scale-safe pipelines with one more pair-key "
-    "equi-join; pair relations are candidate-sized, never corpus^2.",
+    "text MinHash-LSH vs by OR-amplified multitable embedding LSH "
+    f"({_XM_TABLES} tables x {_XM_PLANES} planes, exact-cosine verify "
+    f"at {_XM_SEM_T} — vec_id and doc_id share the id space in the "
+    "testdata), full-outer joined and classified both/text_only/"
+    "semantic_only — the audit a curation run does before trusting "
+    "one modality's dedup to stand in for the other. The semantic "
+    "side was label-blocked all-pairs cosine through r9; the r10 sf1 "
+    "stress probe measured that leg at ~100x pair volume for 10x "
+    "vectors (in-block quadratic), so it now composes the "
+    "semantic_dup_pairs_multitable scale path instead — bucket-"
+    "confined candidates, and cross-label near-dups the label "
+    "blocking was structurally blind to. Pair relations are "
+    "candidate-sized, never corpus^2.",
 )
 def dedup_crossmodal_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sql_engine_spark.operators.similarity import (
+        semantic_dup_pairs_multitable,
+    )
+
     docs = load(spark, sf_dir, "documents")
     emb = load(spark, sf_dir, "embeddings")
     tp = _shared_pairs(spark, sf_dir).select(
         "id_a", "id_b"
     )
-    sp = embedding_cosine_pairs(
-        emb, id_col="vec_id", vec_col="embedding", block_col="label", threshold=0.2
+    sp = semantic_dup_pairs_multitable(
+        emb,
+        id_col="vec_id",
+        vec_col="embedding",
+        planes=_XM_PLANES,
+        tables=_XM_TABLES,
+        dim=64,
+        threshold=_XM_SEM_T,
     ).select("id_a", "id_b")
     t, s = tp.alias("t"), sp.alias("s")
     joined = t.join(
