@@ -494,6 +494,33 @@ EXTENSION_R9B = [
     "events_did_placebo_pretrends",
 ]
 
+EXTENSION_R10 = [
+    "retrieval_jm_smoothing_topk",
+    "retrieval_bm25f_fields",
+    "retrieval_pivoted_length_norm",
+    "retrieval_map_mrr",
+    "retrieval_rank_agreement",
+    "retrieval_phrase_match",
+    "retrieval_snippet_best_window",
+    "ann_label_filtered_topk",
+    "emb_triplet_mining",
+    "emb_residual_quantize",
+    "ann_knn_graph_derived",
+    "text_heaps_doubling",
+    "text_vocab_tail_profile",
+    "text_source_chi2_drift",
+    "events_croston_forecast",
+    "events_ordinal_patterns",
+    "events_sampen_ratio",
+    "events_vshape_patterns",
+    "quality_equalized_odds_gap",
+    "sample_neyman_allocation",
+    "join_natural_using",
+    "scalar_interval_arithmetic",
+    "scd2_apply_changes",
+    "graph_local_bridges",
+]
+
 
 def _time_section(spark, qs, names: list[str], sf_dir: str) -> dict[str, float]:
     """Best-of-2 full passes: one transient stall (GC, page cache miss,
@@ -526,6 +553,7 @@ SECTIONS = {
     "r8": EXTENSION_R8,
     "r9": EXTENSION_R9,
     "r9b": EXTENSION_R9B,
+    "r10": EXTENSION_R10,
 }
 
 
@@ -605,6 +633,7 @@ def main() -> int:
     r8_timings, r8_total = section("r8", EXTENSION_R8)
     r9_timings, r9_total = section("r9", EXTENSION_R9)
     r9b_timings, r9b_total = section("r9b", EXTENSION_R9B)
+    r10_timings, r10_total = section("r10", EXTENSION_R10)
 
     # Curation flagships: best-of-2, own stable total (r3 comparison
     # base: extension_queries.dedup_keep_best / pipeline_curate_full).
@@ -634,6 +663,8 @@ def main() -> int:
         "extension_r9_queries": r9_timings,
         "extension_r9b_total": r9b_total,
         "extension_r9b_queries": r9b_timings,
+        "extension_r10_total": r10_total,
+        "extension_r10_queries": r10_timings,
     }
     if companion:
         out["companion_sf"] = 0.01
