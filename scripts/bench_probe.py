@@ -21,6 +21,7 @@ import os
 import shutil
 import subprocess
 import sys
+import tempfile
 import time
 
 HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -48,50 +49,55 @@ def free_gb(path: str = "/") -> float:
     return shutil.disk_usage(path).free / 1e9
 
 
-def _sweep_spark_tmp() -> None:
-    """Remove leaked Spark scratch dirs after a SIGKILLed child (the JVM
-    never runs its shutdown hooks, so blockmgr-*/spark-* spill dirs
-    survive and would trip the disk guard for every later query)."""
-    import glob
-
-    for pat in ("/tmp/blockmgr-*", "/tmp/spark-*"):
-        for p in glob.glob(pat):
-            shutil.rmtree(p, ignore_errors=True)
-
-
 def probe(
     name: str, sf_dir: str, timeout: float, min_free: float, passes: int = 1
 ) -> dict:
     code = _CHILD.format(root=HERE, name=name, sf_dir=sf_dir, passes=passes)
     t0 = time.time()
-    child = subprocess.Popen(
-        [sys.executable, "-c", code],
-        stdout=subprocess.PIPE,
-        stderr=subprocess.DEVNULL,
-        text=True,
-    )
-    status, wall = "unknown", None
-    while True:
-        rc = child.poll()
-        if rc is not None:
-            break
-        if time.time() - t0 > timeout:
-            child.kill()
-            child.wait()
-            _sweep_spark_tmp()
-            return {"status": "timeout", "wall": round(time.time() - t0, 1)}
-        if free_gb() < min_free:
-            at_kill = round(free_gb(), 1)
-            child.kill()
-            child.wait()
-            _sweep_spark_tmp()
-            return {
-                "status": "disk_blowup",
-                "wall": round(time.time() - t0, 1),
-                "free_gb_at_kill": at_kill,
-            }
-        time.sleep(2.0)
-    out = child.stdout.read() if child.stdout else ""
+    # Per-probe scratch dir, passed as SPARK_LOCAL_DIRS: a SIGKILLed
+    # JVM never runs its shutdown hooks, so its blockmgr/spill dirs
+    # survive — sweeping ONLY this dir cleans them without touching the
+    # scratch of any other live Spark session on the host. Child stdout
+    # goes to a temp FILE, not a PIPE: a child that prints >64KB of
+    # ivy/py4j banners would otherwise block on the full pipe forever
+    # and be misrecorded as `timeout`.
+    scratch = tempfile.mkdtemp(prefix="bench-probe-local-")
+    env = dict(os.environ, SPARK_LOCAL_DIRS=scratch)
+    try:
+        with tempfile.TemporaryFile(mode="w+", prefix="bench-probe-out-") as outf:
+            child = subprocess.Popen(
+                [sys.executable, "-c", code],
+                stdout=outf,
+                stderr=subprocess.DEVNULL,
+                text=True,
+                env=env,
+            )
+            status, wall = "unknown", None
+            while True:
+                rc = child.poll()
+                if rc is not None:
+                    break
+                if time.time() - t0 > timeout:
+                    child.kill()
+                    child.wait()
+                    return {
+                        "status": "timeout",
+                        "wall": round(time.time() - t0, 1),
+                    }
+                if free_gb() < min_free:
+                    at_kill = round(free_gb(), 1)
+                    child.kill()
+                    child.wait()
+                    return {
+                        "status": "disk_blowup",
+                        "wall": round(time.time() - t0, 1),
+                        "free_gb_at_kill": at_kill,
+                    }
+                time.sleep(2.0)
+            outf.seek(0)
+            out = outf.read()
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
     walls: list[float] = []
     for line in out.splitlines():
         if line.startswith("PROBE_OK "):

@@ -19,6 +19,8 @@ production — semantics are unchanged.
 
 from __future__ import annotations
 
+from fractions import Fraction
+
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -1017,6 +1019,16 @@ def prefix_filter_pairs_from_hs(
             and _total_file_bytes(files) <= _PREFIX_DF_BROADCAST_MAX_HS_BYTES
         )
     dfs_side = F.broadcast(dfs) if broadcast_df else dfs
+    # All three pruning bounds (prefix length, length filter, PPJoin
+    # positional minoverlap) are evaluated in EXACT integer arithmetic
+    # on the decimal rational t = t_num/t_den (Fraction of the decimal
+    # string, not of the binary float), so no float rounding can ever
+    # drop a pair whose Jaccard is exactly the threshold. ceil(t*n)
+    # becomes (n*t_num + t_den - 1) div t_den; O >= ceil(c*(na+nb))
+    # with c = t/(1+t) collapses (O integer) to the cross-multiplied
+    # O*(t_num+t_den) >= t_num*(na+nb).
+    _tfrac = Fraction(str(threshold))
+    t_num, t_den = _tfrac.numerator, _tfrac.denominator
     # Order each doc's shingles rarest-first by (df, hash) — a total
     # order shared by every doc, which is all the prefix lemma needs.
     ordered = (
@@ -1031,7 +1043,9 @@ def prefix_filter_pairs_from_hs(
         .withColumn(
             "__plen",
             F.size("__sorted")
-            - F.ceil(F.size("__sorted") * F.lit(threshold)).cast("int")
+            - F.expr(
+                f"int((size(__sorted) * {t_num} + {t_den} - 1) div {t_den})"
+            )
             + F.lit(1),
         )
         .select(
@@ -1059,7 +1073,6 @@ def prefix_filter_pairs_from_hs(
     # lemma degrades toward quadratic (no shingle is rare — measured
     # at the r10 sf1 stress seal: sum(df^2) grew 94x for 10x docs and
     # the unfiltered candidate verify spilled ~70 GB).
-    c_minov = repr(threshold / (1.0 + threshold))
     probes = ordered.select(
         "__id", "__n", F.posexplode("__prefix").alias("__p0", "__h")
     ).select("__id", "__n", (F.col("__p0") + 1).alias("__p"), "__h")
@@ -1067,18 +1080,23 @@ def prefix_filter_pairs_from_hs(
     ubound = F.lit(1) + F.least(
         F.col("a.__n") - F.col("a.__p"), F.col("b.__n") - F.col("b.__p")
     )
-    minov = F.ceil(
-        F.lit(float(c_minov))
-        * (F.col("a.__n") + F.col("b.__n")).cast("double")
-    )
     candidates = (
         a.join(
             b,
             (F.col("a.__h") == F.col("b.__h"))
             & (F.col("a.__id") < F.col("b.__id"))
-            & (F.col("b.__n") * F.lit(threshold) <= F.col("a.__n"))
-            & (F.col("a.__n") * F.lit(threshold) <= F.col("b.__n"))
-            & (ubound >= minov),
+            & (
+                F.col("b.__n") * F.lit(t_num)
+                <= F.col("a.__n") * F.lit(t_den)
+            )
+            & (
+                F.col("a.__n") * F.lit(t_num)
+                <= F.col("b.__n") * F.lit(t_den)
+            )
+            & (
+                ubound * F.lit(t_num + t_den)
+                >= F.lit(t_num) * (F.col("a.__n") + F.col("b.__n"))
+            ),
         )
         .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
         .distinct()
@@ -1092,11 +1110,14 @@ def sql_prefix_filter_pairs(
     """DuckDB oracle: the identical prefix-filter pipeline (length +
     PPJoin positional filters mirrored — they only prune candidates
     that fail the exact verify, so the answer is unchanged, but the
-    oracle pays the same answer-sized candidate set as the engine)."""
+    oracle pays the same answer-sized candidate set as the engine).
+    The bounds use the same exact integer arithmetic on the decimal
+    rational t = t_num/t_den as the Spark side (no float ceil)."""
     from sql_engine_spark.operators.textprep import sql_shingles, sql_tokens
 
     toks = sql_tokens("text")
-    c_minov = repr(threshold / (1.0 + threshold))
+    _tfrac = Fraction(str(threshold))
+    t_num, t_den = _tfrac.numerator, _tfrac.denominator
     return f"""
         WITH docs AS (
             SELECT doc_id AS id,
@@ -1119,7 +1140,9 @@ def sql_prefix_filter_pairs(
         ),
         prefixes AS (
             SELECT id, hs,
-                   sorted[1 : len(sorted) - CAST(ceil(len(sorted) * {threshold}) AS INT) + 1]
+                   sorted[1 : len(sorted)
+                          - CAST((len(sorted) * {t_num} + {t_den} - 1)
+                                 // {t_den} AS INT) + 1]
                        AS prefix
             FROM ordered
         ),
@@ -1133,10 +1156,10 @@ def sql_prefix_filter_pairs(
             SELECT DISTINCT a.id AS id_a, b.id AS id_b
             FROM probes a JOIN probes b
               ON a.h = b.h AND a.id < b.id
-             AND b.n * {threshold} <= a.n AND a.n * {threshold} <= b.n
-             AND 1 + LEAST(a.n - a.p, b.n - b.p)
-                 >= CEIL(CAST({c_minov} AS DOUBLE)
-                         * CAST(a.n + b.n AS DOUBLE))
+             AND b.n * {t_num} <= a.n * {t_den}
+             AND a.n * {t_num} <= b.n * {t_den}
+             AND (1 + LEAST(a.n - a.p, b.n - b.p)) * {t_num + t_den}
+                 >= {t_num} * (a.n + b.n)
         )
         SELECT id_a, id_b,
                len(list_intersect(pa.hs, pb.hs))

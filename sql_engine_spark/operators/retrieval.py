@@ -139,12 +139,37 @@ def bm25_index_shared(spark: SparkSession, sf_dir: str):
         base.select("doc_id", "dl").write.mode("overwrite").parquet(
             os.path.join(root, "docs.parquet")
         )
+        # Positional token arrays (doc_id, t, dl) — the third index
+        # table: position-aware consumers (BM25F fields, phrase match,
+        # snippet windows) posexplode THIS instead of re-tokenizing the
+        # corpus. Written from the same persisted tokenize pass.
+        base.select(
+            "doc_id", F.col("__t").alias("t"), "dl"
+        ).write.mode("overwrite").parquet(os.path.join(root, "tokens.parquet"))
         release_since(mark)
         _BM25_IDX_CACHE[key] = root
     return (
         spark.read.parquet(os.path.join(root, "tf.parquet")),
         spark.read.parquet(os.path.join(root, "docs.parquet")),
     )
+
+
+def token_arrays_shared(spark: SparkSession, sf_dir: str):
+    """The shared index's positional token-array relation
+    (doc_id, t array<string>, dl) — built by the same once-per-
+    (process, dataset) bm25_index_shared pass. Oracle twin: idx_base
+    in sql_bm25_index. Consumers that need token POSITIONS (BM25F
+    field split, phrase adjacency, snippet windows) read this instead
+    of re-tokenizing documents, so the corpus tokenize stays one
+    indexing-stage pass no matter how many rankers run."""
+    import os
+
+    bm25_index_shared(spark, sf_dir)
+    key = (os.path.abspath(sf_dir), None)
+    for (path, _fp), root in list(_BM25_IDX_CACHE.items()):
+        if path == os.path.abspath(sf_dir):
+            return spark.read.parquet(os.path.join(root, "tokens.parquet"))
+    raise RuntimeError("bm25_index_shared did not register an index root")
 
 
 def sql_bm25_index(source: str = "documents") -> str:

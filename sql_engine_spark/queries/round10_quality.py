@@ -48,22 +48,26 @@ _SQL_MEDIAN_THRESH = """thresh AS (
             FROM documents CROSS JOIN thresh
         ),
         pooled AS (
-            SELECT CAST(SUM(CASE WHEN y = 1 AND yhat = 1 THEN 1 ELSE 0 END)
+            SELECT CASE WHEN SUM(y) = 0 THEN NULL ELSE
+                   CAST(SUM(CASE WHEN y = 1 AND yhat = 1 THEN 1 ELSE 0 END)
                         AS DOUBLE)
-                   / CAST(SUM(y) AS DOUBLE) AS tpr_all,
+                   / CAST(SUM(y) AS DOUBLE) END AS tpr_all,
+                   CASE WHEN SUM(1 - y) = 0 THEN NULL ELSE
                    CAST(SUM(CASE WHEN y = 0 AND yhat = 1 THEN 1 ELSE 0 END)
                         AS DOUBLE)
-                   / CAST(SUM(1 - y) AS DOUBLE) AS fpr_all
+                   / CAST(SUM(1 - y) AS DOUBLE) END AS fpr_all
             FROM scored
         ),
         per_group AS (
             SELECT source,
                    CAST(SUM(y) AS BIGINT) AS n_pos,
                    CAST(SUM(1 - y) AS BIGINT) AS n_neg,
+                   CASE WHEN SUM(y) = 0 THEN NULL ELSE
                    CAST(SUM(CASE WHEN y = 1 AND yhat = 1 THEN 1 ELSE 0 END)
-                        AS DOUBLE) / CAST(SUM(y) AS DOUBLE) AS tpr,
+                        AS DOUBLE) / CAST(SUM(y) AS DOUBLE) END AS tpr,
+                   CASE WHEN SUM(1 - y) = 0 THEN NULL ELSE
                    CAST(SUM(CASE WHEN y = 0 AND yhat = 1 THEN 1 ELSE 0 END)
-                        AS DOUBLE) / CAST(SUM(1 - y) AS DOUBLE) AS fpr
+                        AS DOUBLE) / CAST(SUM(1 - y) AS DOUBLE) END AS fpr
             FROM scored GROUP BY source
         )
         SELECT g.source, g.n_pos, g.n_neg, g.tpr, g.fpr,
@@ -103,35 +107,27 @@ def quality_equalized_odds_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
         F.when(F.col("n_chars") >= F.col("t"), 1).otherwise(0).alias("yhat"),
     )
+    # Explicit zero-denominator guards: a single-class group must yield
+    # NULL in BOTH engines (DuckDB IEEE floats would give inf/NaN).
+    def _rate(hit_cond, denom_col):
+        denom = F.sum(denom_col).cast("double")
+        return F.when(
+            denom == 0, F.lit(None).cast("double")
+        ).otherwise(
+            F.sum(F.when(hit_cond, 1).otherwise(0)).cast("double") / denom
+        )
+
+    _tp = (F.col("y") == 1) & (F.col("yhat") == 1)
+    _fp = (F.col("y") == 0) & (F.col("yhat") == 1)
     pooled = scored.agg(
-        (
-            F.sum(
-                F.when((F.col("y") == 1) & (F.col("yhat") == 1), 1).otherwise(0)
-            ).cast("double")
-            / F.sum("y").cast("double")
-        ).alias("tpr_all"),
-        (
-            F.sum(
-                F.when((F.col("y") == 0) & (F.col("yhat") == 1), 1).otherwise(0)
-            ).cast("double")
-            / F.sum(F.lit(1) - F.col("y")).cast("double")
-        ).alias("fpr_all"),
+        _rate(_tp, F.col("y")).alias("tpr_all"),
+        _rate(_fp, F.lit(1) - F.col("y")).alias("fpr_all"),
     )
     per_group = scored.groupBy("source").agg(
         F.sum("y").cast("long").alias("n_pos"),
         F.sum(F.lit(1) - F.col("y")).cast("long").alias("n_neg"),
-        (
-            F.sum(
-                F.when((F.col("y") == 1) & (F.col("yhat") == 1), 1).otherwise(0)
-            ).cast("double")
-            / F.sum("y").cast("double")
-        ).alias("tpr"),
-        (
-            F.sum(
-                F.when((F.col("y") == 0) & (F.col("yhat") == 1), 1).otherwise(0)
-            ).cast("double")
-            / F.sum(F.lit(1) - F.col("y")).cast("double")
-        ).alias("fpr"),
+        _rate(_tp, F.col("y")).alias("tpr"),
+        _rate(_fp, F.lit(1) - F.col("y")).alias("fpr"),
     )
     return per_group.crossJoin(F.broadcast(pooled)).select(
         "source",

@@ -29,7 +29,7 @@ from sql_engine_spark.operators.retrieval import (
     bm25_topk_from_index,
     sql_bm25_index,
 )
-from sql_engine_spark.operators.textprep import sql_tokens, tokens
+from sql_engine_spark.operators.textprep import sql_tokens
 from sql_engine_spark.queries.retrieval import _BM25_QUERIES
 from sql_engine_spark.queries.round9_retrieval import (
     _qterms_df,
@@ -276,12 +276,9 @@ _BM25F_W_BODY = 1.0
 def retrieval_bm25f_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    from sql_engine_spark.io import load
+    from sql_engine_spark.operators.retrieval import token_arrays_shared
 
-    spark_docs = load(spark, sf_dir, "documents")
-    base = spark_docs.select(
-        "doc_id", tokens("text").alias("t")
-    ).select("doc_id", "t", F.size("t").cast("long").alias("dl"))
+    base = token_arrays_shared(spark, sf_dir)
     qterms = _qterms_df(spark)
 
     ftf = (

@@ -18,12 +18,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from sql_engine_spark.io import load
 from sql_engine_spark.operators.retrieval import (
     bm25_index_shared,
     bm25_topk_from_index,
 )
-from sql_engine_spark.operators.textprep import sql_tokens, tokens
+from sql_engine_spark.operators.textprep import sql_tokens
 from sql_engine_spark.queries.retrieval import _BM25_QUERIES
 from sql_engine_spark.queries.round9_retrieval import _qterms_df
 from sql_engine_spark.registry import register
@@ -76,18 +75,20 @@ _SQL_PHRASE_ROWS = ", ".join(
     "Reports per phrase: matching docs and total occurrences "
     "(phrases with no hits report 0 via the left join — the empty "
     "case is part of the contract). The phrase relation is literal "
-    "and broadcast; corpus-side work is one tokenize + the position "
+    "and broadcast; corpus-side work is one scan of the shared "
+    "index's positional token arrays (no re-tokenize) + the position "
     "join, with the term filter pushed into the join key so only "
     "phrase-term positions shuffle. What dedup/BM25 token-set ops "
     "can't express — order matters.",
 )
 def retrieval_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
+    from sql_engine_spark.operators.retrieval import token_arrays_shared
+
     ph = spark.createDataFrame(
         _PHRASES, ["phrase_id", "w1", "w2"]
     )
-    pos = docs.select(
-        "doc_id", F.posexplode(tokens("text")).alias("p0", "tok")
+    pos = token_arrays_shared(spark, sf_dir).select(
+        "doc_id", F.posexplode("t").alias("p0", "tok")
     ).select("doc_id", (F.col("p0") + 1).alias("p"), "tok")
     a = pos.alias("a")
     b = pos.alias("b")
@@ -186,11 +187,13 @@ def retrieval_snippet_best_window(
     top = bm25_topk_from_index(
         tf_idx, docstats, _BM25_QUERIES, k=_SNIP_TOPD
     ).select("query_id", "doc_id")
-    docs = load(spark, sf_dir, "documents")
+    from sql_engine_spark.operators.retrieval import token_arrays_shared
+
     wanted = top.select("doc_id").distinct()
     pos = (
-        docs.join(F.broadcast(wanted), "doc_id", "left_semi")
-        .select("doc_id", F.posexplode(tokens("text")).alias("p0", "tok"))
+        token_arrays_shared(spark, sf_dir)
+        .join(F.broadcast(wanted), "doc_id", "left_semi")
+        .select("doc_id", F.posexplode("t").alias("p0", "tok"))
         .select("doc_id", (F.col("p0") + 1).alias("p"), "tok")
     )
     qterms = _qterms_df(spark)

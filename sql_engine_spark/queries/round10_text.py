@@ -80,15 +80,23 @@ from sql_engine_spark.registry import register
 )
 def text_heaps_doubling(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    ranked = docs.select(
-        "text",
+    # Global doc rank from the SLIM (doc_id) projection only — the
+    # single-partition row_number sort moves 8-byte rows, never the
+    # text payload. rn is monotone in doc_id, so MIN(rn) per token ==
+    # rn of the token's MIN(doc_id): first occurrences aggregate on
+    # doc_id (map-side combinable) and one slim join resolves ranks.
+    rn = docs.select("doc_id").select(
+        "doc_id",
         F.row_number().over(Window.orderBy("doc_id")).cast("long").alias("rn"),
     )
-    n = ranked.agg(F.count("*").cast("long").alias("n_docs"))
-    first_seen = (
-        ranked.select("rn", F.explode(tokens("text")).alias("token"))
+    n = docs.agg(F.count("*").cast("long").alias("n_docs"))
+    first_doc = (
+        docs.select("doc_id", F.explode(tokens("text")).alias("token"))
         .groupBy("token")
-        .agg(F.min("rn").alias("first_rn"))
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    first_seen = first_doc.join(rn, "doc_id").select(
+        "token", F.col("rn").alias("first_rn")
     )
     cuts = (
         spark.range(0, 5)
