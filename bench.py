@@ -542,6 +542,39 @@ def _time_section(spark, qs, names: list[str], sf_dir: str) -> dict[str, float]:
     return timings
 
 
+_CALIB_ROWS = 8_000_000_000  # sized for ~3s on a quiet 32-thread host
+
+
+def _calibrate(spark) -> float:
+    """Fixed CPU-bound calibration workload (r10 verdict #3): hash-fold a
+    constant in-memory range — zero I/O, zero shuffle beyond the final
+    1-row agg, fully deterministic, partitioned like the bench (32).
+    Its wall time measures the HOST's effective compute rate at bench
+    time, so a round-over-round headline delta decomposes with numbers:
+    if headline and calib moved by the same factor, the host moved; if
+    headline moved alone, the code did. Warm pass + best-of-2 timed
+    passes, the same discipline as the query sections."""
+    from pyspark.sql import functions as F
+
+    def run() -> None:
+        (
+            spark.range(0, _CALIB_ROWS, 1, 32)
+            .select(F.xxhash64("id").alias("h"))
+            .agg(F.sum(F.col("h") % 1024).alias("s"))
+            .write.mode("overwrite")
+            .format("noop")
+            .save()
+        )
+
+    run()  # codegen warmup
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        run()
+        best = min(best, time.time() - t0)
+    return round(best, 3)
+
+
 SECTIONS = {
     "headline": HEADLINE,
     "curation": CURATION,
@@ -595,6 +628,10 @@ def main() -> int:
     # sections ran, which is where the round-over-round companion drift
     # came from (r4 7.92s -> r6 9.29s as the registry grew 187 -> 280).
     qs["scan_project"].build(spark, sf_dir).write.mode("overwrite").format("noop").save()
+    # Host-rate calibration BEFORE the timed sections (same JVM, same
+    # thread count): carried in the artifact so headline deltas are
+    # decomposable into host band vs code with numbers, not narrative.
+    calib = _calibrate(spark)
     warm_dir = "/root/testdata/sf0.001"
     if os.path.isdir(warm_dir) and want("headline"):
         for wq in HEADLINE:
@@ -645,6 +682,10 @@ def main() -> int:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "calib_wall_sec": calib,
+        "calibrated_headline_ratio": (
+            round(total / calib, 3) if calib else None
+        ),
         "extension_total": ext_total,
         "extension_queries": ext_timings,
         "curation_total": cur_total,
@@ -695,6 +736,7 @@ def main() -> int:
         "value": total,
         "unit": "sec",
         "sf": sf,
+        "calib_wall_sec": calib,
         "headline_total": total,
         "curation_total": cur_total,
         "extension_total": ext_total,
@@ -734,6 +776,7 @@ def _main_custom(names: list[str], sf_dir: str, sf) -> int:
             qs[wq].build(spark, warm_dir).write.mode("overwrite").format(
                 "noop"
             ).save()
+    calib = _calibrate(spark)
     timings = _time_section(spark, qs, names, sf_dir)
     total = round(sum(timings.values()), 3)
     out = {
@@ -743,6 +786,7 @@ def _main_custom(names: list[str], sf_dir: str, sf) -> int:
         "queries": timings,
         "sf": sf,
         "sf_dir": sf_dir,
+        "calib_wall_sec": calib,
     }
     art = os.environ.get("SPARK_GRAFT_BENCH_OUT")
     if art:
@@ -780,6 +824,25 @@ def seal(argv: list[str]) -> int:
         else:
             print(f"unknown --seal arg: {argv[i]}", file=sys.stderr)
             return 2
+    # No-Spark preflight: a seal must never be produced from a stale
+    # tree (r10 shipped a red suite exactly this way — REGISTRY.md went
+    # stale after its last regen and nothing re-checked before sealing).
+    pf = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                "scripts",
+                "preflight.py",
+            ),
+        ],
+        capture_output=True,
+        text=True,
+    )
+    sys.stdout.write(pf.stdout)
+    if pf.returncode != 0:
+        print("seal refused: preflight failed", file=sys.stderr)
+        return 1
     runs = []
     for r in range(runs_n):
         # Gate on host quiescence: a run started under load measures the
@@ -840,14 +903,24 @@ def seal(argv: list[str]) -> int:
     med = vals[(len(vals) - 1) // 2]
     adopted = next(e for e in eligible if e["result"]["value"] == med)
     out = dict(adopted["result"])
+    def _calibrated(res) -> float | None:
+        if not res or not res.get("calib_wall_sec"):
+            return None
+        return round(res["value"] / res["calib_wall_sec"], 3)
+
     out["seal"] = {
-        "protocol": "median-of-N fresh subprocesses, loadavg-gated",
+        "protocol": "median-of-N fresh subprocesses, loadavg-gated, "
+        "host-rate calibrated",
         "runs_requested": runs_n,
         "load_threshold_1min": load_threshold,
         "adopted_run": adopted["run"],
         "headline_totals": [
             e["result"]["value"] if e["result"] else None for e in runs
         ],
+        "calib_walls": [
+            (e["result"] or {}).get("calib_wall_sec") for e in runs
+        ],
+        "calibrated_ratios": [_calibrated(e["result"]) for e in runs],
         "runs": [
             {k: v for k, v in e.items() if k != "result"} for e in runs
         ],

@@ -301,14 +301,18 @@ def sql_triangle_corner_counts(und_cte: str) -> str:
 # graph-build stage; locally a temp dir carries the same contract (immutable,
 # derived, keyed by dataset + params).
 #
-# Params are standardized at KNN_PLANES/KNN_TABLES/KNN_DIM/KNN_K for the
-# whole graph family (r7 verdict: modularity/triangles/LPA used tables=8,
-# the rest 4 — pick one). k<=KNN_K variants are a rank filter on the shared
-# relation: rank is the per-src (cosine DESC, dst ASC) row_number, so
-# `rank <= 3` of the k=5 build IS the k=3 build.
+# Params are standardized at KNN_TABLES/KNN_DIM/KNN_K for the whole graph
+# family (r7 verdict: modularity/triangles/LPA used tables=8, the rest 4 —
+# pick one); since round 11 the PLANE count is derived from the corpus size
+# (derived_graph_planes — the r10 sf1 stress measured the pinned 4-plane
+# build at ~37x wall for 10x vectors as buckets saturated; derived planes
+# keep expected bucket volume ~constant, 215s -> 53s at sf1). k<=KNN_K
+# variants are a rank filter on the shared relation: rank is the per-src
+# (cosine DESC, dst ASC) row_number, so `rank <= 3` of the k=5 build IS the
+# k=3 build.
 # ---------------------------------------------------------------------------
 
-KNN_PLANES = 4
+KNN_PLANES = 4  # legacy pinned count (pre-r11); see derived_graph_planes
 KNN_TABLES = 4
 KNN_DIM = 64
 KNN_K = 5
@@ -350,10 +354,11 @@ def knn_graph_shared(spark, sf_dir: str, *, k: int = KNN_K) -> DataFrame:
     )
     from sql_engine_spark.operators.similarity import knn_graph
 
+    planes = derived_graph_planes(sf_dir)
     key = (
         os.path.abspath(sf_dir),
         dataset_fingerprint(sf_dir, "embeddings"),
-        KNN_PLANES,
+        planes,
         KNN_TABLES,
         KNN_DIM,
         KNN_K,
@@ -366,7 +371,7 @@ def knn_graph_shared(spark, sf_dir: str, *, k: int = KNN_K) -> DataFrame:
             emb,
             id_col="vec_id",
             vec_col="embedding",
-            planes=KNN_PLANES,
+            planes=planes,
             tables=KNN_TABLES,
             dim=KNN_DIM,
             k=KNN_K,
@@ -415,7 +420,7 @@ def triangle_triples_shared(spark, sf_dir: str) -> DataFrame:
     key = (
         os.path.abspath(sf_dir),
         dataset_fingerprint(sf_dir, "embeddings"),
-        KNN_PLANES,
+        derived_graph_planes(sf_dir),
         KNN_TABLES,
         KNN_DIM,
         KNN_K,
@@ -492,10 +497,62 @@ def capped_adjacency(g: DataFrame, *, cap: int = WEDGE_CAP) -> DataFrame:
 
 
 def sql_knn_shared(*, k: int = KNN_K) -> str:
-    """Oracle CTE body for the shared-parameter kNN graph."""
+    """Oracle CTE body for the shared kNN graph — a deferred MARKER.
+
+    Oracles are f-string-rendered at import time, but since round 11
+    the shared build's plane count is DERIVED from the corpus size
+    (derived_planes — the 100 TB operating point; the pinned 4-plane
+    build was the graph family's measured sf1 cost driver, ~215s vs
+    53s derived). The dataset isn't known at import, so this returns
+    `__KNN_SHARED_K{k}__` and registry.resolve_oracle substitutes the
+    real SQL (render_knn_shared_sql) once the sf_dir is known. Every
+    consumer that embeds this marker flips plane counts in lockstep
+    with knn_graph_shared, so Spark and DuckDB always hash the same
+    graph."""
+    if k > KNN_K:
+        raise ValueError(f"k={k} exceeds the shared build's KNN_K={KNN_K}")
+    return f"__KNN_SHARED_K{k}__"
+
+
+# abspath(sf_dir) -> embeddings row count (footer-driven, process-local)
+_EMB_COUNT_CACHE: dict[str, int] = {}
+
+
+def _emb_count(sf_dir: str) -> int:
+    import os
+
+    key = os.path.abspath(sf_dir)
+    n = _EMB_COUNT_CACHE.get(key)
+    if n is None:
+        import duckdb
+
+        n = duckdb.sql(
+            f"SELECT COUNT(*) FROM '{sf_dir}/embeddings.parquet'"
+        ).fetchone()[0]
+        _EMB_COUNT_CACHE[key] = n
+    return n
+
+
+def derived_graph_planes(sf_dir: str) -> int:
+    """The shared graph's plane count for a dataset: derived_planes of
+    the embeddings row count (parquet-footer COUNT — metadata, not a
+    row pass). Both engines call THIS, never count independently."""
+    from sql_engine_spark.operators.similarity import derived_planes
+
+    return derived_planes(_emb_count(sf_dir))
+
+
+def render_knn_shared_sql(sf_dir: str, *, k: int = KNN_K) -> str:
+    """The real oracle SQL behind a sql_knn_shared marker, rendered for
+    a concrete dataset with the derived plane count."""
     from sql_engine_spark.operators.similarity import sql_knn_graph
 
-    base = sql_knn_graph(planes=KNN_PLANES, tables=KNN_TABLES, dim=KNN_DIM, k=KNN_K)
+    base = sql_knn_graph(
+        planes=derived_graph_planes(sf_dir),
+        tables=KNN_TABLES,
+        dim=KNN_DIM,
+        k=KNN_K,
+    )
     if k == KNN_K:
         return base
     return f"SELECT * FROM ({base}) WHERE rank <= {k}"

@@ -142,18 +142,13 @@ def scalar_interval_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _bridges_oracle() -> str:
     from sql_engine_spark.operators.graph import (
-        KNN_DIM,
-        KNN_K,
-        KNN_PLANES,
-        KNN_TABLES,
+        sql_knn_shared,
         sql_triangle_corner_counts,
     )
-    from sql_engine_spark.operators.similarity import sql_knn_graph
 
     und = "SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM knn"
     return f"""
-        WITH knn AS ({sql_knn_graph(planes=KNN_PLANES, tables=KNN_TABLES,
-                                    dim=KNN_DIM, k=KNN_K)}),
+        WITH knn AS ({sql_knn_shared()}),
         {sql_triangle_corner_counts(und)},
         tri_edges AS (
             SELECT DISTINCT least(p.u, p.v) AS a, greatest(p.u, p.v) AS b

@@ -728,7 +728,14 @@ def retrieval_rank_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     qlm = retrieval_qlm_dirichlet_topk(spark, sf_dir).select(
         "query_id", "doc_id", F.col("rank").alias("rank_qlm")
     )
-    uni = (
+    from sql_engine_spark.operators.dedup import _persist
+
+    # The union relation is consumed THREE times (both sides of the
+    # tau pair self-join + the per-query size) and is k-bounded
+    # (<= 2k rows per query) — persist it so the two ranker pipelines
+    # derive ONCE instead of once per consumer (r10 plan audit: this
+    # query re-derived both rankers 3x, 27 scans / 57 shuffles).
+    uni = _persist(
         bm25.join(qlm, ["query_id", "doc_id"], "full_outer")
         .select(
             "query_id",

@@ -26,11 +26,9 @@ from pyspark.sql import functions as F
 from sql_engine_spark.functions.numeric import dsum, sql_dsum, sql_ssum, ssum
 from sql_engine_spark.io import load
 from sql_engine_spark.operators.graph import (
-    KNN_DIM,
     KNN_K,
-    KNN_PLANES,
-    KNN_TABLES,
     knn_graph_shared,
+    sql_knn_shared,
 )
 from sql_engine_spark.registry import register
 
@@ -133,11 +131,10 @@ def ann_label_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _triplet_oracle() -> str:
-    from sql_engine_spark.operators.similarity import sql_knn_graph
+    from sql_engine_spark.operators.graph import sql_knn_shared
 
     return f"""
-        WITH knn AS ({sql_knn_graph(planes=KNN_PLANES, tables=KNN_TABLES,
-                                    dim=KNN_DIM, k=KNN_K)}),
+        WITH knn AS ({sql_knn_shared()}),
         lbl AS (SELECT vec_id, label FROM embeddings),
         e AS (
             SELECT k.src, k.dst, k.cosine,
@@ -370,58 +367,24 @@ def emb_residual_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _derived_knn_oracle(sf_dir: str) -> str:
-    """Callable oracle (the ann_lsh_topk_derived pattern): the plane
-    count is a pure function of the corpus row count, so the SQL is
-    deterministic per dataset — rendered with the exact count the
-    Spark build derives from."""
-    import duckdb
-
-    from sql_engine_spark.operators.similarity import (
-        derived_planes,
-        sql_knn_graph,
-    )
-
-    n = duckdb.sql(
-        f"SELECT COUNT(*) FROM '{sf_dir}/embeddings.parquet'"
-    ).fetchone()[0]
-    return sql_knn_graph(
-        planes=derived_planes(n), tables=KNN_TABLES, dim=KNN_DIM, k=KNN_K
-    )
-
-
 @register(
     "ann_knn_graph_derived",
-    oracle=_derived_knn_oracle,
+    oracle=sql_knn_shared(),
     doc="Batch kNN graph with the plane count DERIVED from the corpus "
     "size (planes = ceil(log2(n/1024)), floored/capped — operators/"
-    "similarity.derived_planes) instead of the graph family's pinned "
-    "4: the 100 TB operating point, where expected bucket volume "
-    "stays ~1024 rows as corpora grow and the build stays ~linear. "
-    "The r10 sf1 stress probe measured the PINNED build at ~37x wall "
-    "for 10x vectors (in-bucket candidate pairs grow quadratically "
-    "once buckets saturate); this derived build is the documented "
-    "remedy, registered first-class so the scale path has its own "
-    "exact oracle (rendered per dataset via the callable-oracle "
-    "mechanism, the ann_lsh_topk_derived pattern). The pinned-param "
-    "graph family stays as-is — its params are part of its sealed "
-    "answers; a production deployment flips knn_graph_shared to this "
-    "derivation.",
+    "similarity.derived_planes) instead of a pinned 4: the 100 TB "
+    "operating point, where expected bucket volume stays ~1024 rows "
+    "as corpora grow and the build stays ~linear. The r10 sf1 stress "
+    "probe measured the pinned build at ~37x wall for 10x vectors "
+    "(in-bucket candidate pairs grow quadratically once buckets "
+    "saturate, 215s vs 53s derived). As of round 11 the WHOLE graph "
+    "family runs on this derivation — knn_graph_shared derives its "
+    "plane count per dataset and every consumer's oracle substitutes "
+    "the same count via the deferred sql_knn_shared marker — so this "
+    "entry is now the family's parity probe: literally the shared "
+    "scan, pinned green at every sealed sf.",
 )
 def ann_knn_graph_derived(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sql_engine_spark.operators.similarity import (
-        derived_planes,
-        knn_graph,
-    )
+    from sql_engine_spark.operators.graph import knn_graph_shared
 
-    emb = load(spark, sf_dir, "embeddings")
-    n = emb.count()
-    return knn_graph(
-        emb,
-        id_col="vec_id",
-        vec_col="embedding",
-        planes=derived_planes(n),
-        tables=KNN_TABLES,
-        dim=KNN_DIM,
-        k=KNN_K,
-    )
+    return knn_graph_shared(spark, sf_dir)

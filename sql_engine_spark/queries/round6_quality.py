@@ -377,10 +377,10 @@ def emb_knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _knn_label_oracle() -> str:
-    from sql_engine_spark.operators.similarity import sql_knn_graph
+    from sql_engine_spark.operators.graph import sql_knn_shared
 
     return f"""
-        WITH knn AS ({sql_knn_graph(planes=4, tables=4, dim=64, k=5)}),
+        WITH knn AS ({sql_knn_shared()}),
         votes AS (
             SELECT k.src, e.label AS nb_label, CAST(COUNT(*) AS BIGINT) AS v
             FROM knn k JOIN embeddings e ON k.dst = e.vec_id

@@ -27,8 +27,8 @@ from sql_engine_spark.operators.graph import (
 from sql_engine_spark.operators.similarity import (
     brute_force_topk,
     lsh_topk,
-    sql_knn_graph,
 )
+from sql_engine_spark.operators.graph import sql_knn_shared
 from sql_engine_spark.queries.similarity import DIM, _BRUTE_ORACLE, _lsh_oracle
 from sql_engine_spark.registry import register
 
@@ -169,7 +169,7 @@ _KNN_UND = (
 @register(
     "graph_kcore_peel2",
     oracle=f"""
-        WITH knn AS ({sql_knn_graph(planes=4, tables=4, dim=64, k=5)}),
+        WITH knn AS ({sql_knn_shared()}),
         und AS ({_KNN_UND}),
         deg1 AS (
             SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
@@ -232,7 +232,7 @@ _CN_TOPK = 3
 @register(
     "graph_common_neighbors",
     oracle=f"""
-        WITH knn AS ({sql_knn_graph(planes=4, tables=4, dim=64, k=5)}),
+        WITH knn AS ({sql_knn_shared()}),
         {sql_capped_adjacency()},
         wedges AS (
             SELECT x.nb AS a, y.nb AS b

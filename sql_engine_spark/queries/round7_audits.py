@@ -16,7 +16,7 @@ from sql_engine_spark.functions.numeric import sql_davg
 from sql_engine_spark.io import load
 from sql_engine_spark.operators import dedup as D
 from sql_engine_spark.operators.dedup import _persist
-from sql_engine_spark.operators.similarity import sql_knn_graph
+from sql_engine_spark.operators.graph import sql_knn_shared
 from sql_engine_spark.operators.textprep import sql_shingles, sql_tokens, tokens
 from sql_engine_spark.queries.dedup import (
     _MINHASH_PARAMS,
@@ -118,7 +118,7 @@ _CC_UND = """
 @register(
     "graph_clustering_coefficient",
     oracle=f"""
-        WITH knn AS ({sql_knn_graph(planes=4, tables=4, dim=64, k=5)}),
+        WITH knn AS ({sql_knn_shared()}),
         und AS ({_CC_UND}),
         adj AS (
             SELECT a AS node, b AS nb FROM und

@@ -176,11 +176,11 @@ def graph_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _fix_harmonic_oracle() -> None:
-    from sql_engine_spark.operators.similarity import sql_knn_graph
+    from sql_engine_spark.operators.graph import sql_knn_shared
 
     q = _REGISTRY["graph_harmonic_centrality"]
     q.oracle = q.oracle.replace(
-        "{knn}", sql_knn_graph(planes=4, tables=4, dim=64, k=5)
+        "{knn}", sql_knn_shared()
     )
 
 

@@ -26,7 +26,8 @@ from sql_engine_spark.operators.prefix import (
     hex_prefix_bucket,
 )
 from sql_engine_spark.operators.graph import sql_capped_adjacency
-from sql_engine_spark.operators.similarity import sql_knn_graph, two_level_topk
+from sql_engine_spark.operators.graph import sql_knn_shared
+from sql_engine_spark.operators.similarity import two_level_topk
 from sql_engine_spark.operators.textprep import sql_tokens
 from sql_engine_spark.queries.retrieval import _BM25_QUERIES
 from sql_engine_spark.registry import register
@@ -266,7 +267,7 @@ _JLP_TOPK = 3
 @register(
     "graph_jaccard_linkpred",
     oracle=f"""
-        WITH knn AS ({sql_knn_graph(planes=4, tables=4, dim=64, k=5)}),
+        WITH knn AS ({sql_knn_shared()}),
         {sql_capped_adjacency()},
         deg AS (
             SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM adjw GROUP BY node

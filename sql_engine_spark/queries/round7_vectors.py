@@ -27,8 +27,8 @@ from sql_engine_spark.operators.graph import sql_capped_adjacency
 from sql_engine_spark.operators.similarity import (
     brute_force_topk,
     plane_vals,
-    sql_knn_graph,
 )
+from sql_engine_spark.operators.graph import sql_knn_shared
 from sql_engine_spark.registry import register
 
 _MRL_DIM = 16
@@ -378,7 +378,7 @@ _RA_TOPK = 3
 @register(
     "graph_resource_allocation",
     oracle=f"""
-        WITH knn AS ({sql_knn_graph(planes=4, tables=4, dim=64, k=5)}),
+        WITH knn AS ({sql_knn_shared()}),
         {sql_capped_adjacency()},
         deg AS (
             SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM adjw GROUP BY node
@@ -464,7 +464,7 @@ def graph_resource_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "graph_degree_histogram",
     oracle=f"""
-        WITH knn AS ({sql_knn_graph(planes=4, tables=4, dim=64, k=5)}),
+        WITH knn AS ({sql_knn_shared()}),
         und AS ({_KNN_UND}),
         adj AS (
             SELECT a AS node FROM und

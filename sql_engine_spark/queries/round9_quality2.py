@@ -29,10 +29,10 @@ _NOISE_MIN_DISAGREE = 4
 
 
 def _noise_oracle() -> str:
-    from sql_engine_spark.operators.similarity import sql_knn_graph
+    from sql_engine_spark.operators.graph import sql_knn_shared
 
     return f"""
-        WITH knn AS ({sql_knn_graph(planes=4, tables=4, dim=64, k=5)}),
+        WITH knn AS ({sql_knn_shared()}),
         j AS (
             SELECT k.src, es.label AS own_label, ed.label AS nb_label
             FROM knn k

@@ -13,8 +13,8 @@ from sql_engine_spark.operators.similarity import (
     lsh_multitable_topk,
     lsh_topk,
     sql_lsh_bucket,
-    sql_knn_graph,
 )
+from sql_engine_spark.operators.graph import sql_knn_shared
 from sql_engine_spark.operators.graph import sql_pagerank_fixed
 from sql_engine_spark.registry import register
 
@@ -803,7 +803,7 @@ def ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ann_knn_graph",
-    oracle=sql_knn_graph(planes=4, tables=4, dim=64, k=5),
+    oracle=sql_knn_shared(),
     doc="Batch kNN-graph: every corpus vector's top-5 approximate "
     "cosine neighbors via 4-table x 4-plane OR-amplified LSH (the "
     "standardized graph-family params — operators/graph.knn_graph_shared "
@@ -826,7 +826,7 @@ def ann_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     "graph_pagerank_knn",
     oracle=sql_pagerank_fixed(
         "SELECT vec_id AS node FROM embeddings",
-        f"SELECT src, dst FROM ({sql_knn_graph(planes=4, tables=4, dim=64, k=3)})",
+        f"SELECT src, dst FROM ({sql_knn_shared(k=3)})",
         iterations=3,
     ),
     doc="Fixed-iteration PageRank (3 rounds, damping 0.85) over the "

@@ -29,10 +29,28 @@ class Query:
 
 
 def resolve_oracle(oracle: Optional[OracleSpec], sf_dir: str) -> Optional[str]:
-    """Render an oracle spec to SQL for a concrete dataset directory."""
+    """Render an oracle spec to SQL for a concrete dataset directory.
+
+    Besides calling callable oracles, this substitutes the deferred
+    `__KNN_SHARED_K{k}__` markers (operators/graph.sql_knn_shared):
+    the shared kNN graph's plane count is derived from the dataset's
+    corpus size, which static f-string oracles can't know at import
+    time. One substitution point keeps every graph-family oracle in
+    lockstep with knn_graph_shared's derived build."""
     if oracle is None:
         return None
-    return oracle(sf_dir) if callable(oracle) else oracle
+    sql = oracle(sf_dir) if callable(oracle) else oracle
+    if "__KNN_SHARED_K" in sql:
+        import re as _re
+
+        from sql_engine_spark.operators.graph import render_knn_shared_sql
+
+        sql = _re.sub(
+            r"__KNN_SHARED_K(\d+)__",
+            lambda m: render_knn_shared_sql(sf_dir, k=int(m.group(1))),
+            sql,
+        )
+    return sql
 
 
 _REGISTRY: dict[str, Query] = {}
