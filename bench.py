@@ -521,6 +521,13 @@ EXTENSION_R10 = [
     "graph_local_bridges",
 ]
 
+EXTENSION_R11 = [
+    "text_kneser_ney_bigram",
+    "sample_pps_systematic",
+    "emb_matryoshka_edge_distortion",
+    "dedup_crossmodal_candidate_audit",
+]
+
 
 def _time_section(spark, qs, names: list[str], sf_dir: str) -> dict[str, float]:
     """Best-of-2 full passes: one transient stall (GC, page cache miss,
@@ -587,6 +594,7 @@ SECTIONS = {
     "r9": EXTENSION_R9,
     "r9b": EXTENSION_R9B,
     "r10": EXTENSION_R10,
+    "r11": EXTENSION_R11,
 }
 
 
@@ -671,6 +679,7 @@ def main() -> int:
     r9_timings, r9_total = section("r9", EXTENSION_R9)
     r9b_timings, r9b_total = section("r9b", EXTENSION_R9B)
     r10_timings, r10_total = section("r10", EXTENSION_R10)
+    r11_timings, r11_total = section("r11", EXTENSION_R11)
 
     # Curation flagships: best-of-2, own stable total (r3 comparison
     # base: extension_queries.dedup_keep_best / pipeline_curate_full).
@@ -706,6 +715,8 @@ def main() -> int:
         "extension_r9b_queries": r9b_timings,
         "extension_r10_total": r10_total,
         "extension_r10_queries": r10_timings,
+        "extension_r11_total": r11_total,
+        "extension_r11_queries": r11_timings,
     }
     if companion:
         out["companion_sf"] = 0.01
