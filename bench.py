@@ -758,6 +758,8 @@ def main() -> int:
         "extension_r8_total": r8_total,
         "extension_r9_total": r9_total,
         "extension_r9b_total": r9b_total,
+        "extension_r10_total": r10_total,
+        "extension_r11_total": r11_total,
     }
     if companion:
         summary["companion_total"] = out["companion_total"]
