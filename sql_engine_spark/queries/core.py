@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from sql_engine_spark.functions.numeric import davg, dsum, sql_davg, sql_dsum
+from sql_engine_spark.functions.numeric import davg, dsum, sql_davg, sql_dsum, sql_ssum, ssum
 from sql_engine_spark.io import load
 from sql_engine_spark.registry import register
 
@@ -292,8 +292,8 @@ _TPCH_Q1_ORACLE = f"""
     SELECT l_returnflag, l_linestatus,
            {sql_dsum('l_quantity')}                                        AS sum_qty,
            {sql_dsum('l_extendedprice')}                                   AS sum_base_price,
-           {sql_dsum('l_extendedprice * (1 - l_discount)')}                AS sum_disc_price,
-           {sql_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)')}  AS sum_charge,
+           {sql_ssum('l_extendedprice * (1 - l_discount)')}                AS sum_disc_price,
+           {sql_ssum('l_extendedprice * (1 - l_discount) * (1 + l_tax)')}  AS sum_charge,
            {sql_davg('l_quantity')}                                        AS avg_qty,
            {sql_davg('l_extendedprice')}                                   AS avg_price,
            {sql_davg('l_discount')}                                        AS avg_disc,
@@ -320,8 +320,14 @@ def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             dsum("l_quantity").alias("sum_qty"),
             dsum("l_extendedprice").alias("sum_base_price"),
-            dsum(price * (1 - disc)).alias("sum_disc_price"),
-            dsum(price * (1 - disc) * (1 + tax)).alias("sum_charge"),
+            # Per-row double PRODUCTS go through ssum, not dsum: the
+            # double->decimal CAST rounds differently per engine at .5
+            # boundaries, and at sf1 row counts one term lands on one
+            # (observed: sum_charge off by exactly 1 ulp in the r11 sf1
+            # seal). ssum does the 6-decimal rounding in shared IEEE
+            # double arithmetic first. Raw-column sums keep dsum.
+            ssum(price * (1 - disc)).alias("sum_disc_price"),
+            ssum(price * (1 - disc) * (1 + tax)).alias("sum_charge"),
             davg("l_quantity").alias("avg_qty"),
             davg("l_extendedprice").alias("avg_price"),
             davg("l_discount").alias("avg_disc"),

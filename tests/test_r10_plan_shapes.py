@@ -46,9 +46,11 @@ def test_prefix_filter_has_positional_filter(spark):
 
     df = all_queries()["dedup_prefix_filter"].build(spark, SF_DIR)
     plan = _plan(df)
-    # The PPJoin bound compares against CEIL(c * (n_a + n_b)); CEIL
+    # The PPJoin positional bound is integer-exact since r11:
+    # ubound * (t_num + t_den) >= t_num * (n_a + n_b). For the
+    # registered t = 0.3 (= 3/10) the cross-multiplied constant 13
     # only enters the plan through that predicate.
-    assert "CEIL" in plan.upper(), plan[:4000]
+    assert "* 13)" in plan, plan[:4000]
 
 
 def test_minhash_verify_broadcasts_sets(spark):
