@@ -25,6 +25,20 @@ from sql_engine_spark.registry import Query
 
 def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
+    # Budget DuckDB explicitly: its default memory limit (~80% of RAM)
+    # assumes it owns the machine, but here it shares a process with a
+    # Spark driver JVM — at sf1 the dedup_lsh_recall_curve oracle ate
+    # ~100 GB alongside the JVM and the OS OOM-killed the whole gate
+    # (r11 sf1 seal). A hard cap makes DuckDB SPILL to its temp dir
+    # instead; the gate slows down but never dies. Both knobs are
+    # overridable via env for bigger hosts.
+    import os as _os
+
+    mem = _os.environ.get("SPARK_GRAFT_DUCKDB_MEM", "24GB")
+    tmp = _os.environ.get("SPARK_GRAFT_DUCKDB_TMP", "")
+    con.execute(f"SET memory_limit='{mem}'")
+    if tmp:
+        con.execute(f"SET temp_directory='{tmp}'")
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     return con

@@ -214,17 +214,21 @@ def _fix_entries_oracle() -> None:
         )
         prev = cur
     rounds_sql = ",\n        ".join(rounds)
+    # MATERIALIZED is load-bearing at scale: the hop unroll references
+    # `adj` once per hop, and DuckDB re-evaluates plain CTEs per
+    # reference — at sf1 that rebuilt the whole LSH kNN construction
+    # 4x and spilled ~70+ GB of temp (ENOSPC in the r11 sf1 seal).
     _REGISTRY["ann_greedy_entries_sweep"].oracle = f"""
-        WITH knn AS ({sql_knn_shared()}),
-        v AS (
+        WITH knn AS MATERIALIZED ({sql_knn_shared()}),
+        v AS MATERIALIZED (
             SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
             FROM embeddings
         ),
-        und AS (
+        und AS MATERIALIZED (
             SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
             FROM knn WHERE src >= 10 AND dst >= 10
         ),
-        adj AS (
+        adj AS MATERIALIZED (
             SELECT a AS node, b AS nb FROM und
             UNION ALL
             SELECT b AS node, a AS nb FROM und
