@@ -247,6 +247,8 @@ def main() -> int:
                     "ok": r.ok,
                     "spark_rows": r.spark_rows,
                     "oracle_rows": r.oracle_rows,
+                    "spark_sec": r.spark_sec,
+                    "oracle_sec": r.oracle_sec,
                     "problems": [p[:300] for p in r.problems],
                 }
                 for r in results

@@ -66,10 +66,50 @@ def changed_queries_for_commit(commit: str) -> tuple[list[str], list[str]]:
     return sorted(names), engine
 
 
+def hook_src_path() -> str:
+    return os.path.join(HERE, "scripts", "hooks", "post-commit")
+
+
+def hook_dst_path() -> str:
+    return os.path.join(HERE, ".git", "hooks", "post-commit")
+
+
+def install_hook() -> None:
+    """Copy scripts/hooks/post-commit into .git/hooks (executable).
+    The hook runs this script with --hook after EVERY commit, so
+    GATELOG.jsonl entries are written by the gate itself at commit
+    time — never reconstructed by hand (r11 verdict #4)."""
+    import shutil
+    import stat
+
+    shutil.copyfile(hook_src_path(), hook_dst_path())
+    os.chmod(
+        hook_dst_path(),
+        os.stat(hook_dst_path()).st_mode
+        | stat.S_IXUSR | stat.S_IXGRP | stat.S_IXOTH,
+    )
+    print(f"installed {hook_dst_path()}")
+
+
+def hook_installed() -> bool:
+    try:
+        with open(hook_src_path()) as a, open(hook_dst_path()) as b:
+            return a.read() == b.read() and os.access(hook_dst_path(), os.X_OK)
+    except OSError:
+        return False
+
+
 def main() -> int:
     args = sys.argv[1:]
     sf_dir = "/root/testdata/sf0.001"
     also: list[str] = []
+    via_hook = False
+    if "--install-hook" in args:
+        install_hook()
+        return 0
+    if "--hook" in args:
+        via_hook = True
+        args.remove("--hook")
     if "--sf-dir" in args:
         i = args.index("--sf-dir")
         sf_dir = args[i + 1]
@@ -91,6 +131,14 @@ def main() -> int:
         "engine_files": engine,
         "also_gated": sorted(set(also) - set(names)),
     }
+    if via_hook:
+        entry["via"] = "post-commit-hook"
+        entry["at"] = time.strftime("%Y-%m-%dT%H:%M:%S%z")
+    if via_hook and os.environ.get("SQE_SKIP_GATE"):
+        entry["passed"] = entry["total"] = 0
+        entry["ok"] = True
+        entry["note"] = "gate explicitly skipped (SQE_SKIP_GATE set)"
+        gate = []
     if gate:
         with tempfile.NamedTemporaryFile(suffix=".json", delete=False) as tf:
             out_json = tf.name
@@ -129,7 +177,7 @@ def main() -> int:
                 os.unlink(out_json)
             except OSError:
                 pass
-    else:
+    elif "note" not in entry:
         entry["passed"] = entry["total"] = 0
         entry["ok"] = True
         entry["note"] = "no query modules changed (doc/tooling-only commit)"

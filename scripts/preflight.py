@@ -56,6 +56,21 @@ def checks() -> list[tuple[str, list[str]]]:
 
 def main() -> int:
     bad = []
+    # gatelog-hook: the per-commit gate must be the .git/hooks copy of
+    # scripts/hooks/post-commit (r11 verdict #4 — entries written by the
+    # gate itself, never back-filled). Cheap local check, no subprocess.
+    sys.path.insert(0, os.path.join(HERE, "scripts"))
+    from gate_commit import hook_installed
+
+    ok = hook_installed()
+    print(f"{'OK  ' if ok else 'FAIL'} gatelog-hook", flush=True)
+    if not ok:
+        bad.append("gatelog-hook")
+        print(
+            "post-commit hook missing/stale: run "
+            "`python scripts/gate_commit.py --install-hook`",
+            flush=True,
+        )
     for name, cmd in checks():
         p = subprocess.run(cmd, capture_output=True, text=True)
         ok = p.returncode == 0

@@ -154,6 +154,24 @@ _PREFIX_DF_BROADCAST_MAX_SRC_BYTES = 64 << 20
 # exactly the corpus sizes the source-bytes gate was tuned for.
 _PREFIX_DF_BROADCAST_MAX_HS_BYTES = 256 << 20
 
+
+def _threshold_fraction(threshold: float) -> Fraction:
+    """The exact decimal rational for a Jaccard threshold, shared by the
+    Spark pipeline and its DuckDB oracle so both prune with identical
+    integer bounds. Overflow guard (r11 advisory): a threshold like 1/3
+    arrives as a ~16-digit decimal string whose exact Fraction has a
+    ~2^53 numerator, and size(__sorted) * t_num could then silently wrap
+    bigint under non-ANSI Spark. Short decimal thresholds (0.3, 0.85, …)
+    pass through exactly; anything wider is already a float
+    approximation of the caller's intent, so the nearest
+    million-denominator rational loses nothing real while keeping every
+    integer product below 2^31 * 10^6 < 2^51 — overflow-safe for any
+    shingle-set size that fits an int."""
+    frac = Fraction(str(threshold))
+    if frac.denominator > 10**6:
+        frac = frac.limit_denominator(10**6)
+    return frac
+
 # Verify-join broadcast gate (r10 sf1 stress finding): the exact-Jaccard
 # verify joins candidates (bare 16-byte id pairs) against the shingle-set
 # relation TWICE. Planned as shuffle joins, the FIRST join's output — a
@@ -1027,7 +1045,7 @@ def prefix_filter_pairs_from_hs(
     # becomes (n*t_num + t_den - 1) div t_den; O >= ceil(c*(na+nb))
     # with c = t/(1+t) collapses (O integer) to the cross-multiplied
     # O*(t_num+t_den) >= t_num*(na+nb).
-    _tfrac = Fraction(str(threshold))
+    _tfrac = _threshold_fraction(threshold)
     t_num, t_den = _tfrac.numerator, _tfrac.denominator
     # Order each doc's shingles rarest-first by (df, hash) — a total
     # order shared by every doc, which is all the prefix lemma needs.
@@ -1116,7 +1134,7 @@ def sql_prefix_filter_pairs(
     from sql_engine_spark.operators.textprep import sql_shingles, sql_tokens
 
     toks = sql_tokens("text")
-    _tfrac = Fraction(str(threshold))
+    _tfrac = _threshold_fraction(threshold)
     t_num, t_den = _tfrac.numerator, _tfrac.denominator
     return f"""
         WITH docs AS (

@@ -164,12 +164,18 @@ def token_arrays_shared(spark: SparkSession, sf_dir: str):
     indexing-stage pass no matter how many rankers run."""
     import os
 
+    from sql_engine_spark.operators.dedup import dataset_fingerprint
+
     bm25_index_shared(spark, sf_dir)
-    key = (os.path.abspath(sf_dir), None)
-    for (path, _fp), root in list(_BM25_IDX_CACHE.items()):
-        if path == os.path.abspath(sf_dir):
-            return spark.read.parquet(os.path.join(root, "tokens.parquet"))
-    raise RuntimeError("bm25_index_shared did not register an index root")
+    # Same (abspath, dataset-fingerprint) key bm25_index_shared caches
+    # under — a path whose dataset changed mid-process misses here and
+    # the rebuild above re-registers, instead of a path-only scan
+    # returning whichever stale root was inserted first.
+    key = (os.path.abspath(sf_dir), dataset_fingerprint(sf_dir, "documents"))
+    root = _BM25_IDX_CACHE.get(key)
+    if root is None or not os.path.isdir(root):
+        raise RuntimeError("bm25_index_shared did not register an index root")
+    return spark.read.parquet(os.path.join(root, "tokens.parquet"))
 
 
 def sql_bm25_index(source: str = "documents") -> str:

@@ -33,12 +33,31 @@ def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     # instead; the gate slows down but never dies. Both knobs are
     # overridable via env for bigger hosts.
     import os as _os
+    import tempfile as _tempfile
 
-    mem = _os.environ.get("SPARK_GRAFT_DUCKDB_MEM", "24GB")
-    tmp = _os.environ.get("SPARK_GRAFT_DUCKDB_TMP", "")
+    mem = _os.environ.get("SPARK_GRAFT_DUCKDB_MEM", "")
+    if not mem:
+        # RAM-aware default (r11 advisory): a hardcoded 24 GB is a
+        # LOOSER cap than DuckDB's own 80%-of-RAM default on hosts with
+        # <30 GB, reintroducing the OOM-kill the cap exists to prevent.
+        # min(24 GB, 40% of detected RAM) leaves the Spark driver JVM
+        # its share on any host size.
+        try:
+            pages = _os.sysconf("SC_PHYS_PAGES")
+            page_sz = _os.sysconf("SC_PAGE_SIZE")
+            total_gb = pages * page_sz / (1 << 30)
+        except (ValueError, OSError, AttributeError):
+            total_gb = 64.0
+        mem = f"{max(1, min(24, int(total_gb * 0.4)))}GB"
     con.execute(f"SET memory_limit='{mem}'")
-    if tmp:
-        con.execute(f"SET temp_directory='{tmp}'")
+    # Always give DuckDB a spill directory: with a memory cap but no
+    # temp_directory on an in-memory connection, cap-exceeding operators
+    # hard-OOM instead of spilling.
+    tmp = _os.environ.get("SPARK_GRAFT_DUCKDB_TMP", "") or _os.path.join(
+        _tempfile.gettempdir(), "sqe_duckdb_spill"
+    )
+    _os.makedirs(tmp, exist_ok=True)
+    con.execute(f"SET temp_directory='{tmp}'")
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     return con
@@ -67,6 +86,11 @@ class CompareResult:
     spark_rows: int = 0
     oracle_rows: int = 0
     problems: list[str] = field(default_factory=list)
+    # Per-side walls (seconds): engine collect vs oracle fetch. Recorded
+    # so scale-seal planning can rank queries by MEASURED cost instead of
+    # guessing which family members are expensive (r11 verdict #1).
+    spark_sec: float = 0.0
+    oracle_sec: float = 0.0
 
 
 def compare_query(
@@ -76,11 +100,15 @@ def compare_query(
     sf_dir: str,
     sample_diffs: int = 3,
 ) -> CompareResult:
+    import time as _time
+
     res = CompareResult(name=q.name, ok=True)
+    _t0 = _time.time()
     sdf = q.build(spark, sf_dir)
     s_cols = list(sdf.columns)
     try:
         s_rows = [tuple(_norm(v) for v in row) for row in sdf.collect()]
+        res.spark_sec = round(_time.time() - _t0, 2)
     finally:
         # The dedup operators persist intermediates whose lifetime the
         # consumer owns (operators/dedup.py:_persist) — the collect above
@@ -98,9 +126,11 @@ def compare_query(
         res.problems.append("no oracle (rows-only check)")
         return res
 
+    _t1 = _time.time()
     rel = con.sql(oracle_sql)
     o_cols = list(rel.columns)
     o_rows = [tuple(_norm(v) for v in row) for row in rel.fetchall()]
+    res.oracle_sec = round(_time.time() - _t1, 2)
     res.spark_rows, res.oracle_rows = len(s_rows), len(o_rows)
 
     if sorted(s_cols) != sorted(o_cols):

@@ -91,17 +91,33 @@ _SQL_MEDIAN_THRESH = """thresh AS (
 )
 def quality_equalized_odds_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    ranked = docs.select(
-        "n_chars",
-        F.row_number()
-        .over(Window.orderBy("n_chars", "doc_id"))
-        .alias("rn"),
-        F.count("*").over(Window.partitionBy()).alias("n"),
+    # Median n_chars WITHOUT ranking every document through one global
+    # window (r11 window sweep): the n_chars at global rank (n+1)//2
+    # under (n_chars, doc_id) order is the smallest n_chars whose
+    # cumulative document count reaches that rank — the doc_id
+    # tie-break never changes which VALUE sits at the rank. So the
+    # corpus aggregates per distinct n_chars (value-domain-bounded,
+    # like the score-grid quality ops) and one tiny cumulative window
+    # finds the crossing group. Identical threshold, no corpus-sized
+    # single-task sort.
+    per = docs.groupBy("n_chars").agg(F.count("*").cast("long").alias("cnt"))
+    wc = Window.orderBy("n_chars").rowsBetween(
+        Window.unboundedPreceding, 0
     )
+    ntot = docs.agg(F.count("*").cast("long").alias("n"))
     # integer division parity: (n + 1) // 2 in both engines
-    thresh = ranked.where(
-        F.col("rn") == F.floor((F.col("n") + 1) / 2)
-    ).select(F.col("n_chars").alias("t"))
+    thresh = (
+        per.withColumn("cum", F.sum("cnt").over(wc))
+        .crossJoin(F.broadcast(ntot))
+        .where(
+            (F.col("cum") >= F.floor((F.col("n") + 1) / 2))
+            & (
+                F.col("cum") - F.col("cnt")
+                < F.floor((F.col("n") + 1) / 2)
+            )
+        )
+        .select(F.col("n_chars").alias("t"))
+    )
     scored = docs.crossJoin(F.broadcast(thresh)).select(
         "source",
         F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),

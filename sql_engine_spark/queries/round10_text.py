@@ -80,15 +80,25 @@ from sql_engine_spark.registry import register
 )
 def text_heaps_doubling(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    # Global doc rank from the SLIM (doc_id) projection only — the
-    # single-partition row_number sort moves 8-byte rows, never the
-    # text payload. rn is monotone in doc_id, so MIN(rn) per token ==
-    # rn of the token's MIN(doc_id): first occurrences aggregate on
-    # doc_id (map-side combinable) and one slim join resolves ranks.
-    rn = docs.select("doc_id").select(
-        "doc_id",
-        F.row_number().over(Window.orderBy("doc_id")).cast("long").alias("rn"),
-    )
+    # Global doc rank from the SLIM (doc_id) projection only — and via
+    # the two-level bucketed rank, not a single-partition row_number:
+    # even 8-byte rows are corpus-count rows, and at 100x they funnel
+    # through one task under a bare global window (r11 window sweep).
+    # Ranks are identical (doc_id is unique, weights are 1). rn is
+    # monotone in doc_id, so MIN(rn) per token == rn of the token's
+    # MIN(doc_id): first occurrences aggregate on doc_id (map-side
+    # combinable) and one slim join resolves ranks.
+    from sql_engine_spark.operators.prefix import bucketed_value_rank
+
+    ids = docs.select("doc_id")
+    rn = bucketed_value_rank(
+        ids,
+        part_cols=[],
+        value_col="doc_id",
+        tie_col="doc_id",
+        n_rows=ids.count(),
+        out_col="rn",
+    ).select("doc_id", F.col("rn").cast("long").alias("rn"))
     n = docs.agg(F.count("*").cast("long").alias("n_docs"))
     first_doc = (
         docs.select("doc_id", F.explode(tokens("text")).alias("token"))

@@ -125,20 +125,27 @@ def text_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cont = bc.groupBy("w2").agg(F.count("*").cast("long").alias("n1p_bw"))
     tot = bc.agg(F.count("*").cast("long").alias("n1p_all"))
-    joined = (
+    # Top-N through the salted two-level rank, NOT a bare global
+    # row_number() window: bigram TYPES grow with the corpus (Heaps —
+    # the repo's own text_heaps_doubling measures it), so an
+    # unpartitioned sort would funnel a corpus-growing relation through
+    # one task. Struct ordering is field-wise, so asc(struct(w1, w2))
+    # is exactly the oracle's (w1 ASC, w2 ASC) tie-break; the result is
+    # bit-identical to the single-window spelling.
+    from sql_engine_spark.operators.similarity import two_level_topk
+
+    joined = two_level_topk(
         bc.join(uni, "w1")
         .join(cont, "w2")
         .crossJoin(F.broadcast(tot))
-        .withColumn(
-            "rk",
-            F.row_number().over(
-                Window.orderBy(
-                    F.col("c_bigram").desc(), F.col("w1").asc(), F.col("w2").asc()
-                )
-            ),
-        )
-        .where(F.col("rk") <= _KN_TOPN)
-    )
+        .withColumn("__q", F.lit(1))
+        .withColumn("__bid", F.struct("w1", "w2")),
+        score_col="c_bigram",
+        k=_KN_TOPN,
+        rank_col="rk",
+        query_col="__q",
+        id_col="__bid",
+    ).drop("__q", "__bid")
     d = F.lit(_KN_D)
     c_b = F.col("c_bigram").cast("double")
     c_w1 = F.col("c_w1").cast("double")
@@ -375,18 +382,27 @@ def emb_matryoshka_edge_distortion(
             cos_d(32).alias("cos32"),
         )
     )
-    rows = []
+    # Both widths in ONE aggregation job (cos16/cos32 are columns of the
+    # same row set), then an unpivot of the 1-row wide result — so the
+    # graph scan and both embedding joins run exactly once, matching the
+    # registered doc's "one scan of the graph plus two slim joins".
+    aggs = [F.count("*").cast("long").alias("n_edges")]
     for d in _MTRYD:
         err = F.abs(F.col(f"cos{d}") - F.col("cosine"))
-        rows.append(
-            pairs.agg(
-                F.lit(d).cast("int").alias("d"),
-                F.count("*").cast("long").alias("n_edges"),
-                ssum(err, scale=1e9).alias("abs_err_sum"),
-                F.max(err).alias("max_abs_err"),
-            )
+        aggs.append(ssum(err, scale=1e9).alias(f"abs_err_sum_{d}"))
+        aggs.append(F.max(err).alias(f"max_abs_err_{d}"))
+    wide = pairs.agg(*aggs)
+    stack = (
+        f"stack({len(_MTRYD)}, "
+        + ", ".join(
+            f"{d}, abs_err_sum_{d}, max_abs_err_{d}" for d in _MTRYD
         )
-    out = rows[0].unionByName(rows[1])
+        + ") as (d, abs_err_sum, max_abs_err)"
+    )
+    out = wide.selectExpr("n_edges", stack).select(
+        F.col("d").cast("int").alias("d"), "n_edges", "abs_err_sum",
+        "max_abs_err",
+    )
     return out.select(
         "d",
         "n_edges",
@@ -478,7 +494,5 @@ def dedup_crossmodal_candidate_audit(
     return sz.groupBy("t").agg(
         F.count("*").cast("long").alias("n_buckets"),
         F.max("n").cast("long").alias("max_bucket"),
-        F.sum((F.col("n") * (F.col("n") - 1)) / 2)
-        .cast("long")
-        .alias("cand_pairs"),
+        F.sum(F.expr("n * (n - 1) div 2")).cast("long").alias("cand_pairs"),
     )

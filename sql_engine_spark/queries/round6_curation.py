@@ -206,16 +206,20 @@ def text_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     cnt = w.groupBy("w").agg(F.count("*").cast("long").alias("c"))
-    from pyspark.sql import Window
+    # Top-K vocabulary through the salted two-level rank (r11 window
+    # sweep): word TYPES grow with the corpus (Heaps), so a bare global
+    # row_number would funnel a corpus-growing relation through one
+    # task. Bit-identical to the single-window spelling.
+    from sql_engine_spark.operators.similarity import two_level_topk
 
-    tw = (
-        cnt.withColumn(
-            "rk",
-            F.row_number().over(Window.orderBy(F.desc("c"), F.asc("w"))),
-        )
-        .where(F.col("rk") <= _COOC_TOPW)
-        .select("w")
-    )
+    tw = two_level_topk(
+        cnt.withColumn("__q", F.lit(1)),
+        score_col="c",
+        k=_COOC_TOPW,
+        rank_col="rk",
+        query_col="__q",
+        id_col="w",
+    ).select("w")
     dw = _persist(w.join(F.broadcast(tw), "w").select("doc_id", "w").distinct())
     df = dw.groupBy("w").agg(F.count("*").cast("long").alias("df"))
     n = docs.agg(F.count("*").cast("long").alias("n"))

@@ -252,14 +252,22 @@ def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.length("tok") >= _TR_MINLEN)
         .select("doc_id", "tok", (F.col("p0") + 1).cast("long").alias("p"))
     )
-    wv = Window.orderBy(F.desc("n"), F.asc("tok"))
-    vocab = (
+    # Vocab cut through the salted two-level rank (r11 window sweep):
+    # token TYPES grow with the corpus (Heaps), so a bare global
+    # row_number would funnel a corpus-growing relation through one
+    # task. Bit-identical to the single-window spelling.
+    from sql_engine_spark.operators.similarity import two_level_topk
+
+    vocab = two_level_topk(
         pos.groupBy("tok")
         .agg(F.count("*").alias("n"))
-        .withColumn("rk", F.row_number().over(wv))
-        .where(F.col("rk") <= _TR_VOCAB)
-        .select("tok")
-    )
+        .withColumn("__q", F.lit(1)),
+        score_col="n",
+        k=_TR_VOCAB,
+        rank_col="rk",
+        query_col="__q",
+        id_col="tok",
+    ).select("tok")
     vp = pos.join(F.broadcast(vocab), "tok").select("doc_id", "tok", "p")
     a = vp.select("doc_id", F.col("tok").alias("w1"), F.col("p").alias("pa"))
     b = vp.select("doc_id", F.col("tok").alias("w2"), F.col("p").alias("pb"))

@@ -652,13 +652,21 @@ def sample_priority_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("priority"),
     )
-    r = w.withColumn(
-        "rk",
-        F.row_number()
-        .over(Window.orderBy(F.desc("priority"), F.asc("doc_id")))
-        .cast("long"),
-    )
-    top = r.where(F.col("rk") <= _PRI_K + 1)
+    # Top-(k+1) through the salted two-level rank (r11 window sweep):
+    # priorities exist for EVERY document, so a bare global row_number
+    # would funnel the corpus through one task. Bit-identical to the
+    # single-window spelling — (desc priority, asc doc_id) is a strict
+    # total order.
+    from sql_engine_spark.operators.similarity import two_level_topk
+
+    top = two_level_topk(
+        w.withColumn("__q", F.lit(1)),
+        score_col="priority",
+        k=_PRI_K + 1,
+        rank_col="rk",
+        query_col="__q",
+        id_col="doc_id",
+    ).drop("__q")
     tau = top.agg(
         F.coalesce(
             F.max(F.when(F.col("rk") == _PRI_K + 1, F.col("priority"))),
