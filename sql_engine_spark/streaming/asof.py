@@ -35,6 +35,7 @@ from __future__ import annotations
 
 from typing import Any, Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -61,38 +62,96 @@ def _asof_group(
         state.remove()
         return
     user_id = key[0]
-    rows: list[tuple[int, int, int, str]] = []
+    ts_l, eid_l, side_l = [], [], []
     for pdf in pdfs:
-        micros = pdf["ts"].astype("datetime64[us]").astype("int64")
-        for ts, eid, et in zip(micros, pdf["event_id"], pdf["event_type"]):
-            if et == right_type or et == left_type:
-                # views sort before purchases at equal ts (side 0 < 1) so a
-                # simultaneous view matches; among equal-ts views the max
-                # event_id wins — identical to the batch operator's order.
-                rows.append((int(ts), 0 if et == right_type else 1, int(eid), et))
-    rows.sort()
+        et = pdf["event_type"].to_numpy()
+        keep = (et == right_type) | (et == left_type)
+        if not keep.any():
+            continue
+        ts_l.append(
+            pdf["ts"].to_numpy(dtype="datetime64[us]").astype("int64")[keep]
+        )
+        eid_l.append(pdf["event_id"].to_numpy(dtype="int64")[keep])
+        # views sort before purchases at equal ts (side 0 < 1) so a
+        # simultaneous view matches; among equal-ts views the max
+        # event_id wins — identical to the batch operator's order.
+        side_l.append((et[keep] != right_type).astype("int8"))
+    if ts_l:
+        tms = np.concatenate(ts_l)
+        eids = np.concatenate(eid_l)
+        side = np.concatenate(side_l)
+        order = np.lexsort((eids, side, tms))
+        tms, eids, side = tms[order], eids[order], side[order]
+    else:
+        tms = eids = np.empty(0, dtype="int64")
+        side = np.empty(0, dtype="int8")
+    n = tms.size
 
     best_ts, best_id, max_ts = (
         state.get if state.exists else (None, None, None)
     )
-    if strict_order and rows and max_ts is not None and rows[0][0] < max_ts:
+    if strict_order and n and max_ts is not None and int(tms[0]) < max_ts:
         raise ValueError(
             f"asof_enrich_stateful: out-of-order replay for key {user_id}: "
-            f"batch delivered ts {rows[0][0]}us < already-processed max "
+            f"batch delivered ts {int(tms[0])}us < already-processed max "
             f"{max_ts}us. Cross-batch time order per key is the operator's "
             "exact-convergence precondition (see streaming/asof.py); feed a "
             "time-ordered replay or pass strict_order=False for best-effort "
             "enrichment."
         )
-    out: list[tuple[int, int, int, int | None, int | None]] = []
-    for ts, _side, eid, et in rows:
-        if et == right_type:
-            if best_ts is None or ts > best_ts or (ts == best_ts and eid > best_id):
-                best_ts, best_id = ts, eid
-        else:
-            out.append((eid, user_id, ts, best_ts, best_id))
-    if rows:
-        max_ts = rows[-1][0] if max_ts is None else max(max_ts, rows[-1][0])
+    out = None
+    if n:
+        # Vectorized running-best: in the (ts, side, eid) sort, the best
+        # view before position i is the LAST view row at index < i (its
+        # (ts, eid) is the per-prefix maximum by construction), except
+        # when the carried state wins a tie — the carried best replaces
+        # a batch view only if (ts, eid) is strictly greater, matching
+        # the scalar update rule (replace on ts >, or ts == and eid >).
+        is_view = side == 0
+        idx = np.arange(n, dtype="int64")
+        last_view = np.maximum.accumulate(np.where(is_view, idx, -1))
+        purch = ~is_view
+        k = int(purch.sum())
+        if k:
+            lv = last_view[purch]
+            has_batch = lv >= 0
+            bts = np.where(has_batch, tms[np.maximum(lv, 0)], np.int64(0))
+            bid = np.where(has_batch, eids[np.maximum(lv, 0)], np.int64(0))
+            if best_ts is not None:
+                carried_wins = ~has_batch | (
+                    (best_ts > bts) | ((best_ts == bts) & (best_id >= bid))
+                )
+                a_ts = np.where(carried_wins, np.int64(best_ts), bts)
+                a_id = np.where(carried_wins, np.int64(best_id), bid)
+                has = np.ones(k, dtype=bool)
+            else:
+                a_ts, a_id, has = bts, bid, has_batch
+            ats = np.full(k, np.datetime64("NaT", "us"))
+            ats[has] = a_ts[has].astype("datetime64[us]")
+            aid = pd.array(a_id, dtype="Int64")
+            aid[~has] = pd.NA
+            out = pd.DataFrame(
+                {
+                    "event_id": eids[purch],
+                    "user_id": np.full(k, user_id, dtype="int64"),
+                    "ts": tms[purch].astype("datetime64[us]"),
+                    "asof_ts": ats,
+                    "asof_event_id": aid,
+                }
+            )
+        # New carried best: the batch's last view vs the old carried,
+        # by the same strictly-greater rule.
+        if is_view.any():
+            lidx = int(last_view[-1])
+            vts, vid = int(tms[lidx]), int(eids[lidx])
+            if (
+                best_ts is None
+                or vts > best_ts
+                or (vts == best_ts and vid > best_id)
+            ):
+                best_ts, best_id = vts, vid
+        mb = int(tms[-1])
+        max_ts = mb if max_ts is None else max(max_ts, mb)
     if best_ts is not None or (strict_order and max_ts is not None):
         state.update((best_ts, best_id, max_ts))
     if idle_ttl_minutes is not None and state.exists:
@@ -100,13 +159,8 @@ def _asof_group(
         # that touches the key; idle keys then expire at TTL.
         state.setTimeoutDuration(int(idle_ttl_minutes * 60_000))
 
-    if out:
-        df = pd.DataFrame(
-            out, columns=["event_id", "user_id", "ts", "asof_ts", "asof_event_id"]
-        )
-        df["ts"] = df["ts"].astype("datetime64[us]")
-        df["asof_ts"] = df["asof_ts"].astype("datetime64[us]")
-        yield df
+    if out is not None:
+        yield out
 
 
 def asof_enrich_stateful(
