@@ -293,12 +293,29 @@ def multimodal_payload_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sql_engine_spark.operators.multimodal import with_binary_payload
 
     docs = with_binary_payload(load(spark, sf_dir, "documents"), "text")
-    b64 = "regexp_replace(base64(payload), '[\\r\\n]', '')"
-    digs = docs.select(
+    # Narrow-file widening (the simhash_hamming_pairs text path's rule,
+    # r12: it was missing on this digest path): the per-chunk md5 map is
+    # the dominant cost and a single small parquet file otherwise runs
+    # it in ONE task — measured 4 concurrent single-task ~3.9s jobs
+    # (broadcast threads racing the unmaterialized persist) at sf0.1.
+    target = spark.sparkContext.defaultParallelism
+    files = docs.inputFiles()
+    if 0 < len(files) < target:
+        docs = docs.repartition(target)
+    # Materialize the unwrapped base64 into a column BEFORE the chunk
+    # transform: HOF lambdas run interpreted with no common-subexpression
+    # elimination, so an inlined `b64` re-ran base64+regexp_replace over
+    # the WHOLE payload once per chunk index — O(len^2 / block) per row
+    # (r12 optimization; results unchanged, the chunks are the same).
+    b64col = docs.select(
         F.col("doc_id").alias("__id"),
+        F.expr("regexp_replace(base64(payload), '[\\r\\n]', '')").alias("__b64"),
+    )
+    digs = b64col.select(
+        "__id",
         F.expr(
-            f"transform(sequence(1, CAST(ceil(length({b64}) / {_PAY_BLOCK}.0) "
-            f"AS INT)), i -> md5(substring({b64}, ({_PAY_BLOCK} * (i - 1)) + 1, "
+            f"transform(sequence(1, CAST(ceil(length(__b64) / {_PAY_BLOCK}.0) "
+            f"AS INT)), i -> md5(substring(__b64, ({_PAY_BLOCK} * (i - 1)) + 1, "
             f"{_PAY_BLOCK})))"
         ).alias("__digs"),
     )

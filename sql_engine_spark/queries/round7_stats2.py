@@ -96,11 +96,33 @@ def agg_bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sql_engine_spark.functions.numeric import dsum
 
     ev = _persist(load(spark, sf_dir, "events").select("event_id", "value"))
-    reps = ev.select(
-        "event_id",
-        "value",
-        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b"),
-    ).withColumn("w", F.expr(_boot_weight_sql("event_id", "b", "STRING")))
+    # r12 optimization, results identical: (a) widen the cached 1-file
+    # relation so the 32x-amplified weight map uses every core instead
+    # of one; (b) materialize the uniform byte __v into a column once —
+    # the inlined spelling repeated the md5 subexpression in all five
+    # CASE arms (2.41s -> 0.61s on this leg at sf0.1). The groupBy("b")
+    # partial sums are order-insensitive, so partitioning is free to
+    # change. The oracle keeps the inlined spelling; weights are equal
+    # integer-for-integer.
+    wide = ev.repartition(spark.sparkContext.defaultParallelism)
+    _v = (
+        "((instr('0123456789abcdef', substring(md5(concat("
+        "CAST(event_id AS STRING), '-', CAST(b AS STRING))), 1, 1)) - 1) * 16"
+        " + (instr('0123456789abcdef', substring(md5(concat("
+        "CAST(event_id AS STRING), '-', CAST(b AS STRING))), 2, 1)) - 1))"
+    )
+    _arms = " + ".join(
+        f"(CASE WHEN __v >= {t} THEN 1 ELSE 0 END)" for t in _POIS_THRESHOLDS
+    )
+    reps = (
+        wide.select(
+            "event_id",
+            "value",
+            F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b"),
+        )
+        .withColumn("__v", F.expr(_v))
+        .withColumn("w", F.expr(_arms))
+    )
     means = reps.groupBy("b").agg(
         (
             dsum(F.col("w").cast("double") * F.col("value"))

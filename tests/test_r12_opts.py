@@ -1,0 +1,89 @@
+"""Round-12 optimization pins: changed operator internals must stay
+bit-identical to the spellings they replaced."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_packed_hamming_equals_unrolled(spark, sf_dir):
+    """The r12 bit_count(xor)-over-packed-words Hamming verify
+    (operators/dedup.simhash_hamming_pairs_from_digests) must equal the
+    per-character unrolled _hamming_expr for every pair, including at a
+    bit width that exercises the 32-bit word remainder (48 = 32 + 16)."""
+    from sql_engine_spark.io import load
+    from sql_engine_spark.operators.dedup import (
+        _hamming_expr,
+        simhash_bits_from_digests,
+        tokens,
+    )
+
+    for bits in (48, 64):
+        docs = load(spark, sf_dir, "documents").limit(60)
+        digs = docs.select(
+            F.col("doc_id").alias("__id"), tokens("text").alias("__t")
+        ).withColumn("__digs", F.expr("transform(__t, t -> md5(t))"))
+        sigs = digs.select(
+            "__id", simhash_bits_from_digests("__digs", bits).alias("__sig")
+        )
+        n_words = (bits + 31) // 32
+        word_cols = [
+            F.conv(
+                F.substring("__sig", w * 32 + 1, min(32, bits - w * 32)), 2, 10
+            )
+            .cast("long")
+            .alias(f"__w{w}")
+            for w in range(n_words)
+        ]
+        packed = sigs.select("__id", "__sig", *word_cols)
+        a, b = packed.alias("a"), packed.alias("b")
+        ham_packed = " + ".join(
+            f"bit_count(a.__w{w} ^ b.__w{w})" for w in range(n_words)
+        )
+        rows = (
+            a.join(b, F.col("a.__id") < F.col("b.__id"))
+            .select(
+                F.expr(ham_packed).cast("long").alias("packed"),
+                F.expr(_hamming_expr("a.__sig", "b.__sig", bits))
+                .cast("long")
+                .alias("unrolled"),
+            )
+            .collect()
+        )
+        assert rows, "no pairs built"
+        assert all(r.packed == r.unrolled for r in rows)
+
+
+def test_bootstrap_weight_column_equals_inlined(spark, sf_dir):
+    """The r12 materialized __v byte in agg_bootstrap_mean_ci must
+    reproduce the inlined _boot_weight_sql weights integer-for-integer
+    (same md5-derived byte, same Poisson thresholds)."""
+    from sql_engine_spark.io import load
+    from sql_engine_spark.queries.round7_stats2 import (
+        _BOOT_B,
+        _POIS_THRESHOLDS,
+        _boot_weight_sql,
+    )
+
+    ev = load(spark, sf_dir, "events").select("event_id").limit(500)
+    reps = ev.select(
+        "event_id",
+        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b"),
+    )
+    inlined = reps.withColumn(
+        "w", F.expr(_boot_weight_sql("event_id", "b", "STRING"))
+    )
+    v = (
+        "((instr('0123456789abcdef', substring(md5(concat("
+        "CAST(event_id AS STRING), '-', CAST(b AS STRING))), 1, 1)) - 1) * 16"
+        " + (instr('0123456789abcdef', substring(md5(concat("
+        "CAST(event_id AS STRING), '-', CAST(b AS STRING))), 2, 1)) - 1))"
+    )
+    arms = " + ".join(
+        f"(CASE WHEN __v >= {t} THEN 1 ELSE 0 END)" for t in _POIS_THRESHOLDS
+    )
+    materialized = reps.withColumn("__v", F.expr(v)).withColumn(
+        "w2", F.expr(arms)
+    )
+    joined = inlined.join(materialized, ["event_id", "b"])
+    assert joined.where(F.col("w") != F.col("w2")).count() == 0
