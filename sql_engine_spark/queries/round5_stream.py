@@ -45,51 +45,45 @@ from sql_engine_spark.operators.textprep import shingles, sql_shingles, sql_toke
     "property pinned in tests/test_r5_ops.py), so the drained stream "
     "converges to the batch reservoir EXACTLY (same oracle as "
     "sample_reservoir_per_key). View state is langs x k rows; "
-    "per-trigger cost O(batch) + O(view).",
+    "per-trigger cost O(batch) + O(view). Maintained by the shared "
+    "documents replay fleet (streaming/fleet.py): one ingest stream "
+    "updates every documents-sourced view, per-view state untouched.",
 )
 def streaming_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
+    from sql_engine_spark.streaming.fleet import fleet_view
 
-    from sql_engine_spark.streaming.matview import IdempotentMatView
-
-    def bottom_k(df: DataFrame) -> DataFrame:
-        w = Window.partitionBy("lang").orderBy("hkey", "doc_id")
-        return (
-            df.withColumn("__rk", F.row_number().over(w))
-            .where(F.col("__rk") <= _RESERVOIR_K)
-            .select("doc_id", "lang", "hkey")
-        )
-
-    view = IdempotentMatView(
-        tempfile.mkdtemp(prefix="rsv_view_"),
-        partial_of=lambda b: bottom_k(
-            b.select(
-                "doc_id",
-                "lang",
-                F.md5(
-                    F.concat(F.lit("rsv1|"), F.col("doc_id").cast("string"))
-                ).alias("hkey"),
-            )
-        ),
-        combine=lambda cur, partial: bottom_k(cur.unionByName(partial)),
-    )
-    from sql_engine_spark.queries.streaming import _state_partitions
-    from sql_engine_spark.streaming.source import table_stream
-
-    with _state_partitions(spark):
-        stream = table_stream(spark, sf_dir, "documents", ["doc_id"], 4)
-        q = (
-            stream.select("doc_id", "lang")
-            .writeStream.outputMode("append")
-            .foreachBatch(view.merge)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+    view = fleet_view(spark, sf_dir, "streaming_reservoir_sample")
     w = Window.partitionBy("lang").orderBy("hkey", "doc_id")
     return view.read(spark).withColumn(
         "rank", F.row_number().over(w).cast("long")
     )
+
+
+def _rsv_bottom_k(df: DataFrame) -> DataFrame:
+    w = Window.partitionBy("lang").orderBy("hkey", "doc_id")
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= _RESERVOIR_K)
+        .select("doc_id", "lang", "hkey")
+    )
+
+
+from sql_engine_spark.streaming.fleet import register_fleet_view  # noqa: E402
+
+register_fleet_view(
+    "streaming_reservoir_sample",
+    table="documents",
+    partial_of=lambda b: _rsv_bottom_k(
+        b.select(
+            "doc_id",
+            "lang",
+            F.md5(
+                F.concat(F.lit("rsv1|"), F.col("doc_id").cast("string"))
+            ).alias("hkey"),
+        )
+    ),
+    combine=lambda cur, partial: _rsv_bottom_k(cur.unionByName(partial)),
+)
 
 
 @register(
@@ -152,16 +146,20 @@ def streaming_ewma_half(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sketch), view state is (type x bins) rows, per-trigger cost "
     "O(batch)+O(view). Converges exactly to the one-shot batch "
     "histogram (agg_histogram_fixed_bins' counting side), retry-safe "
-    "under foreachBatch's at-least-once redelivery.",
+    "under foreachBatch's at-least-once redelivery. Maintained by the "
+    "shared events replay fleet (streaming/fleet.py): one ingest "
+    "stream updates every events-sourced view, per-view state "
+    "untouched; bin counts are batch-composition-insensitive.",
 )
 def streaming_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
+    from sql_engine_spark.streaming.fleet import fleet_view
 
-    from sql_engine_spark.queries.streaming import N_CHUNKS, _state_partitions
-    from sql_engine_spark.streaming.matview import IdempotentMatView
-    from sql_engine_spark.streaming.source import events_stream
+    view = fleet_view(spark, sf_dir, "streaming_histogram")
+    return view.read(spark).select("event_type", "bin", "n")
 
-    bin_col = F.least(
+
+def _hist_bin_col() -> F.Column:
+    return F.least(
         F.floor(
             (F.col("value") - F.lit(_HIST_LO))
             * F.lit(_HIST_BINS)
@@ -170,30 +168,21 @@ def streaming_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(_HIST_BINS - 1),
     ).cast("long")
 
-    view = IdempotentMatView(
-        tempfile.mkdtemp(prefix="hist_view_"),
-        partial_of=lambda b: (
-            b.where((F.col("value") >= _HIST_LO) & (F.col("value") <= _HIST_HI))
-            .groupBy("event_type", bin_col.alias("bin"))
-            .agg(F.count("*").cast("long").alias("n"))
-        ),
-        combine=lambda cur, partial: (
-            cur.unionByName(partial)
-            .groupBy("event_type", "bin")
-            .agg(F.sum("n").cast("long").alias("n"))
-        ),
-    )
-    with _state_partitions(spark):
-        stream = events_stream(spark, sf_dir, N_CHUNKS)
-        q = (
-            stream.select("event_type", "value")
-            .writeStream.outputMode("append")
-            .foreachBatch(view.merge)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    return view.read(spark).select("event_type", "bin", "n")
+
+register_fleet_view(
+    "streaming_histogram",
+    table="events",
+    partial_of=lambda b: (
+        b.where((F.col("value") >= _HIST_LO) & (F.col("value") <= _HIST_HI))
+        .groupBy("event_type", _hist_bin_col().alias("bin"))
+        .agg(F.count("*").cast("long").alias("n"))
+    ),
+    combine=lambda cur, partial: (
+        cur.unionByName(partial)
+        .groupBy("event_type", "bin")
+        .agg(F.sum("n").cast("long").alias("n"))
+    ),
+)
 
 
 @register(
@@ -244,39 +233,13 @@ def streaming_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the drained view — converging EXACTLY to the batch TV since the "
     "exact-integer sums are a pure function of the final counts. "
     "View state is vocabulary-sized; per-trigger cost O(batch) + "
-    "O(view).",
+    "O(view). Maintained by the shared documents replay fleet "
+    "(streaming/fleet.py); per-view state untouched.",
 )
 def streaming_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
+    from sql_engine_spark.streaming.fleet import fleet_view
 
-    from sql_engine_spark.queries.streaming import _state_partitions
-    from sql_engine_spark.streaming.matview import IdempotentMatView
-    from sql_engine_spark.streaming.source import table_stream
-
-    view = IdempotentMatView(
-        tempfile.mkdtemp(prefix="drift_view_"),
-        partial_of=lambda b: (
-            b.select("source", F.explode(tokens("text")).alias("w"))
-            .where(F.col("w") != "")
-            .groupBy("source", "w")
-            .agg(F.count("*").cast("long").alias("nsw"))
-        ),
-        combine=lambda cur, partial: (
-            cur.unionByName(partial)
-            .groupBy("source", "w")
-            .agg(F.sum("nsw").cast("long").alias("nsw"))
-        ),
-    )
-    with _state_partitions(spark):
-        stream = table_stream(spark, sf_dir, "documents", ["doc_id"], 4)
-        q = (
-            stream.select("source", "text")
-            .writeStream.outputMode("append")
-            .foreachBatch(view.merge)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+    view = fleet_view(spark, sf_dir, "streaming_source_drift")
     per_source = view.read(spark)
     source_totals = per_source.groupBy("source").agg(
         F.sum("nsw").cast("long").alias("ns")
@@ -304,3 +267,20 @@ def streaming_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             + (1.0 - F.col("b").cast("double") / F.col("n").cast("double")) / 2.0
         ).alias("tv_distance"),
     )
+
+
+register_fleet_view(
+    "streaming_source_drift",
+    table="documents",
+    partial_of=lambda b: (
+        b.select("source", F.explode(tokens("text")).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("source", "w")
+        .agg(F.count("*").cast("long").alias("nsw"))
+    ),
+    combine=lambda cur, partial: (
+        cur.unionByName(partial)
+        .groupBy("source", "w")
+        .agg(F.sum("nsw").cast("long").alias("nsw"))
+    ),
+)

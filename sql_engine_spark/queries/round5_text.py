@@ -765,14 +765,25 @@ def text_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(F.array_distinct(shingles("__t", _NOVEL_K))).alias("g"),
         )
     )
-    first_doc = sh.groupBy("g").agg(F.min("doc_id").alias("first_id"))
+    first_doc = _persist(sh.groupBy("g").agg(F.min("doc_id").alias("first_id")))
+    # r12 optimization, results identical: n_novel(doc) = #{g : min
+    # doc_id over g == doc} needs only first_doc — counting per
+    # first_id replaces the join of the full exploded shingle relation
+    # back to first_doc (a second corpus-explode-sized shuffle); a left
+    # join at doc granularity restores the n_novel = 0 rows.
+    novel_counts = first_doc.groupBy("first_id").agg(
+        F.count("*").cast("long").alias("n_novel")
+    )
     per_doc = _persist(
-        sh.join(first_doc, "g")
-        .groupBy("doc_id")
-        .agg(
-            F.sum((F.col("first_id") == F.col("doc_id")).cast("long"))
-            .cast("long")
-            .alias("n_novel")
+        sh.select("doc_id")
+        .distinct()
+        .join(
+            novel_counts.withColumnRenamed("first_id", "doc_id"),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id", F.coalesce("n_novel", F.lit(0)).cast("long").alias("n_novel")
         )
     )
     vocab = first_doc.agg(F.count("*").cast("long").alias("vocab"))

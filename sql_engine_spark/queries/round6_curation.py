@@ -350,40 +350,16 @@ def scan_footer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "split statistic of events_changepoint_cusum runs over the "
     "drained view — converging EXACTLY to the batch answer since "
     "dev_scaled is a pure function of the final day counts. View "
-    "state is calendar-sized; per-trigger cost O(batch) + O(view).",
+    "state is calendar-sized; per-trigger cost O(batch) + O(view). "
+    "Maintained by the shared events replay fleet (streaming/"
+    "fleet.py); per-view state untouched.",
 )
 def streaming_cusum_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-
     from pyspark.sql import Window
 
-    from sql_engine_spark.queries.streaming import _state_partitions
-    from sql_engine_spark.streaming.matview import IdempotentMatView
-    from sql_engine_spark.streaming.source import table_stream
+    from sql_engine_spark.streaming.fleet import fleet_view
 
-    view = IdempotentMatView(
-        tempfile.mkdtemp(prefix="cusum_view_"),
-        partial_of=lambda b: (
-            b.groupBy(F.date_trunc("day", "ts").cast("date").alias("day")).agg(
-                F.count("*").cast("long").alias("cnt")
-            )
-        ),
-        combine=lambda cur, partial: (
-            cur.unionByName(partial)
-            .groupBy("day")
-            .agg(F.sum("cnt").cast("long").alias("cnt"))
-        ),
-    )
-    with _state_partitions(spark):
-        stream = table_stream(spark, sf_dir, "events", ["event_id"], 4)
-        q = (
-            stream.select("ts")
-            .writeStream.outputMode("append")
-            .foreachBatch(view.merge)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+    view = fleet_view(spark, sf_dir, "streaming_cusum_alarm")
     daily = view.read(spark)
     tot = daily.agg(
         F.sum("cnt").cast("long").alias("n"), F.count("*").cast("long").alias("d")
@@ -412,6 +388,24 @@ def streaming_cusum_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_changepoint"
         ),
     )
+
+
+from sql_engine_spark.streaming.fleet import register_fleet_view  # noqa: E402
+
+register_fleet_view(
+    "streaming_cusum_alarm",
+    table="events",
+    partial_of=lambda b: (
+        b.groupBy(F.date_trunc("day", "ts").cast("date").alias("day")).agg(
+            F.count("*").cast("long").alias("cnt")
+        )
+    ),
+    combine=lambda cur, partial: (
+        cur.unionByName(partial)
+        .groupBy("day")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    ),
+)
 
 
 # --- manual HyperLogLog -----------------------------------------------------

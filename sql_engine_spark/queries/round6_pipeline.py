@@ -303,45 +303,13 @@ _fix_reach_oracle()
     "cost O(batch)+O(view). The drained view feeds the identical "
     "relative-threshold segmentation as events_rfm_segments, to which "
     "it converges EXACTLY (the segments are a pure function of the "
-    "final merged statistics).",
+    "final merged statistics). Maintained by the shared events replay "
+    "fleet (streaming/fleet.py); per-view state untouched.",
 )
 def streaming_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
+    from sql_engine_spark.streaming.fleet import fleet_view
 
-    from sql_engine_spark.queries.streaming import _state_partitions
-    from sql_engine_spark.streaming.matview import IdempotentMatView
-    from sql_engine_spark.streaming.source import table_stream
-
-    DEC = "decimal(27,6)"
-    view = IdempotentMatView(
-        tempfile.mkdtemp(prefix="rfm_view_"),
-        partial_of=lambda b: (
-            b.groupBy("user_id").agg(
-                F.max("ts").alias("last_ts"),
-                F.count("*").cast("long").alias("cnt"),
-                F.sum(F.col("value").cast(DEC)).alias("val_dec"),
-            )
-        ),
-        combine=lambda cur, partial: (
-            cur.unionByName(partial)
-            .groupBy("user_id")
-            .agg(
-                F.max("last_ts").alias("last_ts"),
-                F.sum("cnt").cast("long").alias("cnt"),
-                F.sum("val_dec").cast(DEC).alias("val_dec"),
-            )
-        ),
-    )
-    with _state_partitions(spark):
-        stream = table_stream(spark, sf_dir, "events", ["event_id"], 4)
-        q = (
-            stream.select("user_id", "ts", "value")
-            .writeStream.outputMode("append")
-            .foreachBatch(view.merge)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+    view = fleet_view(spark, sf_dir, "streaming_rfm_segments")
     u = view.read(spark)
     anchor = u.agg(F.max("last_ts").alias("amax"))
     g = u.agg(
@@ -377,6 +345,31 @@ def streaming_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 _REGISTRY["streaming_rfm_segments"].oracle = _REGISTRY[
     "events_rfm_segments"
 ].oracle
+
+from sql_engine_spark.streaming.fleet import register_fleet_view  # noqa: E402
+
+_RFM_DEC = "decimal(27,6)"
+
+register_fleet_view(
+    "streaming_rfm_segments",
+    table="events",
+    partial_of=lambda b: (
+        b.groupBy("user_id").agg(
+            F.max("ts").alias("last_ts"),
+            F.count("*").cast("long").alias("cnt"),
+            F.sum(F.col("value").cast(_RFM_DEC)).alias("val_dec"),
+        )
+    ),
+    combine=lambda cur, partial: (
+        cur.unionByName(partial)
+        .groupBy("user_id")
+        .agg(
+            F.max("last_ts").alias("last_ts"),
+            F.sum("cnt").cast("long").alias("cnt"),
+            F.sum("val_dec").cast(_RFM_DEC).alias("val_dec"),
+        )
+    ),
+)
 
 
 @register(
@@ -478,36 +471,13 @@ def events_user_overlap_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     "step's) evaluates over the drained view, converging EXACTLY to "
     "the batch answer. View state is users x types; per-trigger cost "
     "O(batch) + O(view). The live companion to events_user_funnel's "
-    "batch counts.",
+    "batch counts. Maintained by the shared events replay fleet "
+    "(streaming/fleet.py); per-view state untouched.",
 )
 def streaming_funnel_live(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
+    from sql_engine_spark.streaming.fleet import fleet_view
 
-    from sql_engine_spark.queries.streaming import _state_partitions
-    from sql_engine_spark.streaming.matview import IdempotentMatView
-    from sql_engine_spark.streaming.source import table_stream
-
-    view = IdempotentMatView(
-        tempfile.mkdtemp(prefix="funnel_view_"),
-        partial_of=lambda b: (
-            b.groupBy("user_id", "event_type").agg(F.min("ts").alias("first_ts"))
-        ),
-        combine=lambda cur, partial: (
-            cur.unionByName(partial)
-            .groupBy("user_id", "event_type")
-            .agg(F.min("first_ts").alias("first_ts"))
-        ),
-    )
-    with _state_partitions(spark):
-        stream = table_stream(spark, sf_dir, "events", ["event_id"], 4)
-        q = (
-            stream.select("user_id", "event_type", "ts")
-            .writeStream.outputMode("append")
-            .foreachBatch(view.merge)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+    view = fleet_view(spark, sf_dir, "streaming_funnel_live")
     ft = view.read(spark)
     p = ft.groupBy("user_id").agg(
         F.max(
@@ -529,3 +499,17 @@ def streaming_funnel_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         one(vc).alias("n_view_click"),
         one(full).alias("n_full_funnel"),
     )
+
+
+register_fleet_view(
+    "streaming_funnel_live",
+    table="events",
+    partial_of=lambda b: (
+        b.groupBy("user_id", "event_type").agg(F.min("ts").alias("first_ts"))
+    ),
+    combine=lambda cur, partial: (
+        cur.unionByName(partial)
+        .groupBy("user_id", "event_type")
+        .agg(F.min("first_ts").alias("first_ts"))
+    ),
+)

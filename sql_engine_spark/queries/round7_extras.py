@@ -301,45 +301,40 @@ def _cdc_log(od: DataFrame) -> DataFrame:
     "so the view is O(live keys) regardless of log length. Reading "
     "the view, dropping op='D', and aggregating converges EXACTLY to "
     "the batch apply — same DuckDB oracle, green at row/schema/hash "
-    "granularity. The lakehouse MERGE maintenance loop as a stream.",
+    "granularity. The lakehouse MERGE maintenance loop as a stream, "
+    "maintained by the shared orders replay fleet (streaming/fleet.py); "
+    "per-view state untouched.",
 )
 def streaming_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
+    from sql_engine_spark.streaming.fleet import fleet_view
 
-    from sql_engine_spark.queries.streaming import _state_partitions
-    from sql_engine_spark.streaming.matview import IdempotentMatView
-    from sql_engine_spark.streaming.source import table_stream
-
-    def latest(df: DataFrame) -> DataFrame:
-        return df.groupBy("o_orderkey").agg(
-            F.max("__seq").alias("__seq"),
-            F.max_by("__op", "__seq").alias("__op"),
-            F.max_by("o_orderstatus", "__seq").alias("o_orderstatus"),
-            F.max_by("o_totalprice", "__seq").alias("o_totalprice"),
-        )
-
-    view = IdempotentMatView(
-        tempfile.mkdtemp(prefix="cdc_view_"),
-        partial_of=lambda b: latest(
-            _cdc_log(b.select("o_orderkey", "o_orderstatus", "o_totalprice"))
-        ),
-        combine=lambda cur, partial: latest(cur.unionByName(partial)),
-    )
-    with _state_partitions(spark):
-        stream = table_stream(spark, sf_dir, "orders", ["o_orderkey"], 4)
-        q = (
-            stream.select("o_orderkey", "o_orderstatus", "o_totalprice")
-            .writeStream.outputMode("append")
-            .foreachBatch(view.merge)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+    view = fleet_view(spark, sf_dir, "streaming_cdc_apply")
     final = view.read(spark).where(F.col("__op") != "D")
     return final.groupBy("o_orderstatus").agg(
         F.count("*").cast("long").alias("n"),
         dsum(F.col("o_totalprice")).alias("sum_price"),
     )
+
+
+def _cdc_latest(df: DataFrame) -> DataFrame:
+    return df.groupBy("o_orderkey").agg(
+        F.max("__seq").alias("__seq"),
+        F.max_by("__op", "__seq").alias("__op"),
+        F.max_by("o_orderstatus", "__seq").alias("o_orderstatus"),
+        F.max_by("o_totalprice", "__seq").alias("o_totalprice"),
+    )
+
+
+from sql_engine_spark.streaming.fleet import register_fleet_view  # noqa: E402
+
+register_fleet_view(
+    "streaming_cdc_apply",
+    table="orders",
+    partial_of=lambda b: _cdc_latest(
+        _cdc_log(b.select("o_orderkey", "o_orderstatus", "o_totalprice"))
+    ),
+    combine=lambda cur, partial: _cdc_latest(cur.unionByName(partial)),
+)
 
 
 def _fix_cdc_oracle() -> None:

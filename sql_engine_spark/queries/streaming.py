@@ -664,39 +664,39 @@ def streaming_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFr
     "micro-batch sees its own id already applied and skips instead of "
     "double-counting. The view relation stays aggregate-sized "
     "(event-type cardinality); per-trigger cost is O(batch) + "
-    "O(view), never O(history).",
+    "O(view), never O(history). Maintained by the shared events replay "
+    "fleet (streaming/fleet.py): one ingest stream updates every "
+    "events-sourced view; per-view commit protocol untouched.",
 )
 def streaming_materialized_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
+    from sql_engine_spark.streaming.fleet import fleet_view
 
-    from sql_engine_spark.functions.numeric import DEC
-    from sql_engine_spark.streaming.matview import IdempotentMatView
-
-    view = IdempotentMatView(
-        tempfile.mkdtemp(prefix="matview_"),
-        partial_of=lambda b: b.groupBy("event_type").agg(
-            F.count("*").alias("n"),
-            F.sum(F.col("value").cast(DEC)).alias("__dsum"),
-        ),
-        combine=lambda cur, partial: (
-            cur.unionByName(partial)
-            .groupBy("event_type")
-            .agg(F.sum("n").alias("n"), F.sum("__dsum").alias("__dsum"))
-        ),
-    )
-
-    with _state_partitions(spark):
-        stream = events_stream(spark, sf_dir, N_CHUNKS)
-        q = (
-            stream.select("event_type", "value")
-            .writeStream.outputMode("append")
-            .foreachBatch(view.merge)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+    view = fleet_view(spark, sf_dir, "streaming_materialized_agg")
     # The view directory persists for the process lifetime (mkdtemp is
     # not auto-cleaned), so the result reads lazily like any table.
     return view.read(spark).select(
         "event_type", "n", F.col("__dsum").cast("double").alias("sum_value")
     )
+
+
+def _matview_agg_partial(b: DataFrame) -> DataFrame:
+    from sql_engine_spark.functions.numeric import DEC
+
+    return b.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast(DEC)).alias("__dsum"),
+    )
+
+
+from sql_engine_spark.streaming.fleet import register_fleet_view  # noqa: E402
+
+register_fleet_view(
+    "streaming_materialized_agg",
+    table="events",
+    partial_of=_matview_agg_partial,
+    combine=lambda cur, partial: (
+        cur.unionByName(partial)
+        .groupBy("event_type")
+        .agg(F.sum("n").alias("n"), F.sum("__dsum").alias("__dsum"))
+    ),
+)
