@@ -81,17 +81,19 @@ def _smh_buckets_sql() -> str:
     doc="Streaming MinHash-LSH near-dup gate: documents arrive in "
     "micro-batches, each computes its 8-lane one-permutation minhash "
     "signature and 4 LSH band keys (the EXACT pipeline of "
-    "dedup_minhash_lsh), and a stateful dropDuplicates on (band, key) "
-    "registers first-arrival band ownership — an arriving document "
+    "dedup_minhash_lsh), and a stateful MIN(doc_id) aggregation per "
+    "(band, key) registers band ownership — an arriving document "
     "that owns NO band collided everywhere with earlier docs (a "
     "near-dup suspect to hold for verify); one that owns all 4 is "
     "novel. This is the live-ingest half of the batch dedup family: "
     "state is one row per DISTINCT band bucket (sharded by key hash, "
     "watermark-evictable in production), per-batch work is the "
     "linear signature map — no joins against the history corpus "
-    "ever. Converges exactly to the batch min-doc_id band-ownership "
-    "relation because the time-ordered replay arrives in doc_id "
-    "order (the streaming_drop_duplicates ordering argument).",
+    "ever. Under the time-ordered replay min == first arrival, so "
+    "this is the batch min-doc_id band-ownership relation; min being "
+    "order-insensitive (unlike a first-wins dropDuplicates) also "
+    "lets each micro-batch fan its signature map out across cores "
+    "instead of inheriting the chunk file's single partition.",
 )
 def streaming_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sql_engine_spark.queries.streaming import (
@@ -105,7 +107,13 @@ def streaming_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     with _state_partitions(spark):
         stream = table_stream(spark, sf_dir, "documents", ["doc_id"], N_CHUNKS)
         sig = (
-            stream.select("doc_id", tokens("text").alias("__tokens"))
+            stream.select("doc_id", "text")
+            # One chunk file = one scan partition; the signature map is
+            # the whole per-batch cost, so spread it (r12, guide §2.5
+            # input skew) — safe because ownership is an order-
+            # insensitive MIN, not arrival-order dropDuplicates.
+            .repartition(spark.sparkContext.defaultParallelism)
+            .select("doc_id", tokens("text").alias("__tokens"))
             .withColumn("__shset", F.array_distinct(shingles("__tokens", _SMH_K)))
             .withColumn("__dig", shingle_digests("__shset"))
             .withColumn("__sig", minhash_signature("__dig", _SMH_HASHES))
@@ -126,15 +134,19 @@ def streaming_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 + ") as (band, key)"
             ),
         )
-        owned = bands.dropDuplicates(["band", "key"])
-        agg = owned.groupBy("doc_id").agg(
-            F.count("*").cast("long").alias("n_bands_owned")
+        owners = bands.groupBy("band", "key").agg(F.min("doc_id").alias("doc_id"))
+        res = run_to_memory(owners, "stream_minhash_dedup", "complete")
+    # Per-doc ownership counts over the drained (bounded, one row per
+    # distinct band bucket) owners relation — batch post-processing of
+    # the stream's stateful result, same as the final select.
+    return (
+        res.groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_bands_owned"))
+        .select(
+            "doc_id",
+            "n_bands_owned",
+            (F.col("n_bands_owned") == _SMH_BANDS).alias("is_fully_novel"),
         )
-        res = run_to_memory(agg, "stream_minhash_dedup", "complete")
-    return res.select(
-        "doc_id",
-        "n_bands_owned",
-        (F.col("n_bands_owned") == _SMH_BANDS).alias("is_fully_novel"),
     )
 
 

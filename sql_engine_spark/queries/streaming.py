@@ -22,7 +22,6 @@ from sql_engine_spark.queries.events import SESSION_GAP_S
 from sql_engine_spark.registry import register
 from sql_engine_spark.streaming.sessionize import sessionize_stateful
 from sql_engine_spark.streaming.source import (
-    events_replay_chunks,
     events_stream,
     list_part_files,
     run_to_memory,
@@ -172,26 +171,37 @@ def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     "must reproduce the batch events_sessionize result exactly.",
 )
 def streaming_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sql_engine_spark.streaming.source import sentinel_replay_dir
+
     ev = load(spark, sf_dir, "events")
-    out_dir, _ = events_replay_chunks(spark, sf_dir, N_CHUNKS)
-    max_ts = ev.agg(F.max("ts")).collect()[0][0]
-    # One far-future sentinel event per user closes every tail session in
-    # the final micro-batch (see streaming/sessionize.py docstring).
-    sentinels = (
-        ev.select("user_id")
-        .distinct()
-        .withColumn("event_id", F.lit(-1).cast("long"))
-        .withColumn("ts", F.lit(max_ts) + F.expr("INTERVAL 3650 DAYS"))
-        .withColumn("event_type", F.lit("__end__"))
-        .withColumn("value", F.lit(0.0))
-        .withColumn("props", F.lit(None).cast("string"))
-        .select(ev.columns)
+
+    def _build(out_dir: str):
+        max_ts = ev.agg(F.max("ts")).collect()[0][0]
+        # One far-future sentinel event per user closes every tail
+        # session in the final micro-batch (streaming/sessionize.py).
+        sentinels = (
+            ev.select("user_id")
+            .distinct()
+            .withColumn("event_id", F.lit(-1).cast("long"))
+            .withColumn("ts", F.lit(max_ts) + F.expr("INTERVAL 3650 DAYS"))
+            .withColumn("event_type", F.lit("__end__"))
+            .withColumn("value", F.lit(0.0))
+            .withColumn("props", F.lit(None).cast("string"))
+            .select(ev.columns)
+        )
+        before = list_part_files(out_dir)
+        sentinels.coalesce(1).write.mode("append").parquet(out_dir)
+        # Sentinels must be the LAST trigger: make their mtime ordering
+        # explicit, not an accident of write timing (stamp_files_last).
+        stamp_files_last(out_dir, before)
+        return max_ts
+
+    # The sentinel-augmented replay dir is a pure function of the
+    # dataset — build it once per process (r12; the drain below still
+    # runs per invocation with its own checkpoint).
+    out_dir, max_ts = sentinel_replay_dir(
+        spark, sf_dir, "events", ["ts", "event_id"], N_CHUNKS, "sessionize", _build
     )
-    before = list_part_files(out_dir)
-    sentinels.coalesce(1).write.mode("append").parquet(out_dir)
-    # Sentinels must be the LAST trigger: make their mtime ordering
-    # explicit, not an accident of write timing (see stamp_files_last).
-    stamp_files_last(out_dir, before)
 
     with _state_partitions(spark):
         stream = (
@@ -404,10 +414,19 @@ def streaming_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast(_DW) * F.col("value").cast(_DN)).alias("s2d"),
         )
         m = m0.selectExpr("event_type", "n", "s", f"{_exact_double('s2d')} AS s2")
-        st = m.selectExpr(
-            "event_type",
-            "(s / n) AS mean",
-            "sqrt((s2 / n) - ((s / n) * (s / n))) AS sd",
+        # Persist the trained side: a stream-static join re-resolves the
+        # static plan EVERY micro-batch, so without this each trigger
+        # re-runs the full-events training aggregate (r12, guide §2.4 —
+        # 4 redundant scans removed; the per-batch join now builds from
+        # the cached type-cardinality relation).
+        from sql_engine_spark.operators.dedup import _persist
+
+        st = _persist(
+            m.selectExpr(
+                "event_type",
+                "(s / n) AS mean",
+                "sqrt((s2 / n) - ((s / n) * (s / n))) AS sd",
+            )
         )
         stream = events_stream(spark, sf_dir, N_CHUNKS)
         z = (F.col("value") - F.col("mean")) / F.col("sd")
@@ -440,7 +459,11 @@ def streaming_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     with _state_partitions(spark):
         docs = load(spark, sf_dir, "documents")
-        rates = mixture_rates(docs)
+        # Persisted for the same reason as streaming_anomaly_zscore's
+        # stats side: the static plan re-executes per micro-batch.
+        from sql_engine_spark.operators.dedup import _persist
+
+        rates = _persist(mixture_rates(docs))
         stream = table_stream(spark, sf_dir, "documents", ["doc_id"], N_CHUNKS)
         kept = (
             stream.join(F.broadcast(rates), ["source", "lang"])
@@ -472,50 +495,60 @@ def streaming_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Converges exactly to the batch LEFT JOIN oracle.",
 )
 def streaming_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sql_engine_spark.streaming.source import sentinel_replay_dir
+
     ev = load(spark, sf_dir, "events")
-    # 2 chunks (+ sentinel): outer-join state still crosses a batch
-    # boundary, at half the per-trigger fixed cost of the 4-chunk replay
-    # (stream-stream joins run two stateful ops per trigger).
-    out_dir, _ = events_replay_chunks(spark, sf_dir, 2)
-    max_ts = ev.agg(F.max("ts")).collect()[0][0]
-    # Watermarks are computed AFTER each side's event_type filter, so a
-    # sentinel must SURVIVE the filter to advance that side's clock: one
-    # far-future purchase (user -1) and one far-future view (user -2).
-    # They can never join (no real user is negative, nor each other),
-    # the view sentinel never emits (unmatched right rows don't in a
-    # left join), and the purchase sentinel never flushes because the
-    # watermark — defined by its own timestamp minus the delay — never
-    # passes it; the output filter drops negatives anyway.
-    far = F.lit(max_ts) + F.expr("INTERVAL 3650 DAYS")
-    sentinel = (
-        spark.range(1)
-        .select(
-            F.lit(-1).cast("long").alias("event_id"),
-            far.alias("ts"),
-            F.lit(-1).cast("long").alias("user_id"),
-            F.lit("purchase").alias("event_type"),
-            F.lit(0.0).alias("value"),
-            F.lit(None).cast("string").alias("props"),
-        )
-        .select(ev.columns)
-        .unionByName(
-            spark.range(1).select(
-                F.lit(-2).cast("long").alias("event_id"),
+
+    def _build(out_dir: str):
+        max_ts = ev.agg(F.max("ts")).collect()[0][0]
+        # Watermarks are computed AFTER each side's event_type filter,
+        # so a sentinel must SURVIVE the filter to advance that side's
+        # clock: one far-future purchase (user -1) and one far-future
+        # view (user -2). They can never join (no real user is
+        # negative, nor each other), the view sentinel never emits
+        # (unmatched right rows don't in a left join), and the purchase
+        # sentinel never flushes because the watermark — defined by its
+        # own timestamp minus the delay — never passes it; the output
+        # filter drops negatives anyway.
+        far = F.lit(max_ts) + F.expr("INTERVAL 3650 DAYS")
+        sentinel = (
+            spark.range(1)
+            .select(
+                F.lit(-1).cast("long").alias("event_id"),
                 far.alias("ts"),
-                F.lit(-2).cast("long").alias("user_id"),
-                F.lit("view").alias("event_type"),
+                F.lit(-1).cast("long").alias("user_id"),
+                F.lit("purchase").alias("event_type"),
                 F.lit(0.0).alias("value"),
                 F.lit(None).cast("string").alias("props"),
-            ).select(ev.columns)
+            )
+            .select(ev.columns)
+            .unionByName(
+                spark.range(1).select(
+                    F.lit(-2).cast("long").alias("event_id"),
+                    far.alias("ts"),
+                    F.lit(-2).cast("long").alias("user_id"),
+                    F.lit("view").alias("event_type"),
+                    F.lit(0.0).alias("value"),
+                    F.lit(None).cast("string").alias("props"),
+                ).select(ev.columns)
+            )
         )
+        before = list_part_files(out_dir)
+        sentinel.coalesce(1).write.mode("append").parquet(out_dir)
+        # Watermark safety depends on the sentinel file being processed
+        # LAST (review: an mtime tie could advance both watermarks on
+        # the first trigger and drop every real event as late) — stamp
+        # it strictly after every chunk file, not trusting write timing.
+        stamp_files_last(out_dir, before)
+        return max_ts
+
+    # 2 chunks (+ sentinel): outer-join state still crosses a batch
+    # boundary, at half the per-trigger fixed cost of the 4-chunk replay
+    # (stream-stream joins run two stateful ops per trigger). The dir is
+    # a pure function of the dataset — built once per process (r12).
+    out_dir, max_ts = sentinel_replay_dir(
+        spark, sf_dir, "events", ["ts", "event_id"], 2, "leftjoin", _build
     )
-    before = list_part_files(out_dir)
-    sentinel.coalesce(1).write.mode("append").parquet(out_dir)
-    # Watermark safety depends on the sentinel file being processed
-    # LAST (review: an mtime tie could advance both watermarks on the
-    # first trigger and drop every real event as late) — stamp it
-    # strictly after every chunk file instead of trusting write timing.
-    stamp_files_last(out_dir, before)
 
     with _state_partitions(spark, 4):
         stream = (

@@ -102,6 +102,47 @@ def table_replay_chunks(
     return out_dir, stream
 
 
+_SENTINEL_DIRS: dict[tuple, tuple[str, object]] = {}
+
+
+def sentinel_replay_dir(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str,
+    order_cols: list[str],
+    n_chunks: int,
+    variant: str,
+    build,
+) -> tuple[str, object]:
+    """Replay-chunk dir with appended sentinel file(s), cached per
+    (dataset fingerprint, variant) exactly like _REPLAY_DIRS: the dir
+    contents are a pure function of the dataset, and each query run
+    still drains its OWN stream (fresh checkpoint) over it — only the
+    input materialization (range-partition write + sentinel append +
+    mtime stamping) is shared per process. `build(out_dir)` writes the
+    sentinels (capture list_part_files first, then stamp_files_last)
+    and returns any derived payload (e.g. max ts) to cache alongside.
+    """
+    from sql_engine_spark.operators.dedup import dataset_fingerprint
+
+    key = (
+        os.path.abspath(sf_dir),
+        table,
+        tuple(order_cols),
+        n_chunks,
+        variant,
+        dataset_fingerprint(sf_dir, table),
+    )
+    if key in _SENTINEL_DIRS:
+        out_dir, payload = _SENTINEL_DIRS[key]
+        if os.path.isdir(out_dir):
+            return out_dir, payload
+    out_dir, _ = table_replay_chunks(spark, sf_dir, table, order_cols, n_chunks)
+    payload = build(out_dir)
+    _SENTINEL_DIRS[key] = (out_dir, payload)
+    return out_dir, payload
+
+
 def stamp_files_last(out_dir: str, before: set[str]) -> list[str]:
     """Force every parquet part NOT in `before` to an mtime STRICTLY
     greater than all `before` files', so FileStreamSource's
