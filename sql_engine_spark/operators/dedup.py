@@ -19,6 +19,8 @@ production — semantics are unchanged.
 
 from __future__ import annotations
 
+import math
+from contextlib import contextmanager
 from fractions import Fraction
 
 from pyspark import StorageLevel
@@ -637,6 +639,32 @@ def ngram_jaccard_pairs(
     )
 
 
+@contextmanager
+def _loop_shuffle_partitions(spark, n: int):
+    """Temporarily pin spark.sql.shuffle.partitions for an iterative
+    loop whose stages materialize EAGERLY inside the context (localCheckpoint
+    compiles and runs the shuffles right away), then restore the session
+    value before any corpus-sized downstream plan compiles."""
+    key = "spark.sql.shuffle.partitions"
+    old = spark.conf.get(key)
+    spark.conf.set(key, str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set(key, old)
+
+
+# Target edge rows per task inside the CC loop (2 longs/row → ~tens of
+# MB per task): the loop width derives from the measured edge count,
+# not the session default — see connected_components_fixed.
+_CC_EDGES_PER_TASK = 1_000_000
+
+# Below this measured edge count the CC loop broadcasts its label
+# relation and skips per-iteration checkpoints (2M edge rows ≈ tens of
+# MB — comfortably inside any broadcast budget; labels ≤ 2·edges rows).
+_CC_SMALL_EDGES = 2_000_000
+
+
 def connected_components_fixed(
     pairs: DataFrame, a_col: str, b_col: str, iterations: int = 3, *, eager: bool = True
 ) -> DataFrame:
@@ -650,40 +678,118 @@ def connected_components_fixed(
     oracle can unroll the same iterations and hash-match even on graphs
     that haven't fully converged. Returns (node, label).
     """
+    # Both edge directions from ONE evaluation of `pairs` (r12, guide
+    # §1.2 don't compute things twice): a two-leg union re-runs the
+    # whole upstream pair pipeline (LSH band join + exact verify) once
+    # per leg when the caller hands in an unpersisted relation —
+    # measured as 8 near-identical stages (2 × the 4-stage LSH
+    # pipeline) in pipeline_curate_full's profile. explode(array(...))
+    # emits src->dst and dst->src per pair in the same map task.
     edges = _persist(
-        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-        .unionByName(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+                    ),
+                    F.struct(
+                        F.col(b_col).alias("src"), F.col(a_col).alias("dst")
+                    ),
+                )
+            ).alias("__e")
+        ).select("__e.src", "__e.dst")
     )
+    # Size the loop to the graph, not the session (r12, guide §2.2
+    # scale-adaptive partitioning): checkpointed RDDs carry no size
+    # statistics, so AQE can neither coalesce nor broadcast inside the
+    # loop — every iteration would shuffle at full session width even
+    # when the dup graph is a few hundred edges (measured at sf0.1:
+    # ~3s of 32/64-task scheduler overhead per query). The scalar
+    # count materializes the persisted edges (iteration 1 would pay
+    # that anyway) and fixes the per-iteration shuffle width at
+    # ~_CC_EDGES_PER_TASK rows per task, never wider than the session
+    # setting — on a 100 TB dup graph this leaves the width at the
+    # session value.
+    n_edges = edges.count()
+    spark = edges.sparkSession
+    sess_p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    p = max(1, min(sess_p, math.ceil(n_edges / _CC_EDGES_PER_TASK)))
+
+    if n_edges <= _CC_SMALL_EDGES:
+        # Small-graph path (chosen by MEASURED size — the same device
+        # AQE uses, made explicit where AQE is blind): rebase the edge
+        # set on a flat single-task checkpoint, then run the loop with
+        # BROADCAST joins and NO per-iteration checkpoints. Every loop
+        # shuffle (just the groupBy per round) materializes lazily in
+        # the consumer's one action, so 3 rounds cost 3 tiny AQE stages
+        # instead of 3 checkpoint actions + their stage jobs (measured:
+        # the loop added 1.4s of near-pure scheduler overhead on a
+        # 240-edge graph at sf0.1). The broadcast is legal because
+        # labels ≤ 2·n_edges rows ≤ 2·_CC_SMALL_EDGES; lineage doubling
+        # without checkpoints is bounded by the fixed iteration count
+        # over flat LogicalRDD leaves.
+        edges = edges.coalesce(p).localCheckpoint(eager=eager)
+        labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
+            "label", F.col("node")
+        )
+        for _ in range(iterations):
+            nbr = edges.join(
+                F.broadcast(
+                    labels.select(
+                        F.col("node").alias("dst"), F.col("label").alias("nbr_label")
+                    )
+                ),
+                "dst",
+            ).select(F.col("src").alias("node"), "nbr_label")
+            labels = (
+                F.broadcast(labels)
+                .join(nbr, "node")
+                .groupBy("node", "label")
+                .agg(F.min("nbr_label").alias("min_nbr"))
+                .select("node", F.least(F.col("label"), F.col("min_nbr")).alias("label"))
+            )
+        return labels
+
+    # Large-graph path: the per-iteration shuffles run at width p inside
+    # the conf context (sound because localCheckpoint materializes them
+    # eagerly), and checkpointing truncates the lineage each round.
+    edges = edges.coalesce(p)
     labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
         "label", F.col("node")
     )
-    for _ in range(iterations):
-        nbr = edges.join(
-            labels.select(F.col("node").alias("dst"), F.col("label").alias("nbr_label")),
-            "dst",
-        ).select(F.col("src").alias("node"), "nbr_label")
-        labels = (
-            labels.join(nbr, "node")
-            .groupBy("node", "label")
-            .agg(F.min("nbr_label").alias("min_nbr"))
-            .select("node", F.least(F.col("label"), F.col("min_nbr")).alias("label"))
-            # Each round references the previous labels TWICE (self +
-            # neighbor side), so the lineage doubles per iteration — 2^k
-            # plan size and recompute of the early rounds inside one
-            # action. localCheckpoint truncates the lineage per round
-            # (the standard iterative-graph practice — GraphFrames
-            # checkpoints its CC loop the same way): downstream plans
-            # see a flat LogicalRDD scan. eager=False does NOT make
-            # construction lazy under AQE — checkpointing compiles the
-            # plan via toRdd, and AdaptiveSparkPlanExec materializes
-            # its shuffle stages right there (measured: identical job
-            # count either way) — so the default stays eager=True for
-            # transparency; the parameter exists for non-AQE sessions.
-            # Checkpointed partitions live on executors — on a real
-            # cluster swap in checkpoint() to reliable storage so the
-            # loop survives executor loss.
-            .localCheckpoint(eager=eager)
-        )
+    with _loop_shuffle_partitions(spark, p):
+        for _ in range(iterations):
+            nbr = edges.join(
+                labels.select(
+                    F.col("node").alias("dst"), F.col("label").alias("nbr_label")
+                ),
+                "dst",
+            ).select(F.col("src").alias("node"), "nbr_label")
+            labels = (
+                labels.join(nbr, "node")
+                .groupBy("node", "label")
+                .agg(F.min("nbr_label").alias("min_nbr"))
+                .select("node", F.least(F.col("label"), F.col("min_nbr")).alias("label"))
+                # Each round references the previous labels TWICE (self +
+                # neighbor side), so the lineage doubles per iteration — 2^k
+                # plan size and recompute of the early rounds inside one
+                # action. localCheckpoint truncates the lineage per round
+                # (the standard iterative-graph practice — GraphFrames
+                # checkpoints its CC loop the same way): downstream plans
+                # see a flat LogicalRDD scan. eager=False does NOT make
+                # construction lazy under AQE — checkpointing compiles the
+                # plan via toRdd, and AdaptiveSparkPlanExec materializes
+                # its shuffle stages right there (measured: identical job
+                # count either way) — so the default stays eager=True for
+                # transparency; the parameter exists for non-AQE sessions.
+                # Checkpointed partitions live on executors — on a real
+                # cluster swap in checkpoint() to reliable storage so the
+                # loop survives executor loss. Eager materialization is
+                # also what makes the loop-width conf context sound: every
+                # loop shuffle runs before the context restores the
+                # session value.
+                .localCheckpoint(eager=eager)
+            )
     return labels
 
 

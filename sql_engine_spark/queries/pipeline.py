@@ -191,12 +191,20 @@ def pipeline_curate_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sql_engine_spark.queries.dedup import _MINHASH_PARAMS
 
     docs = load(spark, sf_dir, "documents")
-    gop = docs.join(
-        gopher_quality(docs, "text", "doc_id")
-        .where(F.col("pass_gopher"))
-        .select("doc_id"),
-        "doc_id",
-    ).select("doc_id", "text")
+    # The gopher-surviving working set is read three times downstream
+    # (shingle pipeline, n_toks labeling, final redact+chunk) — persist
+    # it so the quality-stat filter runs once, not once per consumer
+    # (r12, guide §5; at cluster scale this is the standard
+    # materialize-the-filtered-working-set checkpoint of an ingest
+    # pipeline).
+    gop = D._persist(
+        docs.join(
+            gopher_quality(docs, "text", "doc_id")
+            .where(F.col("pass_gopher"))
+            .select("doc_id"),
+            "doc_id",
+        ).select("doc_id", "text")
+    )
 
     pairs = D.minhash_lsh_pairs(gop, "doc_id", "text", **_MINHASH_PARAMS)
     cc = D.connected_components_fixed(pairs, "id_a", "id_b", iterations=3)

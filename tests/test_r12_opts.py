@@ -87,3 +87,30 @@ def test_bootstrap_weight_column_equals_inlined(spark, sf_dir):
     )
     joined = inlined.join(materialized, ["event_id", "b"])
     assert joined.where(F.col("w") != F.col("w2")).count() == 0
+
+
+def test_cc_small_path_equals_checkpoint_path(spark, sf_dir, monkeypatch):
+    """The r12 measured-size CC paths (broadcast/no-checkpoint for small
+    graphs vs width-pinned checkpointed loop for large ones) differ only
+    in physical strategy: the label relation must be identical row for
+    row on the same pair input."""
+    from sql_engine_spark.operators import dedup as D
+    from sql_engine_spark.queries.dedup import _shared_pairs
+
+    pairs = _shared_pairs(spark, sf_dir)
+    small = {
+        tuple(r)
+        for r in D.connected_components_fixed(
+            pairs, "id_a", "id_b", iterations=3
+        ).collect()
+    }
+    # Force the large-graph (checkpointed) branch for the same input.
+    monkeypatch.setattr(D, "_CC_SMALL_EDGES", -1)
+    large = {
+        tuple(r)
+        for r in D.connected_components_fixed(
+            pairs, "id_a", "id_b", iterations=3
+        ).collect()
+    }
+    assert small, "no CC labels built"
+    assert small == large
