@@ -281,15 +281,21 @@ def test_curate_observation_metrics(spark, sf_dir):
 
 def test_cc_loop_plan_stays_flat(spark, sf_dir):
     """The connected-components loop references the previous round's
-    labels twice per iteration; without per-round lineage truncation the
-    physical plan doubles per round (r3 measured a 181-Exchange plan).
-    The eager localCheckpoint must keep the final plan small."""
+    labels twice per iteration; without lineage control the physical
+    plan doubles per round UNBOUNDEDLY (r3 measured a 181-Exchange
+    plan that also re-ran the pair pipeline per leaf). Since r12 the
+    measured-small-graph path deliberately inlines the fixed 3 rounds
+    as broadcast joins over a flat checkpointed edge leaf — a
+    2^3-bounded plan whose duplicate exchanges dedupe via runtime
+    exchange reuse — so the healthy plan is ~18 Exchange nodes, not
+    the old checkpoint-per-round ~6. The bound guards the unbounded
+    class (a 4th-round doubling lands ~36)."""
     import re
 
     df = all_queries()["dedup_keep_best"].build(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     n_exchanges = len(re.findall(r"\bExchange\b", plan))
-    assert n_exchanges <= 10, f"CC lineage blew up again: {n_exchanges} exchanges"
+    assert n_exchanges <= 24, f"CC lineage blew up again: {n_exchanges} exchanges"
 
 
 def test_winnowing_shared_run_guarantee(spark):
