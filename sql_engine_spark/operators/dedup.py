@@ -413,6 +413,11 @@ def minhash_lsh_pairs_from_hs(
     the per-shingle digests directly: lane mins and set cardinalities
     are order- and representation-independent, so the pair output is
     identical to the from-text path."""
+    if max_bucket_size is None:
+        candidates = minhash_lsh_candidates_from_hs(
+            hs, num_hashes=num_hashes, bands=bands
+        )
+        return _verify_jaccard(candidates, hs.select("__id", "__hs"), threshold)
     rows_per_band = num_hashes // bands
     # Band keys as explicit columns + stack, NOT transform+posexplode: a
     # generator over an array expression re-expands the whole minhash
@@ -460,6 +465,51 @@ def minhash_lsh_pairs_from_hs(
         .distinct()
     )
     return _verify_jaccard(candidates, hs.select("__id", "__hs"), threshold)
+
+
+def minhash_lsh_candidates_from_hs(
+    hs: DataFrame,
+    *,
+    num_hashes: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """The UNVERIFIED candidate pair set of minhash_lsh_pairs_from_hs —
+    the distinct (id_a < id_b) pairs sharing at least one band bucket,
+    before the exact-Jaccard verify. For a consumer that intersects the
+    candidates with a relation already known to satisfy J >= t (e.g.
+    the complete prefix-filter truth set at the same threshold), the
+    verify is provably redundant: p in verified-lsh <=> p in candidates
+    whenever J(p) >= t, so joining against candidates yields the
+    identical hit set while skipping the per-pair set-intersection leg
+    (r12, guide §1.2 don't compute what you throw away)."""
+    rows_per_band = num_hashes // bands
+    key_cols = [
+        F.md5(
+            F.concat_ws("|", F.slice("__sig", b * rows_per_band + 1, rows_per_band))
+        ).alias(f"__k{b}")
+        for b in range(bands)
+    ]
+    stack_expr = (
+        f"stack({bands}, "
+        + ", ".join(f"{b}, __k{b}" for b in range(bands))
+        + ") as (__band, __key)"
+    )
+    buckets = (
+        hs.withColumn("__sig", minhash_signature("__hs", num_hashes))
+        .select("__id", *key_cols)
+        .select("__id", F.expr(stack_expr))
+    )
+    a, b = buckets.alias("a"), buckets.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.__band") == F.col("b.__band"))
+            & (F.col("a.__key") == F.col("b.__key"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .distinct()
+    )
 
 
 def shared_ngram_stats(

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from sql_engine_spark.functions.numeric import dsum, sql_dsum
 from sql_engine_spark.io import load
 from sql_engine_spark.operators.asof import asof_join, range_join_buckets
+from sql_engine_spark.operators.dedup import _persist
 from sql_engine_spark.operators.sketch import (
     countmin_heavy_hitters,
     sql_countmin_heavy_hitters,
@@ -595,24 +596,43 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts").alias("s"), F.max("ts").alias("e")
     )
     epoch = "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {})"
-    cells = iv.select(
-        "user_id",
-        "sid",
-        "s",
-        "e",
-        F.explode(
+    # Persisted: the self-join would otherwise evaluate the whole
+    # session derivation (window + groupBy + explode) once per side
+    # (r12, guide §1.2 don't compute twice). __scell (the interval's
+    # START cell) rides along for the responsible-cell dedup below.
+    cells = _persist(
+        iv.select(
+            "user_id",
+            "sid",
+            "s",
+            "e",
             F.expr(
-                f"sequence(CAST({epoch.format('s')} AS BIGINT) DIV {_OVL_CELL_S}, "
-                f"CAST({epoch.format('e')} AS BIGINT) DIV {_OVL_CELL_S})"
-            )
-        ).alias("__cell"),
+                f"CAST({epoch.format('s')} AS BIGINT) DIV {_OVL_CELL_S}"
+            ).alias("__scell"),
+            F.explode(
+                F.expr(
+                    f"sequence(CAST({epoch.format('s')} AS BIGINT) DIV {_OVL_CELL_S}, "
+                    f"CAST({epoch.format('e')} AS BIGINT) DIV {_OVL_CELL_S})"
+                )
+            ).alias("__cell"),
+        )
     )
     a, b = cells.alias("a"), cells.alias("b")
+    # Responsible-cell dedup (the standard grid-join spelling, r12,
+    # guide §2.4 remove shuffles outright): any two intervals sharing
+    # >= 1 cell both cover cell max(start_a, start_b) — it lies between
+    # both starts and any shared cell <= both ends — so emitting a pair
+    # ONLY from that one cell yields exactly the dropDuplicates result
+    # as a filter evaluated inside the join, with no candidate shuffle.
     cand = (
         a.join(
             b,
             (F.col("a.__cell") == F.col("b.__cell"))
-            & (F.col("a.user_id") < F.col("b.user_id")),
+            & (F.col("a.user_id") < F.col("b.user_id"))
+            & (
+                F.col("a.__cell")
+                == F.greatest(F.col("a.__scell"), F.col("b.__scell"))
+            ),
         )
         .select(
             F.col("a.user_id").alias("user_a"),
@@ -624,7 +644,6 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.s").alias("sb"),
             F.col("b.e").alias("eb"),
         )
-        .dropDuplicates(["user_a", "session_a", "user_b", "session_b"])
     )
     return (
         cand.where((F.col("sa") <= F.col("eb")) & (F.col("sb") <= F.col("ea")))

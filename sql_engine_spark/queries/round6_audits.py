@@ -61,7 +61,14 @@ _RC_T = 0.3  # audit threshold: prefix filter is exact-complete here
 def dedup_lsh_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     hs = D.shingle_hs_shared(spark, sf_dir)
     truth = D.prefix_filter_pairs_from_hs(hs, threshold=_RC_T)
-    lsh = D.minhash_lsh_pairs_from_hs(hs, threshold=_RC_T)
+    # Candidates, not verified pairs (r12, guide §1.2): every truth
+    # pair already has J >= t, and verified-lsh = candidates ∩ {J >= t},
+    # so truth ⋉ verified-lsh == truth ⋉ candidates — the LSH side's
+    # exact-Jaccard verify (two hs joins + per-pair set intersection)
+    # is provably dead work for this audit. The oracle keeps the full
+    # verified-lsh CTE; the hash comparison is what certifies the
+    # equivalence.
+    lsh = D.minhash_lsh_candidates_from_hs(hs)
     marked = truth.select("id_a", "id_b", "jaccard").join(
         lsh.select("id_a", "id_b", F.lit(1).alias("hit")),
         ["id_a", "id_b"],

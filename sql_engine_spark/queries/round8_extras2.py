@@ -381,11 +381,17 @@ def ann_graph_greedy_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("query_id", F.col("cand").alias("cur"), F.col("cosine").alias("cur_cos"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand"))
     for _ in range(_GREEDY_HOPS):
+        # No .distinct() on the candidate list (r12, guide §2.4 remove
+        # shuffles outright): adj rows are unique (und_edges dedupes),
+        # so duplicates cannot arise — and even if they could, the
+        # row_number() == 1 argmax below is insensitive to duplicate
+        # candidate rows (ties break to the same (cosine, cand) row).
+        # The distinct was one full-width shuffle per hop on a
+        # ~60-row relation.
         cands = (
             state.join(adj, state["cur"] == adj["node"])
             .select("query_id", F.col("nb").alias("cand"))
             .unionByName(state.select("query_id", F.col("cur").alias("cand")))
-            .distinct()
         )
         state = (
             scored(cands)

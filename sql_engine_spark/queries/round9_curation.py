@@ -237,7 +237,15 @@ def curation_submodular_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     picked = []
     for r in range(1, _MC_K + 1):
         rem = dv.where(~F.col("dig").isin(list(covered))) if covered else dv
-        s = rem.groupBy("doc_id").agg(F.count("*").cast("long").alias("sc"))
+        # One job per round, not two (r12, guide §1.2): the winner's
+        # still-uncovered dig list rides the same aggregate that
+        # computes its score (TakeOrdered moves only the single top
+        # row to the driver; the list is bounded by the doc's vocab
+        # membership), replacing the old second scan-and-filter job.
+        s = rem.groupBy("doc_id").agg(
+            F.count("*").cast("long").alias("sc"),
+            F.collect_list("dig").alias("__digs"),
+        )
         top_rows = s.orderBy(F.desc("sc"), F.asc("doc_id")).limit(1).collect()
         if not top_rows:
             raise RuntimeError(
@@ -245,9 +253,7 @@ def curation_submodular_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"{r}; raise _MC_V above {_MC_V}"
             )
         top = top_rows[0]
-        new_digs = {
-            row.dig for row in rem.where(F.col("doc_id") == top.doc_id).collect()
-        }
+        new_digs = set(top["__digs"])
         covered |= new_digs
         # Divide by the ACTUAL universe size — min(_MC_V, distinct
         # shingles) — matching the oracle's COUNT(*) FROM vocab (review

@@ -33,6 +33,7 @@ from sql_engine_spark.operators.retrieval import (
     bm25_topk_from_index,
     sql_bm25_index,
 )
+from sql_engine_spark.operators.dedup import _persist
 from sql_engine_spark.operators.similarity import two_level_topk
 from sql_engine_spark.queries.retrieval import _BM25_QUERIES
 from sql_engine_spark.queries.round9_retrieval import (
@@ -140,9 +141,13 @@ def retrieval_rm3_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf_idx, docstats = bm25_index_shared(spark, sf_dir)
     qterms = _qterms_df(spark)
     # One first-pass scoring serves both consumers: the top-3 feedback
-    # set is a rank-prefix of the top-10 original ranking.
-    orig10_ranked = bm25_topk_from_index(
-        tf_idx, docstats, _BM25_QUERIES, k=_RM3_K
+    # set is a rank-prefix of the top-10 original ranking. Persisted
+    # (r12, guide §1.2): it is consumed twice (feedback docs + the
+    # in_original_top10 flag), and each evaluation is a full scan of
+    # the shared index plus the score/fold/top-k tail; the relation
+    # itself is k rows per query.
+    orig10_ranked = _persist(
+        bm25_topk_from_index(tf_idx, docstats, _BM25_QUERIES, k=_RM3_K)
     )
     fb = orig10_ranked.where(F.col("rank") <= _RM3_FB_DOCS).select(
         "query_id", "doc_id"
@@ -160,7 +165,11 @@ def retrieval_rm3_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
         query_col="query_id",
         id_col="token",
     ).select("query_id", "token")
-    q2 = qterms.unionAll(expn).distinct()
+    # Persisted (r12): q2 is read twice (the expanded-token scan filter
+    # and the per-(query, doc) fold join), and each evaluation re-runs
+    # the candidate mining (a full index scan + aggregate) feeding the
+    # expansion top-k; the relation is <= (orig + 5) tokens per query.
+    q2 = _persist(qterms.unionAll(expn).distinct())
     stats = docstats.agg(
         F.count("*").cast("double").alias("n_docs"),
         (F.sum("dl").cast("double") / F.count("*").cast("double")).alias(

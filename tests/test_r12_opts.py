@@ -114,3 +114,88 @@ def test_cc_small_path_equals_checkpoint_path(spark, sf_dir, monkeypatch):
     }
     assert small, "no CC labels built"
     assert small == large
+
+
+def test_lsh_candidates_verify_factoring(spark, sf_dir):
+    """minhash_lsh_pairs_from_hs == verify(minhash_lsh_candidates_from_hs):
+    the factored candidate set, exact-verified, must reproduce the
+    verified pair relation exactly — the equivalence that lets
+    dedup_lsh_recall_curve join truth pairs (already J >= t) against
+    bare candidates and skip the verify leg."""
+    from pyspark.sql import functions as F
+
+    from sql_engine_spark.operators import dedup as D
+
+    hs = D.shingle_hs_shared(spark, sf_dir)
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in D.minhash_lsh_pairs_from_hs(hs, threshold=0.3).collect()
+    }
+    cands = {
+        (r.id_a, r.id_b)
+        for r in D.minhash_lsh_candidates_from_hs(hs).collect()
+    }
+    assert pairs <= cands, "verified pairs must be a candidate subset"
+    # And intersecting candidates with the truth relation (J >= t) is
+    # exactly the verified set: verify the candidates and compare.
+    verified = {
+        (r.id_a, r.id_b)
+        for r in D._verify_jaccard(
+            D.minhash_lsh_candidates_from_hs(hs),
+            hs.select("__id", "__hs"),
+            0.3,
+        ).collect()
+    }
+    assert verified == pairs
+
+
+def test_interval_overlap_responsible_cell_complete(spark, sf_dir):
+    """The responsible-cell dedup must emit every overlapping session
+    pair exactly once: compare against a brute-force theta join over
+    the same interval relation."""
+    from pyspark.sql import functions as F
+
+    from sql_engine_spark.registry import all_queries
+
+    out = all_queries()["join_interval_overlap"].build(spark, sf_dir)
+    rows = [tuple(r) for r in out.collect()]
+    assert len(rows) == len(set(rows)), "duplicate pair emitted"
+    # Brute force: sessions from the SAME query output's interval logic
+    # via a theta join on the events table.
+    from sql_engine_spark.io import load
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.expr(
+        "timestampdiff(SECOND, lag(date_trunc('second', ts)) "
+        "OVER (PARTITION BY user_id ORDER BY ts, event_id), date_trunc('second', ts))"
+    )
+    sess = ev.select(
+        "user_id",
+        "ts",
+        F.sum(F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("sid"),
+    )
+    iv = sess.groupBy("user_id", F.col("sid").cast("long").alias("sid")).agg(
+        F.min("ts").alias("s"), F.max("ts").alias("e")
+    )
+    a, b = iv.alias("a"), iv.alias("b")
+    brute = (
+        a.join(
+            b,
+            (F.col("a.user_id") < F.col("b.user_id"))
+            & (F.col("a.s") <= F.col("b.e"))
+            & (F.col("b.s") <= F.col("a.e")),
+        )
+        .select(
+            F.col("a.user_id"),
+            F.col("a.sid"),
+            F.col("b.user_id").alias("ub"),
+            F.col("b.sid").alias("sb"),
+        )
+    )
+    got = {(r[0], r[1], r[2], r[3]) for r in rows}
+    want = {tuple(r) for r in brute.collect()}
+    assert got == want
