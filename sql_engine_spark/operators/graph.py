@@ -68,8 +68,21 @@ def pagerank_fixed(
     """
     from sql_engine_spark.operators.dedup import _persist
 
-    n_df = nodes.agg(F.count("*").cast("double").alias("__N"))
-    base = nodes.select(F.col(node_col).alias("__node")).crossJoin(F.broadcast(n_df))
+    # The node relation is referenced once per iteration (the left side
+    # of the rank rebuild) plus the final projection; if `nodes` is
+    # itself a pipeline (textrank's vocab top-k, a kNN build), an
+    # unpersisted loop re-runs it per reference (r12, guide §1.2).
+    nbase = _persist(nodes.select(F.col(node_col).alias("__node")))
+    # The broadcast N relation builds from the PERSISTED nodes: each
+    # plan reference of `base` re-runs the broadcast job, which before
+    # re-ran the whole node pipeline per reference (textrank's vocab
+    # top-k — measured as a ~280ms job train in its profile); from the
+    # cached 1-row aggregate it is scheduler noise. (A driver-side
+    # count() scalar was tried instead — it removes the broadcast jobs
+    # entirely but adds an eager action per pagerank build, a net loss
+    # for consumers whose node relation is already cheap.)
+    n_df = nbase.agg(F.count("*").cast("double").alias("__N"))
+    base = nbase.crossJoin(F.broadcast(n_df))
     # Every iteration re-reads the edge list and its out-degrees; if
     # `edges` is itself a pipeline (here: the kNN-graph build), an
     # unpersisted loop recomputes it per round. Caller-owned lifetime.

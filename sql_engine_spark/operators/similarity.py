@@ -181,7 +181,12 @@ def lsh_bucket(vec_col: str, planes: int, dim: int, offset: int = 0) -> "F.Colum
 
     `offset` selects an independent set of hyperplanes (the plane index
     seeds the md5 pattern), so multi-table LSH uses offsets 0, planes,
-    2*planes, ... for its tables."""
+    2*planes, ... for its tables.
+
+    (r12 note: an explicit left-associated element_at sum was tried to
+    get the dot into whole-stage codegen; the 2048-node expression tree
+    fell back to interpreted evaluation and measured ~2x SLOWER than
+    the HOF fold on the bucket-row leg, so the fold stays.)"""
     bits = []
     for j in range(offset, offset + planes):
         dot = (
@@ -887,6 +892,8 @@ def semantic_dup_pairs_multitable(
     from an equi-join on (table, bucket), and the quadratic cost stays
     confined to bucket blocks (~corpus/2^planes each) — no all-pairs
     stage. Returns (id_a, id_b, cosine)."""
+    from sql_engine_spark.operators.dedup import _persist
+
     cols = [
         lsh_bucket(vec_col, planes, dim, offset=t * planes).alias(f"__b{t}")
         for t in range(tables)
@@ -897,7 +904,11 @@ def semantic_dup_pairs_multitable(
         + ", ".join(f"{t}, __b{t}" for t in range(tables))
         + ") as (__t, __bk)"
     )
-    rows = wide.selectExpr("__id", stack)
+    # Persisted (r12, guide §1.2 don't compute twice): the bucket
+    # self-join's two sides are aliases of this relation, and the
+    # tables x planes interpreted-HOF plane dots are its dominant cost —
+    # unpersisted, the whole bucket map ran once per join side.
+    rows = _persist(wide.selectExpr("__id", stack))
     a, b = rows.alias("a"), rows.alias("b")
     cands = (
         a.join(
@@ -911,10 +922,14 @@ def semantic_dup_pairs_multitable(
     )
     from sql_engine_spark.functions.vectors import dot, l2_norm
 
-    vecs = df.select(
-        F.col(id_col).alias("__vid"),
-        F.col(vec_col).alias("__v"),
-        l2_norm(vec_col).alias("__n"),
+    # Persisted: both verify sides read (vector, norm); unpersisted the
+    # scan + per-row norm reduction ran once per side.
+    vecs = _persist(
+        df.select(
+            F.col(id_col).alias("__vid"),
+            F.col(vec_col).alias("__v"),
+            l2_norm(vec_col).alias("__n"),
+        )
     )
     return (
         cands.join(vecs.alias("va"), F.col("id_a") == F.col("va.__vid"))

@@ -268,11 +268,36 @@ def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         query_col="__q",
         id_col="tok",
     ).select("tok")
-    vp = pos.join(F.broadcast(vocab), "tok").select("doc_id", "tok", "p")
-    a = vp.select("doc_id", F.col("tok").alias("w1"), F.col("p").alias("pa"))
-    b = vp.select("doc_id", F.col("tok").alias("w2"), F.col("p").alias("pb"))
+    vp = _persist(
+        pos.join(F.broadcast(vocab), "tok").select("doc_id", "tok", "p")
+    )
+    # Banded position join (r12, guide §2.3 shuffle fewer bytes /
+    # §1.2 choose the distributed algorithm): joining on doc_id alone
+    # is per-doc QUADRATIC in vocab positions before the window filter
+    # prunes — a cliff for long documents at scale. Successors within
+    # (pa, pa + W] live in position cells pa DIV W or pa DIV W + 1, so
+    # exploding the left side to those two cells and equi-joining on
+    # (doc_id, cell) bounds the join output at O(positions x W) while
+    # the exact window predicate keeps the pair set identical.
+    a = vp.select(
+        "doc_id",
+        F.col("tok").alias("w1"),
+        F.col("p").alias("pa"),
+        F.explode(
+            F.array(
+                F.expr(f"p div {_TR_WINDOW}"),
+                F.expr(f"p div {_TR_WINDOW}") + 1,
+            )
+        ).alias("__cell"),
+    )
+    b = vp.select(
+        "doc_id",
+        F.col("tok").alias("w2"),
+        F.col("p").alias("pb"),
+        F.expr(f"p div {_TR_WINDOW}").alias("__cell"),
+    )
     co = (
-        a.join(b, "doc_id")
+        a.join(b, ["doc_id", "__cell"])
         .where(
             (F.col("pb") - F.col("pa")).between(1, _TR_WINDOW)
             & (F.col("w1") != F.col("w2"))
