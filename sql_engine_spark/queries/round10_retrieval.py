@@ -29,6 +29,7 @@ from sql_engine_spark.operators.retrieval import (
     bm25_topk_from_index,
     sql_bm25_index,
 )
+from sql_engine_spark.operators.dedup import _persist
 from sql_engine_spark.operators.textprep import sql_tokens
 from sql_engine_spark.queries.retrieval import _BM25_QUERIES
 from sql_engine_spark.queries.round9_retrieval import (
@@ -561,7 +562,10 @@ def retrieval_map_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
     qsize = qterms.groupBy("query_id").agg(
         F.count("*").cast("long").alias("n_terms")
     )
-    qrels = (
+    # Persisted (r12, guide §1.2): qrels is consumed twice (the per-
+    # query relevant-count and the ranked-hits flag join); unpersisted,
+    # each consumer re-ran the index scan + aggregate.
+    qrels = _persist(
         tf_idx.join(F.broadcast(qterms), "token")
         .groupBy("query_id", "doc_id")
         .agg(F.countDistinct("token").cast("long").alias("nt"))

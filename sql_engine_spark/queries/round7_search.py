@@ -108,10 +108,15 @@ _KNN_UND = (
     "broadcast-exemplar cosine pass.",
 )
 def ann_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
     emb = load(spark, sf_dir, "embeddings")
+    # Lexical leg from the SHARED materialized index (r12, guide §1.2):
+    # the from-text spelling re-tokenized and re-aggregated the corpus
+    # per invocation; bm25_topk_from_index produces identical scores
+    # (same tf/dl/stats arithmetic — see its docstring) from the
+    # once-per-process parquet index.
+    tf_idx, docstats = R.bm25_index_shared(spark, sf_dir)
     bm25 = _persist(
-        R.bm25_topk(docs, _BM25_QUERIES, id_col="doc_id", text_col="text", k=_HYB_K)
+        R.bm25_topk_from_index(tf_idx, docstats, _BM25_QUERIES, k=_HYB_K)
     )
     exemplar = bm25.where(F.col("rank") == 1).select(
         "query_id", F.col("doc_id").alias("ex_id")

@@ -110,13 +110,16 @@ def ann_greedy_entries_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.desc("cosine"), F.asc("cand")
     )
     for _ in range(_HOPS):
+        # No .distinct() (r12, guide §2.4, same argument as
+        # ann_graph_greedy_search): adj rows are unique, and the
+        # rank-1 argmax below is insensitive to duplicate candidate
+        # rows anyway — the distinct was one full shuffle per hop.
         cands = (
             state.join(adj, state["cur"] == adj["node"])
             .select("query_id", "entry", F.col("nb").alias("cand"))
             .unionByName(
                 state.select("query_id", "entry", F.col("cur").alias("cand"))
             )
-            .distinct()
         )
         state = (
             scored(cands)

@@ -39,6 +39,7 @@ from sql_engine_spark.operators.retrieval import (
     sql_bm25_index,
     sql_bm25_topk,
 )
+from sql_engine_spark.operators.dedup import _persist
 from sql_engine_spark.operators.similarity import two_level_topk
 from sql_engine_spark.operators.textprep import sql_tokens, tokens
 from sql_engine_spark.queries.retrieval import _BM25_K, _BM25_QUERIES
@@ -487,7 +488,10 @@ def retrieval_eval_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("query_id", "doc_id")
         .agg(F.count("*").cast("long").alias("n_match"))
     )
-    rel = (
+    # Persisted (r12, guide §1.2): rel is consumed twice (per-query
+    # relevant-count + the ranked flag join); unpersisted, each
+    # consumer re-ran the index scan + aggregate.
+    rel = _persist(
         matches.join(F.broadcast(nq), "query_id")
         .where(F.col("n_match") == F.col("nq"))
         .select("query_id", "doc_id")
