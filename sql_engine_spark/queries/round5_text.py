@@ -452,21 +452,35 @@ def _bpe_train(
     merges = []
     for r in range(1, rounds + 1):
         pairs = (
-            # single-symbol words contribute no pairs; the filter also
-            # dodges Spark's sequence(1, 0) yielding a DESCENDING [1,0]
-            # instead of empty
-            vocab.where(F.expr("size(split(trim(sym_str), ' ')) >= 2"))
+            # Split ONCE into a column (r12, guide §4.1): the old
+            # spelling re-ran split(trim(sym_str)) inside the generator
+            # input and once more per struct-field access (generator
+            # nested-field aliasing duplicates the whole transform).
+            # The pair is emitted as one space-joined string — symbols
+            # can never contain a space (initial symbols are single
+            # non-space characters; merges concatenate without a
+            # separator) — and re-split after the explode, so the
+            # (l, rr, cnt) relation is identical row for row.
+            # The size filter also dodges Spark's sequence(1, 0)
+            # yielding a DESCENDING [1, 0] instead of empty.
+            vocab.select(
+                F.expr("split(trim(sym_str), ' ')").alias("__syms"), "wcount"
+            )
+            .where(F.size("__syms") >= 2)
             .select(
                 F.explode(
                     F.expr(
-                        "transform(sequence(1, size(split(trim(sym_str), ' ')) - 1), "
-                        "i -> struct(element_at(split(trim(sym_str), ' '), i) AS l, "
-                        "element_at(split(trim(sym_str), ' '), i + 1) AS rr))"
+                        "transform(sequence(1, size(__syms) - 1), "
+                        "i -> concat(element_at(__syms, i), ' ', "
+                        "element_at(__syms, i + 1)))"
                     )
-                ).alias("pr"),
+                ).alias("__p"),
                 "wcount",
             )
-            .groupBy("pr.l", "pr.rr")
+            .groupBy(
+                F.expr("substring_index(__p, ' ', 1)").alias("l"),
+                F.expr("substring_index(__p, ' ', -1)").alias("rr"),
+            )
             .agg(F.sum("wcount").cast("long").alias("cnt"))
         )
         pick = pairs.orderBy(F.desc("cnt"), F.asc("l"), F.asc("rr")).limit(1).collect()[0]

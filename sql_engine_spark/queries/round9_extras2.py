@@ -151,20 +151,29 @@ def join_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = keyed.join(
         F.broadcast(bits.withColumnRenamed("pos", "p1")), "p1", "left_semi"
     ).join(F.broadcast(bits.withColumnRenamed("pos", "p2")), "p2", "left_semi")
-    joined = cand.join(F.broadcast(sup), cand.l_suppkey == sup.s_suppkey)
-
+    # One pass over the pruned probe side for BOTH the candidate count
+    # and the match statistics (r12, guide §1.2): the old spelling
+    # evaluated `cand` twice (a count job and an inner-join aggregate),
+    # each a full lineitem scan through the two Bloom semi-joins. A
+    # LEFT join against the (unique-keyed) supplier side makes matches
+    # = non-null rows, so candidates/matches/revenue fold in one
+    # aggregate over one scan; the revenue addend set is unchanged
+    # (SUM skips the null arm), so dsum is bit-identical.
+    lj = cand.join(F.broadcast(sup), cand.l_suppkey == sup.s_suppkey, "left")
     probe_rows = probe.agg(F.count("*").cast("long").alias("probe_rows"))
-    cand_rows = cand.agg(F.count("*").cast("long").alias("bloom_candidates"))
-    match = joined.agg(
-        F.count("*").cast("long").alias("true_matches"),
-        dsum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).alias(
-            "matched_revenue"
-        ),
+    cand_match = lj.agg(
+        F.count("*").cast("long").alias("bloom_candidates"),
+        F.count("s_suppkey").cast("long").alias("true_matches"),
+        dsum(
+            F.when(
+                F.col("s_suppkey").isNotNull(),
+                F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")),
+            )
+        ).alias("matched_revenue"),
     )
     nbits = bits.agg(F.count("*").cast("long").alias("bits_set"))
     return (
-        probe_rows.crossJoin(F.broadcast(cand_rows))
-        .crossJoin(F.broadcast(match))
+        probe_rows.crossJoin(F.broadcast(cand_match))
         .crossJoin(F.broadcast(nbits))
         .select(
             "probe_rows",

@@ -107,65 +107,53 @@ def multimodal_quadrant_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
             for c in range(4)
         ],
     )
-    cells = F.broadcast(
-        spark.createDataFrame(
-            [(i, j) for i in range(_N) for j in range(_N)], "i INT, j INT"
+    # Pure-map quadrant hashes (r12, guide §2.4 remove shuffles
+    # outright): the old spelling exploded each doc to a 64-row grid
+    # (crossJoin) and rebuilt the quadrant hash with a groupBy, a
+    # grid-to-sum join and a second groupBy — three shuffles of a
+    # 64x-replicated relation to compute what is a per-row function of
+    # the four md5 strings. All arithmetic is integer (hex-digit
+    # extraction, sums, comparisons), so evaluating the identical
+    # cell values, quadrant sums and bit tests as codegen'd column
+    # expressions is exact; stack() emits the same (doc_id, quad,
+    # qhash) rows with zero pre-join shuffles.
+    def _val(p: int) -> str:
+        k, b = divmod(p, 16)
+        return (
+            f"CAST((instr('0123456789abcdef', substring(h{k}, {2 * b + 1}, 1)) - 1) "
+            f"* 16 + (instr('0123456789abcdef', substring(h{k}, {2 * b + 2}, 1)) - 1) "
+            f"AS BIGINT)"
         )
-    )
-    p = 8 * F.col("i") + F.col("j")
-    h = (
-        F.when(F.floor(p / 16) == 0, F.col("h0"))
-        .when(F.floor(p / 16) == 1, F.col("h1"))
-        .when(F.floor(p / 16) == 2, F.col("h2"))
-        .otherwise(F.col("h3"))
-    )
-    grid = (
-        d.crossJoin(cells)
-        .withColumn("h", h)
-        .withColumn("b", p % 16)
-        .withColumn(
-            "val",
-            (
-                F.lit(16)
-                * (
-                    F.expr(
-                        "instr('0123456789abcdef', substring(h, 2 * b + 1, 1))"
-                    )
-                    - 1
-                )
-                + (
-                    F.expr(
-                        "instr('0123456789abcdef', substring(h, 2 * b + 2, 1))"
-                    )
-                    - 1
-                )
-            ).cast("long"),
+
+    quad_cols = []
+    for Q in range(4):
+        ps = [
+            8 * (4 * (Q // 2) + pos // 4) + (4 * (Q % 2) + pos % 4)
+            for pos in range(16)
+        ]
+        vals = [_val(p) for p in ps]
+        s_expr = " + ".join(vals)
+        bits = " + ".join(
+            f"(CASE WHEN 16 * {vals[pos]} > __s{Q} "
+            f"THEN CAST({1 << pos} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+            for pos in range(16)
         )
-        .select("doc_id", "i", "j", "val")
-    )
-    q = grid.select(
+        quad_cols.append((f"__s{Q}", s_expr, f"__q{Q}", bits))
+    with_sums = d.select(
         "doc_id",
-        (2 * F.floor(F.col("i") / 4) + F.floor(F.col("j") / 4))
-        .cast("int")
-        .alias("quad"),
-        (4 * (F.col("i") % 4) + (F.col("j") % 4)).cast("int").alias("pos"),
-        "val",
+        *[F.col(f"h{c}") for c in range(4)],
+        *[F.expr(s).alias(name) for name, s, _, _ in quad_cols],
     )
-    qsum = q.groupBy("doc_id", "quad").agg(F.sum("val").cast("long").alias("s"))
-    qh = _persist(
-        q.join(qsum, ["doc_id", "quad"])
-        .groupBy("doc_id", "quad")
-        .agg(
-            F.sum(
-                F.when(
-                    F.lit(16) * F.col("val") > F.col("s"),
-                    F.expr("shiftleft(CAST(1 AS BIGINT), pos)"),
-                ).otherwise(F.lit(0).cast("long"))
-            )
-            .cast("long")
-            .alias("qhash")
-        )
+    with_hashes = with_sums.select(
+        "doc_id",
+        *[F.expr(bits).alias(qname) for _, _, qname, bits in quad_cols],
     )
+    stack_expr = (
+        "stack(4, "
+        + ", ".join(f"CAST({Q} AS INT), __q{Q}" for Q in range(4))
+        + ") as (quad, qhash)"
+    )
+    qh = _persist(with_hashes.selectExpr("doc_id", stack_expr))
     a = qh.select(F.col("doc_id").alias("id_a"), "quad", "qhash")
     b = qh.select(F.col("doc_id").alias("id_b"), "quad", "qhash")
     return (
