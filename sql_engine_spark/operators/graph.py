@@ -202,9 +202,7 @@ def triangle_triples(und: DataFrame) -> DataFrame:
     """
     from sql_engine_spark.operators.dedup import _persist
 
-    both = und.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
-        und.select(F.col("b").alias("u"), F.col("a").alias("v"))
-    )
+    both = und_both_dirs(und, out_src="u", out_dst="v")
     deg = both.groupBy("u").agg(F.count("*").cast("long").alias("deg"))
     # Orientation key per vertex; edges flow small key -> large key.
     keyed = (
@@ -465,6 +463,31 @@ def triangle_corner_counts_shared(spark, sf_dir: str) -> DataFrame:
     )
 
 
+def und_both_dirs(
+    und: DataFrame,
+    *,
+    a_col: str = "a",
+    b_col: str = "b",
+    out_src: str = "src",
+    out_dst: str = "dst",
+    carry: tuple[str, ...] = (),
+) -> DataFrame:
+    """Both directions of an undirected edge relation from ONE
+    evaluation (r12, guide §1.2): the idiomatic two-leg
+    `sel(a,b).unionAll(sel(b,a))` re-runs the whole upstream pipeline
+    (typically a distinct or a groupBy over the kNN graph) once per
+    leg when `und` is unpersisted; explode of a 2-struct array emits
+    src->dst and dst->src in the same map task. Row multiset is
+    identical to the union (order differs; every consumer is a
+    join/aggregate)."""
+    structs = F.array(
+        F.struct(F.col(a_col).alias(out_src), F.col(b_col).alias(out_dst)),
+        F.struct(F.col(b_col).alias(out_src), F.col(a_col).alias(out_dst)),
+    )
+    out = und.select(F.explode(structs).alias("__e"), *[F.col(c) for c in carry])
+    return out.select("__e.*", *carry)
+
+
 def und_edges(g: DataFrame) -> DataFrame:
     """Undirected edge set (a, b), a < b, each edge once, from a
     directed kNN graph (src, dst, ...)."""
@@ -498,9 +521,7 @@ def capped_adjacency(g: DataFrame, *, cap: int = WEDGE_CAP) -> DataFrame:
     from pyspark.sql import Window
 
     undw = und_edges_weighted(g)
-    adjw = undw.select(
-        F.col("a").alias("node"), F.col("b").alias("nb"), "w"
-    ).unionAll(undw.select(F.col("b").alias("node"), F.col("a").alias("nb"), "w"))
+    adjw = und_both_dirs(undw, out_src="node", out_dst="nb", carry=("w",))
     w = Window.partitionBy("node").orderBy(F.desc("w"), F.asc("nb"))
     return (
         adjw.withColumn("__rk", F.row_number().over(w))

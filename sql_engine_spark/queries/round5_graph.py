@@ -25,6 +25,7 @@ from sql_engine_spark.operators.graph import (  # noqa: E402
 from sql_engine_spark.operators.graph import (  # noqa: E402
     knn_graph_shared,
     sql_knn_shared,
+    und_both_dirs,
     und_edges,
 )
 
@@ -113,9 +114,7 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = knn_graph_shared(spark, sf_dir)
     und = und_edges(g)
     edges = _persist(
-        und.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
-            und.select(F.col("b").alias("src"), F.col("a").alias("dst"))
-        )
+        und_both_dirs(und)
     )
     labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
         "label", F.col("node")

@@ -250,14 +250,12 @@ _MAX_HOPS = 3
 )
 def graph_reachability_3hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sql_engine_spark.operators.dedup import _persist
-    from sql_engine_spark.operators.graph import knn_graph_shared, und_edges
+    from sql_engine_spark.operators.graph import knn_graph_shared, und_both_dirs, und_edges
 
     g = knn_graph_shared(spark, sf_dir)
     und = und_edges(g)
     adj = _persist(
-        und.select(F.col("a").alias("node"), F.col("b").alias("nb")).unionAll(
-            und.select(F.col("b").alias("node"), F.col("a").alias("nb"))
-        )
+        und_both_dirs(und, out_src="node", out_dst="nb")
     )
     frontier = (
         adj.select("node").distinct().where(F.col("node") < _SEED_MAX)

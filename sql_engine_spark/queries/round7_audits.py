@@ -168,14 +168,13 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sql_engine_spark.operators.graph import (
         knn_graph_shared,
         triangle_corner_counts_shared,
+        und_both_dirs,
         und_edges,
     )
 
     g = knn_graph_shared(spark, sf_dir)
     und = _persist(und_edges(g))
-    adj = und.select(F.col("a").alias("node"), F.col("b").alias("nb")).unionAll(
-        und.select(F.col("b").alias("node"), F.col("a").alias("nb"))
-    )
+    adj = und_both_dirs(und, out_src="node", out_dst="nb")
     deg = adj.groupBy("node").agg(F.count("*").cast("long").alias("degree"))
     # Triangle counts from the shared materialized relation (operators/
     # graph.triangle_triples_shared) — no per-consumer re-enumeration.

@@ -262,15 +262,11 @@ def agg_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
     "re-runs the full unrolled LPA + the same integer algebra.",
 )
 def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sql_engine_spark.operators.graph import knn_graph_shared, und_edges
+    from sql_engine_spark.operators.graph import knn_graph_shared, und_both_dirs, und_edges
 
     g = knn_graph_shared(spark, sf_dir)
     und = _persist(und_edges(g))
-    edges = _persist(
-        und.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
-            und.select(F.col("b").alias("src"), F.col("a").alias("dst"))
-        )
-    )
+    edges = _persist(und_both_dirs(und))
     labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
         "label", F.col("node")
     )

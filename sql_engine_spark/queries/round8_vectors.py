@@ -15,7 +15,7 @@ from sql_engine_spark.functions.numeric import dsum, sql_dsum, sql_ssum, ssum
 from sql_engine_spark.functions.vectors import dot, sql_dot
 from sql_engine_spark.io import load
 from sql_engine_spark.operators.dedup import _persist
-from sql_engine_spark.operators.graph import pagerank_fixed, sql_pagerank_fixed
+from sql_engine_spark.operators.graph import pagerank_fixed, sql_pagerank_fixed, und_both_dirs
 from sql_engine_spark.operators.similarity import derived_sample_hex
 from sql_engine_spark.queries.round8_quality import _CONFUSION_SQL, _confusion_cells
 from sql_engine_spark.registry import _REGISTRY, register
@@ -313,9 +313,7 @@ def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n") >= _TR_MINCO)
         .select("a", "b")
     )
-    edges = und.select(
-        F.col("a").alias("src"), F.col("b").alias("dst")
-    ).unionAll(und.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+    edges = und_both_dirs(und)
     ranked = pagerank_fixed(
         vocab.select(F.col("tok").alias("node")), edges, iterations=3
     )

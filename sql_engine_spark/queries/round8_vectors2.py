@@ -49,17 +49,13 @@ _BUDGETS = [1, 2, 4]
 )
 def ann_greedy_entries_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sql_engine_spark.functions.vectors import dot, l2_norm
-    from sql_engine_spark.operators.graph import knn_graph_shared, und_edges
+    from sql_engine_spark.operators.graph import knn_graph_shared, und_both_dirs, und_edges
     from sql_engine_spark.operators.similarity import brute_force_topk
 
     emb = load(spark, sf_dir, "embeddings")
     g = knn_graph_shared(spark, sf_dir)
     und = und_edges(g).where((F.col("a") >= 10) & (F.col("b") >= 10))
-    adj = _persist(
-        und.select(F.col("a").alias("node"), F.col("b").alias("nb")).unionAll(
-            und.select(F.col("b").alias("node"), F.col("a").alias("nb"))
-        )
-    )
+    adj = _persist(und_both_dirs(und, out_src="node", out_dst="nb"))
     vq = emb.where(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("__qv"),

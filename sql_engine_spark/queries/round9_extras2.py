@@ -407,24 +407,20 @@ def maintenance_zorder_clustering(spark: SparkSession, sf_dir: str) -> DataFrame
             "file_zorder"
         ),
     )
-    lin = filed.select(
-        F.lit("linear").alias("strategy"),
-        F.col("file_linear").alias("file_id"),
-        "l_partkey",
-        "l_suppkey",
-        "max_p",
-        "max_s",
-    )
-    zor = filed.select(
-        F.lit("zorder").alias("strategy"),
-        F.col("file_zorder").alias("file_id"),
-        "l_partkey",
-        "l_suppkey",
-        "max_p",
-        "max_s",
-    )
+    # Both strategies from ONE evaluation of `filed` (r12, guide §1.2):
+    # the two-leg union re-ran the whole double-rank pipeline (two
+    # bucketed range exchanges over lineitem) once per leg; stack()
+    # re-keys each row to its two (strategy, file_id) forms inside the
+    # same map task.
     env = (
-        lin.unionAll(zor)
+        filed.selectExpr(
+            "stack(2, 'linear', file_linear, 'zorder', file_zorder) "
+            "as (strategy, file_id)",
+            "l_partkey",
+            "l_suppkey",
+            "max_p",
+            "max_s",
+        )
         .groupBy("strategy", "file_id")
         .agg(
             F.min("l_partkey").cast("long").alias("min_p"),

@@ -267,7 +267,15 @@ def stats_kendall_tau_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("yb"),
     )
-    cells = b.groupBy("xb", "yb").agg(F.count("*").cast("long").alias("n"))
+    # Persisted (r12, guide §1.2): cells (<= bins^2 rows) feeds FOUR
+    # consumers (the concordance cross join twice, the total, and both
+    # marginal tie sums); unpersisted, each re-ran the two bucketed
+    # corpus rank passes upstream.
+    from sql_engine_spark.operators.dedup import _persist
+
+    cells = _persist(
+        b.groupBy("xb", "yb").agg(F.count("*").cast("long").alias("n"))
+    )
     c1 = cells.select(
         F.col("xb").alias("x1"), F.col("yb").alias("y1"), F.col("n").alias("m1")
     )
