@@ -459,6 +459,89 @@ def ivf_topk(
     return _ivf_search(probes, corp, k)
 
 
+def ivf_topk_sweep(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    num_centroids: int,
+    nprobes: tuple[int, ...],
+    leg_col: str = "nprobe",
+) -> DataFrame:
+    """`ivf_topk` at several probe budgets in ONE pipeline.
+
+    Probed-cell sets nest by construction (each query's cells are
+    ranked once; nprobe takes a prefix), so the candidate relation at
+    nprobe `p` is exactly the max-nprobe scored relation filtered to
+    probe rank <= p. This scores every (query, candidate) cosine ONCE
+    at max(nprobes) — one seed collect, one corpus scan+assignment,
+    one candidate shuffle — then EXPLODES each scored row into the
+    legs whose budget covers its probe rank and ranks all legs with a
+    single `two_level_topk` partitioned by (leg, query). Each (leg,
+    query) partition holds the identical candidate multiset the solo
+    `ivf_topk` scores, and the (desc score, asc id) order is a strict
+    total order, so per-leg rows are BIT-IDENTICAL to the solo calls
+    (pinned by the sweep queries' oracles, which still compose the
+    per-leg oracle SQL). One pipeline instead of len(nprobes) — no
+    persist, no concurrent-broadcast cache race, ~1/len(nprobes) the
+    jobs.
+
+    Returns one DataFrame: (leg_col, query_id, neighbor_id, cell,
+    cosine, rank), rank <= k within each (leg, query).
+    """
+    from sql_engine_spark.functions.vectors import dot, l2_norm
+
+    mx = max(nprobes)
+    raw = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__v"))
+    seed_rows = raw.orderBy("neighbor_id").limit(num_centroids).collect()
+    cents = [(r["neighbor_id"], _py_unit(r["__v"])) for r in seed_rows]
+    corp = raw.select(
+        "neighbor_id",
+        F.col("__v").alias("__cv"),
+        l2_norm("__v").alias("__cn"),
+        _assign_cell("__v", cents).alias("cent_id"),
+    )
+    sc = F.array_sort(_cell_scores("__nv", cents))
+    probes = (
+        _norm_side(queries, id_col, vec_col, "query_id")
+        .select(
+            "query_id",
+            F.col("__nv").alias("__qv"),
+            F.posexplode(F.slice(sc, 1, mx)).alias("__p0", "__s"),
+        )
+        .select(
+            "query_id",
+            "__qv",
+            (F.col("__p0") + F.lit(1)).alias("__pr"),
+            F.col("__s.cent_id").alias("cent_id"),
+        )
+    )
+    legs = F.array(*[F.lit(int(p)) for p in sorted(nprobes)])
+    scored = (
+        F.broadcast(probes)
+        .join(corp, "cent_id")
+        .withColumn("cosine", dot("__qv", "__cv") / F.col("__cn"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "cent_id",
+            "cosine",
+            F.explode(F.filter(legs, lambda p: F.col("__pr") <= p)).alias(leg_col),
+        )
+        .withColumn("__lq", F.struct(leg_col, "query_id"))
+    )
+    return two_level_topk(scored, score_col="cosine", k=k, query_col="__lq").select(
+        leg_col,
+        "query_id",
+        "neighbor_id",
+        F.col("cent_id").alias("cell"),
+        "cosine",
+        "rank",
+    )
+
+
 def ordered_mean_vectors(
     assigned: DataFrame,
     *,
@@ -1002,6 +1085,88 @@ def lsh_multitable_topk(
     )
     return two_level_topk(scored, score_col="cosine", k=k).select(
         "query_id", "neighbor_id", "cosine", "rank"
+    )
+
+
+def lsh_multitable_topk_sweep(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    planes: int,
+    tables_list: tuple[int, ...],
+    dim: int,
+    leg_col: str = "tables",
+) -> DataFrame:
+    """`lsh_multitable_topk` at several table counts in ONE pipeline.
+
+    Table `t` always hashes with plane offset `t*planes`, so the
+    candidate set at `T` tables is the union of matches in tables
+    0..T-1 — nested across the sweep. This hashes both sides ONCE at
+    max(tables_list), reduces candidate pairs to their FIRST matching
+    table (min __t — the groupBy is the solo path's distinct), scores
+    every candidate's cosine once, EXPLODES each pair into the legs
+    whose table count covers its first match (__tmin < T) and ranks
+    all legs with a single `two_level_topk` partitioned by (leg,
+    query). Each (leg, query) partition holds the identical candidate
+    multiset the solo call scores, and the topk order is a strict
+    total order, so per-leg rows are BIT-IDENTICAL to the solo calls.
+    One pipeline instead of len(tables_list) — no persist, no
+    concurrent-broadcast cache race, ~1/len the jobs.
+
+    Returns one DataFrame: (leg_col, query_id, neighbor_id, cosine,
+    rank), rank <= k within each (leg, query).
+    """
+    from sql_engine_spark.functions.vectors import dot, l2_norm
+
+    mx = max(tables_list)
+
+    def bucket_rows(df: DataFrame, out_id: str) -> DataFrame:
+        cols = [
+            lsh_bucket(vec_col, planes, dim, offset=t * planes).alias(f"__b{t}")
+            for t in range(mx)
+        ]
+        wide = df.select(F.col(id_col).alias(out_id), *cols)
+        stack = (
+            f"stack({mx}, "
+            + ", ".join(f"{t}, __b{t}" for t in range(mx))
+            + ") as (__t, __bucket)"
+        )
+        return wide.selectExpr(out_id, stack)
+
+    cands = (
+        bucket_rows(queries, "query_id")
+        .join(bucket_rows(corpus, "neighbor_id"), ["__t", "__bucket"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.min("__t").alias("__tmin"))
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        l2_norm(vec_col).alias("__qn"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        l2_norm(vec_col).alias("__cn"),
+    )
+    legs = F.array(*[F.lit(int(t)) for t in sorted(tables_list)])
+    scored = (
+        cands.join(c, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .withColumn("cosine", dot("__qv", "__cv") / (F.col("__qn") * F.col("__cn")))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "cosine",
+            F.explode(F.filter(legs, lambda t: F.col("__tmin") < t)).alias(leg_col),
+        )
+        .withColumn("__lq", F.struct(leg_col, "query_id"))
+    )
+    return two_level_topk(scored, score_col="cosine", k=k, query_col="__lq").select(
+        leg_col, "query_id", "neighbor_id", "cosine", "rank"
     )
 
 

@@ -189,7 +189,7 @@ def _nprobe_sweep_oracle() -> str:
     "paths.",
 )
 def ann_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sql_engine_spark.operators.similarity import brute_force_topk, ivf_topk
+    from sql_engine_spark.operators.similarity import brute_force_topk, ivf_topk_sweep
 
     emb = load(spark, sf_dir, "embeddings")
     q = emb.where(F.col("vec_id") < 10)
@@ -200,29 +200,38 @@ def ann_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     n_true = brute.count()
-    outs = []
-    for np_ in _NPROBES:
-        ivf = ivf_topk(
-            q, c, id_col="vec_id", vec_col="embedding", k=5,
-            num_centroids=4, nprobe=np_,
-        ).select("query_id", "neighbor_id")
-        outs.append(
-            brute.join(ivf, ["query_id", "neighbor_id"]).agg(
-                F.lit(np_).cast("long").alias("nprobe"),
-                F.lit(n_true).cast("long").alias("n_true"),
-                F.count("*").cast("long").alias("n_hits"),
-            )
+    # One shared index evaluation for all three probe budgets (r12,
+    # guide §1.2): the solo spelling ran 3 full ivf_topk passes — 3
+    # seed collects, 3 corpus scans+assignments, every pair's cosine
+    # up to 3x — whose candidate sets nest by construction. The sweep
+    # operator ranks every leg in one pipeline; the per-leg hit count
+    # is then one groupBy instead of 3 unioned single-row aggregates.
+    sweep = ivf_topk_sweep(
+        q, c, id_col="vec_id", vec_col="embedding", k=5,
+        num_centroids=4, nprobes=_NPROBES,
+    )
+    hits = (
+        brute.join(
+            sweep.select("nprobe", "query_id", "neighbor_id"),
+            ["query_id", "neighbor_id"],
         )
-    res = outs[0]
-    for o in outs[1:]:
-        res = res.unionByName(o)
-    return res.select(
-        "nprobe",
-        "n_true",
-        "n_hits",
-        (F.col("n_hits").cast("double") / F.col("n_true").cast("double")).alias(
-            "recall"
-        ),
+        .groupBy("nprobe")
+        .agg(F.count("*").cast("long").alias("n_hits"))
+    )
+    # Left join from the literal leg list so a (theoretical) zero-hit
+    # budget still yields its row with n_hits = 0, exactly like the
+    # old per-leg global aggregate did.
+    legs_lit = spark.range(1).select(
+        F.explode(F.array(*[F.lit(int(p)) for p in _NPROBES])).alias("nprobe")
+    )
+    return legs_lit.join(hits, "nprobe", "left").select(
+        F.col("nprobe").cast("long").alias("nprobe"),
+        F.lit(n_true).cast("long").alias("n_true"),
+        F.coalesce("n_hits", F.lit(0).cast("long")).alias("n_hits"),
+        (
+            F.coalesce("n_hits", F.lit(0).cast("long")).cast("double")
+            / F.lit(n_true).cast("double")
+        ).alias("recall"),
     )
 
 

@@ -211,41 +211,60 @@ _TBL_SWEEP = (1, 2, 4)
     "the sweep output is queries x table-counts rows.",
 )
 def ann_lsh_tables_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sql_engine_spark.operators.dedup import _persist
     from sql_engine_spark.operators.similarity import (
         brute_force_topk,
-        lsh_multitable_topk,
+        lsh_multitable_topk_sweep,
     )
     from sql_engine_spark.queries.similarity import DIM
 
     emb = load(spark, sf_dir, "embeddings")
     q = emb.where(F.col("vec_id") < 10)
     c = emb.where(F.col("vec_id") >= 10)
-    brute = brute_force_topk(q, c, id_col="vec_id", vec_col="embedding", k=5)
+    # Persisted (r12): brute feeds the per-query denominators AND every
+    # leg's hit join — unpersisted it re-ran the exact top-5 per use.
+    brute = _persist(
+        brute_force_topk(q, c, id_col="vec_id", vec_col="embedding", k=5)
+    )
+    # Pin the cache before the fan-out: the final action launches the
+    # per-leg qs/hits subplans concurrently, and against a cold persist
+    # each re-evaluates the exact top-5 (measured: six ~1s concurrent
+    # brute evaluations at sf0.1).
+    brute.count()
     qs = brute.groupBy("query_id").agg(F.count("*").cast("long").alias("n_true"))
-    out = None
-    for t in _TBL_SWEEP:
-        leg = lsh_multitable_topk(
-            q, c, id_col="vec_id", vec_col="embedding", k=5, planes=3, tables=t,
-            dim=DIM,
+    # One shared hash+score evaluation for all three table counts (r12,
+    # guide §1.2): table t always hashes with plane offset t*planes, so
+    # the legs' candidate sets nest; the solo spelling rebuilt buckets
+    # and cosines per leg. The sweep operator ranks every leg in one
+    # pipeline; hits become one (tables, query) groupBy, and the
+    # (tables x query) left join from the literal leg list preserves
+    # the old per-leg zero-hit rows.
+    sweep = lsh_multitable_topk_sweep(
+        q, c, id_col="vec_id", vec_col="embedding", k=5, planes=3,
+        tables_list=_TBL_SWEEP, dim=DIM,
+    )
+    hits = (
+        brute.select("query_id", "neighbor_id")
+        .join(
+            sweep.select("tables", "query_id", "neighbor_id"),
+            ["query_id", "neighbor_id"],
         )
-        hits = (
-            brute.select("query_id", "neighbor_id")
-            .join(leg.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"])
-            .groupBy("query_id")
-            .agg(F.count("*").cast("long").alias("n_hits"))
-        )
-        row = qs.join(hits, "query_id", "left").select(
-            F.lit(t).cast("long").alias("tables"),
-            "query_id",
-            "n_true",
-            F.coalesce("n_hits", F.lit(0).cast("long")).alias("n_hits"),
-            (
-                F.coalesce("n_hits", F.lit(0)).cast("double")
-                / F.col("n_true").cast("double")
-            ).alias("recall"),
-        )
-        out = row if out is None else out.unionAll(row)
-    return out
+        .groupBy("tables", "query_id")
+        .agg(F.count("*").cast("long").alias("n_hits"))
+    )
+    legs_lit = spark.range(1).select(
+        F.explode(F.array(*[F.lit(int(t)) for t in _TBL_SWEEP])).alias("tables")
+    )
+    return qs.crossJoin(legs_lit).join(hits, ["tables", "query_id"], "left").select(
+        F.col("tables").cast("long").alias("tables"),
+        "query_id",
+        "n_true",
+        F.coalesce("n_hits", F.lit(0).cast("long")).alias("n_hits"),
+        (
+            F.coalesce("n_hits", F.lit(0)).cast("double")
+            / F.col("n_true").cast("double")
+        ).alias("recall"),
+    )
 
 
 def _fix_tables_sweep_oracle() -> None:
