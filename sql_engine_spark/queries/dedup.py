@@ -652,12 +652,14 @@ def dedup_crossmodal_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     "shares a prefix element) — the complete-answer alternative to "
     "MinHash-LSH, with candidate volume bounded by rare-shingle df^2 "
     "instead of band collisions. tests pin completeness against naive "
-    "all-pairs.",
+    "all-pairs. The pair relation is the process-shared materialized "
+    "build (prefix_filter_pairs_shared — also the ground truth of "
+    "dedup_lsh_recall_curve): the exact join, the repo's documented "
+    "exactness floor, runs once per process and every consumer scans "
+    "the result.",
 )
 def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return D.prefix_filter_pairs_from_hs(
-        D.shingle_hs_shared(spark, sf_dir), threshold=0.3
-    )
+    return D.prefix_filter_pairs_shared(spark, sf_dir, threshold=0.3)
 
 
 @register(

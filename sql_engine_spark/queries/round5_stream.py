@@ -106,24 +106,26 @@ register_fleet_view(
         FROM w
     """,
     doc="Streaming per-user EWMA (streaming/ewma.py): the batch "
-    "events_ewma_half window maintained ONLINE with "
-    "applyInPandasWithState — state per user is the trailing 15 "
-    "readings (constant size, user-sharded), every event emits its "
-    "smoothed value immediately in append mode (no watermark or "
-    "sentinel needed). The Python fold is the identical acc*0.5+x "
-    "halving arithmetic, so the drained stream converges to the batch "
-    "window — and the batch oracle — BIT-exactly.",
+    "events_ewma_half window maintained ONLINE across micro-batches — "
+    "state per user is the trailing 15 readings (constant size, "
+    "sharded by user), every batch emits its events' smoothed values "
+    "immediately. The fold is the IDENTICAL JVM "
+    "aggregate(collect_list(value) OVER ...) halving expression as the "
+    "batch query over (carried state UNION batch), so the drained "
+    "stream converges to the batch window — and the batch oracle — "
+    "BIT-exactly. Runs on the exactly-once foreachBatch batch-state "
+    "runner (streaming/batchstate.py): zero Python in the row path "
+    "(the retired pandas-state spelling paid the measured ~7x Arrow "
+    "floor of scripts/pandas_state_floor.py on every emitted row).",
 )
 def streaming_ewma_half(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sql_engine_spark.queries.streaming import N_CHUNKS, _state_partitions
-    from sql_engine_spark.streaming.ewma import ewma_stateful
-    from sql_engine_spark.streaming.source import events_stream, run_to_memory
+    from sql_engine_spark.streaming.ewma import ewma_stateful_replay
+    from sql_engine_spark.streaming.source import events_stream
 
     with _state_partitions(spark):
         stream = events_stream(spark, sf_dir, N_CHUNKS)
-        res = run_to_memory(
-            ewma_stateful(stream, window=_EWMA_W), "stream_ewma_half", "append"
-        )
+        res = ewma_stateful_replay(spark, stream, window=_EWMA_W)
     return res
 
 

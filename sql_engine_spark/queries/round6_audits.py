@@ -60,7 +60,10 @@ _RC_T = 0.3  # audit threshold: prefix filter is exact-complete here
 )
 def dedup_lsh_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     hs = D.shingle_hs_shared(spark, sf_dir)
-    truth = D.prefix_filter_pairs_from_hs(hs, threshold=_RC_T)
+    # Ground truth = the process-shared exact pair build (also the
+    # answer relation of dedup_prefix_filter): the alpha=1.24 exact
+    # join runs once per process, both consumers scan it.
+    truth = D.prefix_filter_pairs_shared(spark, sf_dir, threshold=_RC_T)
     # Candidates, not verified pairs (r12, guide §1.2): every truth
     # pair already has J >= t, and verified-lsh = candidates ∩ {J >= t},
     # so truth ⋉ verified-lsh == truth ⋉ candidates — the LSH side's

@@ -142,7 +142,7 @@ class IdempotentMatView:
         os.rename(tmp, self.target)
         shutil.rmtree(old, ignore_errors=True)
 
-    def read(self, spark) -> DataFrame:
+    def read(self, spark, schema=None) -> DataFrame:
         """Read the latest committed view state WITHOUT mutating the
         view directory: recovery renames belong to __init__/merge()
         (the single-writer entry points), so a reader racing a
@@ -157,17 +157,21 @@ class IdempotentMatView:
         best-effort for readers racing a commit)."""
         from pyspark.errors import AnalysisException
 
+        # An explicit schema (when the caller knows it — e.g. the
+        # batch-state runner, whose state schema is fixed per query)
+        # skips the per-read parquet footer-inference job.
+        reader = spark.read if schema is None else spark.read.schema(schema)
         last_exc: AnalysisException | None = None
         for _ in range(2):
             try:
                 if os.path.isdir(self.target):
-                    return spark.read.parquet(self.target)
+                    return reader.parquet(self.target)
                 swaps = self._swap_dirs()
                 if swaps:
-                    return spark.read.parquet(swaps[-1][1])
+                    return reader.parquet(swaps[-1][1])
                 old = self.target + ".old"
                 if os.path.isdir(old):
-                    return spark.read.parquet(old)
+                    return reader.parquet(old)
                 break  # nothing committed yet — retrying cannot help
             except AnalysisException as exc:
                 # Path vanished between the probe and the read: a

@@ -199,3 +199,66 @@ def test_interval_overlap_responsible_cell_complete(spark, sf_dir):
     got = {(r[0], r[1], r[2], r[3]) for r in rows}
     want = {tuple(r) for r in brute.collect()}
     assert got == want
+
+
+def test_batchstate_two_commit_protocol(spark, tmp_path):
+    """The JVM batch-state runner's exactly-once semantics: a replayed
+    batch adds nothing, and a crash BETWEEN the output commit and the
+    state commit replays to the identical final content (the output of
+    batch k is a pure function of (state after k-1, batch k))."""
+    import os
+
+    from sql_engine_spark.streaming.batchstate import (
+        _commit_output,
+        batchstate_handler,
+    )
+    from sql_engine_spark.streaming.ewma import ewma_batchstate_step
+
+    rows = [
+        (u, f"2030-01-01 00:00:{i:02d}", i * 10 + u, float(i + u))
+        for i in range(30)
+        for u in (1, 2)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts string, event_id long, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    batches = [
+        df.where(F.col("event_id") < 200),
+        df.where((F.col("event_id") >= 200) & (F.col("event_id") < 400)),
+        df.where(F.col("event_id") >= 400),
+    ]
+    step = ewma_batchstate_step(4)
+
+    def drain(out_root, state_dir, crash_after_output_of=None):
+        os.makedirs(out_root, exist_ok=True)
+        os.makedirs(state_dir, exist_ok=True)
+        handle, _ = batchstate_handler(spark, out_root, state_dir, step)
+        for bid, b in enumerate(batches):
+            if crash_after_output_of == bid:
+                # Simulate the crash window: output committed, state
+                # commit never ran. The restart re-delivers this batch.
+                out_df, _st = step(
+                    None
+                    if bid == 0
+                    else spark.read.parquet(os.path.join(state_dir, "current")),
+                    b,
+                )
+                _commit_output(out_df, out_root, bid)
+                handle2, _ = batchstate_handler(
+                    spark, out_root, state_dir, step
+                )
+                handle2(b, bid)  # replay of the same batch
+                handle = handle2
+                continue
+            handle(b, bid)
+            handle(b, bid)  # foreachBatch retry: must be a no-op
+        return spark.read.parquet(os.path.join(out_root, "batch_*"))
+
+    clean = drain(str(tmp_path / "o1"), str(tmp_path / "s1"))
+    crashed = drain(
+        str(tmp_path / "o2"), str(tmp_path / "s2"), crash_after_output_of=1
+    )
+    want = {r.event_id: r.ewma for r in clean.collect()}
+    got = {r.event_id: r.ewma for r in crashed.collect()}
+    assert len(want) == len(rows)
+    assert got == want

@@ -76,40 +76,40 @@ def test_int8_quantize_empty_vector(spark):
     assert out[0].n_dims == 2 and out[2].q_max == 127
 
 
-class _FakeState:
-    """Duck-typed GroupState: _ewma_group touches exists/get/update."""
-
-    def __init__(self, value=None):
-        self._value = value
-        self.updated = None
-
-    @property
-    def exists(self):
-        return self._value is not None
-
-    @property
-    def get(self):
-        return self._value
-
-    def update(self, v):
-        self.updated = v
-
-
 @pytest.mark.parametrize("window", [1, 2, 16])
-def test_ewma_state_trim_bounded(window):
-    from sql_engine_spark.streaming.ewma import _ewma_group
+def test_ewma_state_trim_bounded(spark, window):
+    """The batch-state EWMA step keeps exactly the trailing window-1
+    readings per user (window=1 keeps NOTHING, not everything), and a
+    batch event's emitted fold sees the carried state rows."""
+    from sql_engine_spark.streaming.ewma import ewma_batchstate_step
 
-    pdf = pd.DataFrame(
-        {
-            "ts": pd.to_datetime([1_000_000 * i for i in range(40)], unit="us"),
-            "event_id": list(range(40)),
-            "value": [float(i) for i in range(40)],
-        }
+    step = ewma_batchstate_step(window)
+    import datetime
+
+    rows = [
+        (7, datetime.datetime(2030, 1, 1, 0, 0, i), i, float(i))
+        for i in range(40)
+    ]
+    schema = "user_id long, ts timestamp_ntz, event_id long, value double"
+    batch1 = spark.createDataFrame(rows[:25], schema)
+    batch2 = spark.createDataFrame(rows[25:], schema)
+    out1, st1 = step(None, batch1)
+    st1_rows = st1.collect()
+    assert len(st1_rows) == window - 1
+    assert sorted(r.event_id for r in st1_rows) == list(
+        range(25 - (window - 1), 25)
     )
-    state = _FakeState()
-    list(_ewma_group((7,), iter([pdf]), state, window))
-    kept = len(state.updated[0])
-    assert kept == window - 1  # window=1 keeps NOTHING, not everything
+    out2, st2 = step(st1, batch2)
+    assert st2.count() == window - 1
+    # Emission covers exactly the batch rows, and the cross-batch fold
+    # equals the one-shot batch fold over the full 40-event history.
+    assert sorted(r.event_id for r in out2.collect()) == list(range(25, 40))
+    whole, _ = step(None, batch1.unionByName(batch2))
+    got = {r.event_id: r.ewma for r in out1.collect()} | {
+        r.event_id: r.ewma for r in out2.collect()
+    }
+    want = {r.event_id: r.ewma for r in whole.collect()}
+    assert got == want
 
 
 def test_bpe_merge_apply_quote_safe(spark):
