@@ -163,6 +163,195 @@ def _asof_group(
         yield out
 
 
+ASOF_BATCHSTATE_STATE = (
+    "user_id bigint, best_ts timestamp_ntz, best_id bigint, max_ts timestamp_ntz"
+)
+
+
+def asof_batchstate_step(
+    right_type: str = "view", left_type: str = "purchase"
+):
+    """step(state_df, batch_df) -> (out_df, new_state_df) for
+    streaming/batchstate.run_batchstate: the as-of enrichment with ZERO
+    Python in the row path (guide §4.1 — the pandas-state spelling paid
+    the measured ~7x Arrow floor on every emitted purchase).
+
+    Identical semantics to `_asof_group` with strict_order=True, spelled
+    as ONE union + window + aggregate per batch (the ewma step's
+    state-UNION-batch shape — no state joins, so a batch costs one
+    user-sharded exchange feeding both commits):
+
+    - state per user is the best (ts, id) `right_type` row seen so far
+      plus the max processed ts (one slim row per user — the same
+      triple the pandas twin carried). It enters the batch as a
+      pseudo-view row: the strict-order precondition puts it at (or
+      before) the front of the per-user (ts, side, event_id) sort, so
+      the window fold sees carried-vs-batch precedence for free;
+    - within a batch, rows sort by (ts, side, event_id) with views
+      (side 0) before purchases at equal ts, so a simultaneous view
+      matches and equal-ts views break to the max event_id — the batch
+      operator's order; a purchase's match is the LAST view before it
+      in that sort (carried pseudo-row included);
+    - the new carried best is simply max(view struct) over (carried
+      UNION batch views) — the strictly-greater replace rule IS the
+      max — and max_ts accumulates the same way, so users absent from
+      the batch flow through the aggregate unchanged (no outer join);
+    - the strict-order precondition (no batch row older than the key's
+      processed max) is enforced with a lazily-evaluated raise_error
+      branch in both commits, so an out-of-order replay still fails
+      loudly BEFORE its batch publishes.
+
+    Every emitted value is a timestamp or integer id — no floats — so
+    convergence to the batch operator (and the shared DuckDB oracle)
+    is structural, not numerical.
+    """
+
+    def step(state_df: DataFrame | None, batch_df: DataFrame):
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        b = batch_df.where(
+            F.col("event_type").isin(right_type, left_type)
+        ).select(
+            "user_id",
+            "ts",
+            (F.col("event_type") != right_type).cast("int").alias("__side"),
+            "event_id",
+            F.when(
+                F.col("event_type") == right_type,
+                F.struct(F.col("ts").alias("vts"), F.col("event_id").alias("vid")),
+            ).alias("__v"),
+            F.col("ts").alias("__mts"),
+            F.lit(True).alias("__live"),
+        )
+        if state_df is not None:
+            # Carried state as pseudo-view rows: null-best rows carry a
+            # null __v (transparent to the ignorenulls fold) and null ts
+            # (sorts first). Live batch rows can never sort before a
+            # carried row except under the out-of-order violation that
+            # raises below.
+            stu = state_df.select(
+                "user_id",
+                F.col("best_ts").alias("ts"),
+                F.lit(0).alias("__side"),
+                F.col("best_id").alias("event_id"),
+                F.when(
+                    F.col("best_ts").isNotNull(),
+                    F.struct(
+                        F.col("best_ts").alias("vts"),
+                        F.col("best_id").alias("vid"),
+                    ),
+                ).alias("__v"),
+                F.col("max_ts").alias("__mts"),
+                F.lit(False).alias("__live"),
+            )
+            u = stu.unionByName(b)
+        else:
+            u = b
+        w_sort = Window.partitionBy("user_id").orderBy("ts", "__side", "event_id")
+        w_all = Window.partitionBy("user_id")
+        win = (
+            u.withColumn(
+                "__prev_view",
+                F.last("__v", ignorenulls=True).over(
+                    w_sort.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+            )
+            .withColumn(
+                "__min_live_ts",
+                F.min(F.when(F.col("__live"), F.col("ts"))).over(w_all),
+            )
+            .withColumn(
+                "__st_max",
+                F.max(F.when(~F.col("__live"), F.col("__mts"))).over(w_all),
+            )
+        )
+        win.persist()
+
+        def _order_error():
+            # Mirrors _asof_group's strict-order ValueError: fail the
+            # batch loudly instead of silently diverging from the twin.
+            return F.raise_error(
+                F.concat(
+                    F.lit("asof batch-state: out-of-order replay for key "),
+                    F.col("user_id").cast("string"),
+                    F.lit(": batch delivered ts "),
+                    F.col("__min_live_ts").cast("string"),
+                    F.lit(" < already-processed max "),
+                    F.col("__st_max").cast("string"),
+                    F.lit(
+                        ". Cross-batch time order per key is the "
+                        "operator's exact-convergence precondition "
+                        "(see streaming/asof.py)."
+                    ),
+                )
+            )
+
+        def _checked(value_col):
+            """`value_col`, behind a lazily-raising strict-order guard
+            (no guard needed on the first batch — no processed max)."""
+            if state_df is None:
+                return value_col
+            viol = F.col("__st_max").isNotNull() & (
+                F.col("__min_live_ts") < F.col("__st_max")
+            )
+            return F.when(viol, _order_error()).otherwise(value_col)
+
+        out = (
+            win.where(F.col("__live") & (F.col("__side") == 1))
+            .select(
+                "event_id",
+                "user_id",
+                _checked(F.col("ts")).alias("ts"),
+                F.col("__prev_view")["vts"].alias("asof_ts"),
+                F.col("__prev_view")["vid"].alias("asof_event_id"),
+            )
+            .coalesce(1)
+        )
+        new_state = (
+            win.groupBy("user_id")
+            .agg(
+                F.max("__v").alias("__best"),
+                F.max("__mts").alias("__maxts"),
+                F.min(F.when(F.col("__live"), F.col("ts"))).alias(
+                    "__min_live_ts"
+                ),
+                F.max(F.when(~F.col("__live"), F.col("__mts"))).alias(
+                    "__st_max"
+                ),
+            )
+            .select(
+                "user_id",
+                F.col("__best")["vts"].alias("best_ts"),
+                F.col("__best")["vid"].alias("best_id"),
+                _checked(F.col("__maxts")).alias("max_ts"),
+            )
+            .coalesce(1)
+        )
+        return out, new_state
+
+    return step
+
+
+def asof_enrich_replay(
+    spark,
+    stream: DataFrame,
+    *,
+    right_type: str = "view",
+    left_type: str = "purchase",
+) -> DataFrame:
+    """Drain the bounded events replay through the as-of batch-state
+    step and return every `left_type` event with its enrichment."""
+    from sql_engine_spark.streaming.batchstate import run_batchstate
+
+    return run_batchstate(
+        spark,
+        stream,
+        "asof_enrich",
+        asof_batchstate_step(right_type, left_type),
+    ).select("event_id", "user_id", "ts", "asof_ts", "asof_event_id")
+
+
 def asof_enrich_stateful(
     stream: DataFrame,
     *,

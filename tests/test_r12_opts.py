@@ -262,3 +262,81 @@ def test_batchstate_two_commit_protocol(spark, tmp_path):
     got = {r.event_id: r.ewma for r in crashed.collect()}
     assert len(want) == len(rows)
     assert got == want
+
+
+def test_asof_batchstate_matches_single_shot_and_ties(spark):
+    """The JVM as-of step's cross-batch fold equals the one-shot fold
+    over the whole history (carried-state rule exercised), including
+    the operators/asof.py tie rules: a simultaneous view matches, and
+    equal-ts views break to the max event_id."""
+    import datetime
+
+    from sql_engine_spark.streaming.asof import asof_batchstate_step
+
+    t = lambda s: datetime.datetime(2030, 1, 1, 0, 0, s)
+    rows = [
+        # user 1: view, purchase later in a DIFFERENT batch (carried
+        # state must supply the match), then a newer view + purchase.
+        (10, 1, t(0), "view"),
+        (11, 1, t(1), "click"),  # filtered out
+        (20, 1, t(5), "purchase"),
+        (30, 1, t(6), "view"),
+        (31, 1, t(6), "view"),  # equal-ts views: max event_id wins
+        (40, 1, t(7), "purchase"),
+        # user 2: simultaneous view matches its purchase (side order);
+        # a purchase with NO prior view enriches as NULL.
+        (50, 2, t(2), "purchase"),
+        (60, 2, t(3), "view"),
+        (61, 2, t(3), "purchase"),
+    ]
+    schema = "event_id long, user_id long, ts timestamp_ntz, event_type string"
+    df = spark.createDataFrame(rows, schema)
+    step = asof_batchstate_step("view", "purchase")
+
+    def drain(batches):
+        state, got = None, {}
+        for b in batches:
+            out, state = step(state, b)
+            out.persist()
+            for r in out.collect():
+                got[r.event_id] = (r.asof_ts, r.asof_event_id)
+            state.persist().count()
+        return got
+
+    whole = drain([df])
+    split = drain(
+        [
+            df.where(F.col("event_id") < 30),
+            df.where((F.col("event_id") >= 30) & (F.col("event_id") < 50)),
+            df.where(F.col("event_id") >= 50),
+        ]
+    )
+    assert whole == split
+    assert whole[20] == (t(0), 10)  # carried across batches in `split`
+    assert whole[40] == (t(6), 31)  # equal-ts views -> max event_id
+    assert whole[50] == (None, None)  # no prior view
+    assert whole[61] == (t(3), 60)  # simultaneous view matches
+
+
+def test_asof_batchstate_strict_order_raises(spark):
+    """An out-of-order cross-batch replay must fail loudly (the pandas
+    twin's strict_order contract), not silently diverge."""
+    import datetime
+
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PySparkException
+
+    from sql_engine_spark.streaming.asof import asof_batchstate_step
+
+    t = lambda s: datetime.datetime(2030, 1, 1, 0, 0, s)
+    schema = "event_id long, user_id long, ts timestamp_ntz, event_type string"
+    b1 = spark.createDataFrame([(10, 1, t(5), "view")], schema)
+    b2 = spark.createDataFrame([(20, 1, t(3), "purchase")], schema)
+    step = asof_batchstate_step("view", "purchase")
+    _out, state = step(None, b1)
+    state.persist().count()
+    out2, state2 = step(state, b2)
+    with pytest.raises((Py4JJavaError, PySparkException)) as exc:
+        out2.collect()
+    assert "out-of-order replay" in str(exc.value)
