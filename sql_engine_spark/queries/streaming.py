@@ -20,7 +20,7 @@ from sql_engine_spark.operators.textprep import sql_tokens
 from sql_engine_spark.io import load
 from sql_engine_spark.queries.events import SESSION_GAP_S
 from sql_engine_spark.registry import register
-from sql_engine_spark.streaming.sessionize import sessionize_stateful
+from sql_engine_spark.streaming.sessionize import sessionize_replay
 from sql_engine_spark.streaming.source import (
     events_stream,
     list_part_files,
@@ -166,9 +166,16 @@ def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
                COUNT(*) AS n_events
         FROM sessions GROUP BY user_id, session_id
     """,
-    doc="Custom stateful sessionizer (applyInPandasWithState): ordinal "
-    "session ids per user, cross-batch state, sentinel-flushed tails — "
-    "must reproduce the batch events_sessionize result exactly.",
+    doc="Custom stateful sessionizer: ordinal session ids per user, "
+    "cross-batch state (one open session per user), sentinel-flushed "
+    "tails — must reproduce the batch events_sessionize result "
+    "exactly. Runs on the exactly-once foreachBatch batch-state runner "
+    "(streaming/batchstate.py): the carried open session unions under "
+    "each batch as a pseudo-row and the ordinary lag-gap segmentation "
+    "closes/extends it — zero Python in the row path (the retired "
+    "pandas-state spelling paid the ~7x Arrow floor of "
+    "scripts/pandas_state_floor.py, ~8x the JVM twins at the sf1 "
+    "stress).",
 )
 def streaming_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sql_engine_spark.streaming.source import sentinel_replay_dir
@@ -209,9 +216,7 @@ def streaming_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame
             .option("maxFilesPerTrigger", "1")
             .parquet(out_dir)
         )
-        res = run_to_memory(
-            sessionize_stateful(stream, SESSION_GAP_S), "stream_sessionize", "append"
-        )
+        res = sessionize_replay(spark, stream, SESSION_GAP_S)
     cutoff = F.lit(max_ts) + F.expr("INTERVAL 1 DAY")
     return res.where(F.col("session_start") < cutoff)
 

@@ -1,13 +1,18 @@
-"""Custom stateful streaming operator: gap-based sessionization with
-applyInPandasWithState.
+"""Custom stateful streaming operator: gap-based sessionization.
 
-This is the one streaming shape the built-ins can't express: we need the
-reference-compatible session *ids* (ordinal per user) and arbitrary
-per-session payloads, not just merged window bounds. (A JVM
-`session_window` aggregate followed by a stateful ordinal-assigner would
-keep the per-event work JVM-side, but Spark's unsupported-operation
-checker rejects arbitrary-stateful operators downstream of a streaming
-aggregation, so the whole operator lives in one Python stateful pass.)
+The shape the built-ins can't express: reference-compatible session
+*ids* (ordinal per user) and arbitrary per-session payloads, not just
+merged window bounds. (A JVM `session_window` aggregate followed by a
+stateful ordinal-assigner would keep the per-event work JVM-side, but
+Spark's unsupported-operation checker rejects arbitrary-stateful
+operators downstream of a streaming aggregation.)
+
+Two spellings live here. `sessionize_batchstate_step` (r12) runs the
+registered query on the JVM foreachBatch batch-state runner — zero
+Python in the row path. The original applyInPandasWithState operator
+below is retained as the measured pandas-state baseline
+(scripts/stream_stress.py, scripts/pandas_state_floor.py — the ~7-8x
+Arrow-floor numbers in PERF_NOTES were taken against it).
 State per user is a single open session (constant size); a session row
 is emitted when a later event closes it. To flush open sessions at
 end-of-stream, feed a far-future sentinel event per user (see
@@ -131,3 +136,133 @@ def sessionize_stateful(events: DataFrame, gap_s: int = 1800) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+SESSION_BATCHSTATE_STATE = (
+    "user_id bigint, next_id bigint, start timestamp_ntz, "
+    "last timestamp_ntz, n bigint"
+)
+
+
+def sessionize_batchstate_step(gap_s: int = 1800):
+    """step(state_df, batch_df) -> (out_df, new_state_df) for
+    streaming/batchstate.run_batchstate: gap sessionization with ZERO
+    Python in the row path (guide §4.1 — the pandas-state spelling paid
+    the ~7x Arrow identity floor of scripts/pandas_state_floor.py plus
+    per-event Python at the sf1 stress).
+
+    Identical semantics to `_sessionize_group`, spelled as ONE union +
+    window + aggregate per batch (the ewma/asof state-UNION-batch
+    shape, no state joins):
+
+    - state per user is the single open session (next ordinal id,
+      start, last event ts, event count). It enters the batch as a
+      pseudo-row at ts = last (sorted before any equal-ts batch row),
+      carrying its real start/count, so the ordinary lag-gap
+      segmentation decides carried-merge exactly like the scalar code:
+      gap(last -> first batch event) <= gap_s extends the carried
+      session (min(start) keeps the carried start, sum(n) adds the
+      carried count); a larger gap leaves the carried session as its
+      own segment, emitted closed ahead of the batch's sessions;
+    - gaps are measured on date_trunc('second') differences — the
+      identical spelling (and IEEE-free integer arithmetic) as the
+      batch events_sessionize and the shared DuckDB oracle;
+    - segment s of S per user emits closed for s < S with session_id =
+      next_id + s - 1; segment S becomes the new open state with
+      next_id advanced by S - 1. Users absent from the batch flow
+      through as their own single segment: nothing emitted, state
+      bit-identical.
+
+    Every value is a timestamp or integer, so convergence to the batch
+    twin (and oracle) is structural.
+    """
+
+    def step(state_df, batch_df):
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        b = batch_df.select(
+            "user_id",
+            "ts",
+            F.lit(1).alias("__side"),
+            "event_id",
+            F.col("ts").alias("__start"),
+            F.lit(1).cast("long").alias("__n"),
+            F.lit(None).cast("long").alias("__next"),
+        )
+        if state_df is not None:
+            stu = state_df.select(
+                "user_id",
+                F.col("last").alias("ts"),
+                F.lit(0).alias("__side"),
+                F.lit(-1).cast("long").alias("event_id"),
+                F.col("start").alias("__start"),
+                F.col("n").alias("__n"),
+                F.col("next_id").alias("__next"),
+            )
+            u = stu.unionByName(b)
+        else:
+            u = b
+        w_sort = Window.partitionBy("user_id").orderBy("ts", "__side", "event_id")
+        gap = F.expr(
+            "timestampdiff(SECOND, lag(date_trunc('second', ts)) "
+            "OVER (PARTITION BY user_id ORDER BY ts, __side, event_id), "
+            "date_trunc('second', ts))"
+        )
+        win = u.withColumn(
+            "__seg",
+            F.sum(
+                F.when(gap.isNull() | (gap > gap_s), 1).otherwise(0)
+            ).over(w_sort.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+        )
+        w_user = Window.partitionBy("user_id")
+        segs = (
+            win.groupBy("user_id", "__seg")
+            .agg(
+                F.min("__start").alias("__s_start"),
+                F.max("ts").alias("__s_last"),
+                F.sum("__n").alias("__s_n"),
+                F.max("__next").alias("__nxt"),
+            )
+            .withColumn(
+                "__base", F.coalesce(F.max("__nxt").over(w_user), F.lit(1))
+            )
+            .withColumn("__S", F.max("__seg").over(w_user))
+        )
+        segs.persist()
+        out = (
+            segs.where(F.col("__seg") < F.col("__S"))
+            .select(
+                "user_id",
+                (F.col("__base") + F.col("__seg") - 1).alias("session_id"),
+                F.col("__s_start").alias("session_start"),
+                F.col("__s_last").alias("session_end"),
+                F.col("__s_n").alias("n_events"),
+            )
+            .coalesce(1)
+        )
+        new_state = (
+            segs.where(F.col("__seg") == F.col("__S"))
+            .select(
+                "user_id",
+                (F.col("__base") + F.col("__S") - 1).alias("next_id"),
+                F.col("__s_start").alias("start"),
+                F.col("__s_last").alias("last"),
+                F.col("__s_n").alias("n"),
+            )
+            .coalesce(1)
+        )
+        return out, new_state
+
+    return step
+
+
+def sessionize_replay(spark, stream, gap_s: int = 1800):
+    """Drain the bounded (sentinel-augmented) events replay through the
+    sessionization batch-state step; closed sessions accumulate across
+    batches, the sentinel closes every tail session in the final one."""
+    from sql_engine_spark.streaming.batchstate import run_batchstate
+
+    return run_batchstate(
+        spark, stream, "sessionize", sessionize_batchstate_step(gap_s)
+    ).select("user_id", "session_id", "session_start", "session_end", "n_events")

@@ -340,3 +340,64 @@ def test_asof_batchstate_strict_order_raises(spark):
     with pytest.raises((Py4JJavaError, PySparkException)) as exc:
         out2.collect()
     assert "out-of-order replay" in str(exc.value)
+
+
+def test_sessionize_batchstate_matches_single_shot(spark):
+    """The JVM sessionize step's cross-batch fold equals the one-shot
+    fold over the whole history: carried-open-session EXTENSION (gap <=
+    threshold across the batch boundary), carried CLOSE (gap > threshold
+    — the carried session must emit ahead of the batch's own sessions
+    with the right ordinal), and untouched users pass through."""
+    import datetime
+
+    from sql_engine_spark.streaming.sessionize import sessionize_batchstate_step
+
+    t = lambda m, s=0: datetime.datetime(2030, 1, 1, 0, m, s)
+    rows = [
+        # user 1: session A (0:00, 0:10), gap, session B (45:00) —
+        # batch boundary lands INSIDE session A (extension case).
+        (1, t(0), 100),
+        (1, t(0, 30), 101),
+        (1, t(10), 102),
+        (1, t(45), 103),
+        # user 2: one event per batch, gap > threshold between them
+        # (carried-close case: batch 2's first event closes session 1).
+        (2, t(0), 200),
+        (2, t(50), 201),
+        # user 3: only in batch 1 (pass-through in batch 2).
+        (3, t(1), 300),
+    ]
+    schema = "user_id long, ts timestamp_ntz, event_id long"
+    df = spark.createDataFrame(rows, schema)
+    step = sessionize_batchstate_step(1800)  # 30 min
+
+    def drain(batches):
+        state, got = None, []
+        for b in batches:
+            out, state = step(state, b)
+            got.extend(
+                (r.user_id, r.session_id, r.session_start, r.session_end, r.n_events)
+                for r in out.collect()
+            )
+            state.persist().count()
+        return sorted(got), state
+
+    whole, st_whole = drain([df])
+    split, st_split = drain(
+        [df.where(F.col("event_id") % 100 <= 1), df.where(F.col("event_id") % 100 > 1)]
+    )
+    assert whole == split
+    # user 1's closed session A merged across the batch boundary:
+    assert (1, 1, t(0), t(10), 3) in split
+    # user 2's session 1 closed by batch 2's far event:
+    assert (2, 1, t(0), t(0), 1) in split
+    # open tails carried, ordinals advanced:
+    tails = {
+        r.user_id: (r.next_id, r.start, r.last, r.n) for r in st_split.collect()
+    }
+    assert tails[1] == (2, t(45), t(45), 1)
+    assert tails[2] == (2, t(50), t(50), 1)
+    assert tails[3] == (1, t(1), t(1), 1)
+    assert tails == {
+        r.user_id: (r.next_id, r.start, r.last, r.n) for r in st_whole.collect()
+    }
