@@ -122,8 +122,14 @@ def retrieval_jm_smoothing_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf_idx, docstats = bm25_index_shared(spark, sf_dir)
     qterms = _qterms_df(spark)
     coll = docstats.agg(F.sum("dl").cast("double").alias("c_total"))
+    # Same filter-before-aggregate as the Dirichlet sibling (r12, guide
+    # §2.3): p(t|C) is only read for query tokens and a token's cf sums
+    # over its own postings, so the query-token semi-join before the
+    # groupBy gives identical p_c without the full-vocab aggregate.
+    qtok = qterms.select("token").distinct()
     pc = (
-        tf_idx.groupBy("token")
+        tf_idx.join(F.broadcast(qtok), "token")
+        .groupBy("token")
         .agg(F.sum("tf").cast("double").alias("cf"))
         .crossJoin(F.broadcast(coll))
         .select("token", (F.col("cf") / F.col("c_total")).alias("p_c"))

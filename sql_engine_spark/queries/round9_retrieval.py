@@ -300,8 +300,16 @@ def retrieval_qlm_dirichlet_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf_idx, docstats = bm25_index_shared(spark, sf_dir)
     qterms = _qterms_df(spark)
     coll = docstats.agg(F.sum("dl").cast("double").alias("c_total"))
+    # p(t|C) is only consumed for QUERY tokens (the qpc join below), and
+    # a token's collection frequency is a sum over ITS OWN postings, so
+    # filtering the scan to query tokens BEFORE the aggregate yields the
+    # identical p_c values while aggregating ~|query terms| postings
+    # lists instead of the whole vocabulary (r12, guide §2.3 — the
+    # oracle keeps the full-vocab CTE; the join certifies equivalence).
+    qtok = qterms.select("token").distinct()
     pc = (
-        tf_idx.groupBy("token")
+        tf_idx.join(F.broadcast(qtok), "token")
+        .groupBy("token")
         .agg(F.sum("tf").cast("double").alias("cf"))
         .crossJoin(F.broadcast(coll))
         .select("token", (F.col("cf") / F.col("c_total")).alias("p_c"))
