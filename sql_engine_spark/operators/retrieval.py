@@ -121,6 +121,13 @@ def bm25_index_shared(spark: SparkSession, sf_dir: str):
 
         docs = load(spark, sf_dir, "documents")
         mark = cache_mark()
+        # A repartition(defaultParallelism) before the tokenize (the
+        # narrow-file widening rule) was tried in r12 and measured FLAT
+        # (6.3s vs 6.8s cold build either way at sf0.1): the build wall
+        # is the three writes + persist fan, not the tokenize — and at
+        # scale the widen would shuffle full text bytes for nothing
+        # (a real corpus arrives as many files, so the scan is already
+        # parallel). Left as-is deliberately.
         base = _persist(
             docs.select(
                 "doc_id", tokens("text").alias("__t")

@@ -31,21 +31,27 @@ def _plan(df) -> str:
     )
 
 
-def test_prefix_filter_verify_broadcasts_sets(spark):
-    from sql_engine_spark.registry import all_queries
+def _prefix_pairs_build_df(spark):
+    # Since r12 the registered dedup_prefix_filter scans the
+    # process-shared materialized pair build, so these guards pin the
+    # plan of the BUILD pipeline itself (what
+    # prefix_filter_pairs_shared evaluates once per process).
+    from sql_engine_spark.operators import dedup as D
 
-    df = all_queries()["dedup_prefix_filter"].build(spark, SF_DIR)
-    plan = _plan(df)
+    return D.prefix_filter_pairs_from_hs(
+        D.shingle_hs_shared(spark, SF_DIR), threshold=0.3
+    )
+
+
+def test_prefix_filter_verify_broadcasts_sets(spark):
+    plan = _plan(_prefix_pairs_build_df(spark))
     # Two verify joins (sa, sb) must be broadcast hash joins: fat
     # candidate+array rows never hit an exchange.
     assert plan.count("BroadcastHashJoin") >= 2, plan[:4000]
 
 
 def test_prefix_filter_has_positional_filter(spark):
-    from sql_engine_spark.registry import all_queries
-
-    df = all_queries()["dedup_prefix_filter"].build(spark, SF_DIR)
-    plan = _plan(df)
+    plan = _plan(_prefix_pairs_build_df(spark))
     # The PPJoin positional bound is integer-exact since r11:
     # ubound * (t_num + t_den) >= t_num * (n_a + n_b). For the
     # registered t = 0.3 (= 3/10) the cross-multiplied constant 13

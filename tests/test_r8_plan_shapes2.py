@@ -70,7 +70,14 @@ def test_minhash_consumers_scan_shared_hs_relation(spark, sf_dir):
     ):
         spark.catalog.clearCache()
         plan = explain_str(_build(spark, sf_dir, name), "formatted")
-        assert os.path.basename(path) in plan or "sqe_hs_" in plan, name
+        # dedup_prefix_filter scans the one-level-up shared PAIR build
+        # since r12 (prefix_filter_pairs_shared, itself built from the
+        # hs relation) — that parquet scan is equally "no re-shingle".
+        assert (
+            os.path.basename(path) in plan
+            or "sqe_hs_" in plan
+            or "sqe_prefix_pairs_" in plan
+        ), name
         # The tokenizer signature (split of lower(trim(...))) never
         # appears: shingling ran once, at build time. The sentinel is
         # the actual textprep.tokens spelling, not a regex the repo
