@@ -271,7 +271,13 @@ def retrieval_ndcg_at10(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf_idx, docstats = bm25_index_shared(spark, sf_dir)
     qterms = _qterms_df(spark)
     ranked = bm25_topk_from_index(tf_idx, docstats, _BM25_QUERIES, k=_NDCG_K)
-    grades = (
+    from sql_engine_spark.operators.dedup import _persist
+
+    # Consumed twice (the DCG join and the ideal-ordering top-k); the
+    # persist makes single evaluation of the postings aggregate
+    # structural instead of relying on runtime exchange reuse (r12,
+    # guide §5 — same treatment as map_mrr/eval_report's qrels).
+    grades = _persist(
         tf_idx.join(F.broadcast(qterms), "token")
         .groupBy("query_id", "doc_id")
         .agg(F.count("*").cast("long").alias("rel"))
