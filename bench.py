@@ -623,6 +623,10 @@ def main() -> int:
     def want(section: str) -> bool:
         return not only_sections or section in only_sections
 
+    # Host-state capture (r12 verdict #1/#3): a contaminated run must be
+    # mechanically distinguishable from a regression after the fact.
+    loadavg_start = [round(x, 2) for x in os.getloadavg()]
+
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
     qs = all_queries()
@@ -685,6 +689,8 @@ def main() -> int:
     # base: extension_queries.dedup_keep_best / pipeline_curate_full).
     cur_timings, cur_total = section("curation", CURATION)
 
+    from sql_engine_spark.sharedcost import snapshot as shared_builds
+
     out = {
         "metric": "headline_total_wall",
         "value": total,
@@ -692,6 +698,8 @@ def main() -> int:
         "queries": timings,
         "sf": sf,
         "calib_wall_sec": calib,
+        "loadavg_start": loadavg_start,
+        "shared_builds": shared_builds(),
         "calibrated_headline_ratio": (
             round(total / calib, 3) if calib else None
         ),
@@ -739,15 +747,22 @@ def main() -> int:
     print(json.dumps(out))
     # The full line above is several KB; a bounded stdout-tail capture
     # can truncate its head and lose the round-over-round headline
-    # numbers (BENCH_r04 did exactly that). Repeat just the totals as a
-    # compact LAST line so any tail keeps them and a parse-the-last-line
-    # reader gets valid JSON.
+    # numbers (BENCH_r04 did exactly that). Repeat the totals PLUS the
+    # headline/companion per-query maps as a compact LAST line so any
+    # tail keeps them and a parse-the-last-line reader gets valid JSON.
+    # The per-query maps were dropped from this line when the compact
+    # summary was introduced, which left the r12 driver comparison with
+    # n_common=0 / a null geomean / empty scaling.per_query (r12 verdict
+    # #1) — restored here, serialized with compact separators so the
+    # whole line stays within a 2,000-char stdout-tail capture.
     summary = {
         "metric": "headline_total_wall",
         "value": total,
         "unit": "sec",
         "sf": sf,
         "calib_wall_sec": calib,
+        "loadavg_start": loadavg_start,
+        "queries": timings,
         "headline_total": total,
         "curation_total": cur_total,
         "extension_total": ext_total,
@@ -760,10 +775,21 @@ def main() -> int:
         "extension_r9b_total": r9b_total,
         "extension_r10_total": r10_total,
         "extension_r11_total": r11_total,
+        "shared_builds": shared_builds(),
     }
     if companion:
         summary["companion_total"] = out["companion_total"]
-    print(json.dumps(summary), flush=True)
+        summary["companion_queries"] = companion
+    line = json.dumps(summary, separators=(",", ":"))
+    if len(line) > 1990:
+        # Never let the contract-critical keys fall off a 2,000-char
+        # tail: shed the companion map first, then shared_builds.
+        summary.pop("companion_queries", None)
+        line = json.dumps(summary, separators=(",", ":"))
+        if len(line) > 1990:
+            summary.pop("shared_builds", None)
+            line = json.dumps(summary, separators=(",", ":"))
+    print(line, flush=True)
     return 0
 
 
@@ -792,6 +818,8 @@ def _main_custom(names: list[str], sf_dir: str, sf) -> int:
     calib = _calibrate(spark)
     timings = _time_section(spark, qs, names, sf_dir)
     total = round(sum(timings.values()), 3)
+    from sql_engine_spark.sharedcost import snapshot as shared_builds
+
     out = {
         "metric": "custom_total_wall",
         "value": total,
@@ -800,6 +828,7 @@ def _main_custom(names: list[str], sf_dir: str, sf) -> int:
         "sf": sf,
         "sf_dir": sf_dir,
         "calib_wall_sec": calib,
+        "shared_builds": shared_builds(),
     }
     art = os.environ.get("SPARK_GRAFT_BENCH_OUT")
     if art:

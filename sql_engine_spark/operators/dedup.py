@@ -345,6 +345,11 @@ def shingle_hs_shared(spark, sf_dir: str, *, shingle_k: int = 3) -> DataFrame:
     )
     path = _HS_CACHE.get(key)
     if path is None or not os.path.isdir(path):
+        import time
+
+        from sql_engine_spark.sharedcost import record
+
+        t0 = time.time()
         docs = load(spark, sf_dir, "documents")
         mark = cache_mark()
         hs = hashed_shingle_sets(docs, "doc_id", "text", shingle_k=shingle_k)
@@ -360,6 +365,7 @@ def shingle_hs_shared(spark, sf_dir: str, *, shingle_k: int = 3) -> DataFrame:
         # intermediates appended by THIS build.
         release_since(mark)
         _HS_CACHE[key] = path
+        record("shingle_hs", time.time() - t0)
     return spark.read.parquet(path)
 
 
@@ -1306,6 +1312,11 @@ def prefix_filter_pairs_shared(
     )
     path = _PREFIX_PAIRS_CACHE.get(key)
     if path is None or not os.path.isdir(path):
+        import time
+
+        from sql_engine_spark.sharedcost import record
+
+        t0 = time.time()
         mark = cache_mark()
         pairs = prefix_filter_pairs_from_hs(
             shingle_hs_shared(spark, sf_dir, shingle_k=shingle_k),
@@ -1315,6 +1326,7 @@ def prefix_filter_pairs_shared(
         pairs.write.mode("overwrite").parquet(path)
         release_since(mark)
         _PREFIX_PAIRS_CACHE[key] = path
+        record("prefix_pairs", time.time() - t0)
     return spark.read.parquet(path)
 
 

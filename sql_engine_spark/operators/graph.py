@@ -376,6 +376,11 @@ def knn_graph_shared(spark, sf_dir: str, *, k: int = KNN_K) -> DataFrame:
     )
     path = _KNN_CACHE.get(key)
     if path is None or not os.path.isdir(path):
+        import time
+
+        from sql_engine_spark.sharedcost import record
+
+        t0 = time.time()
         emb = load(spark, sf_dir, "embeddings")
         mark = cache_mark()
         g = knn_graph(
@@ -394,6 +399,7 @@ def knn_graph_shared(spark, sf_dir: str, *, k: int = KNN_K) -> DataFrame:
         # live persists of its own below `mark`).
         release_since(mark)
         _KNN_CACHE[key] = path
+        record("knn_graph", time.time() - t0)
     g = spark.read.parquet(path)
     if k < KNN_K:
         g = g.where(F.col("rank") <= k)
@@ -438,6 +444,11 @@ def triangle_triples_shared(spark, sf_dir: str) -> DataFrame:
     )
     path = _TRI_CACHE.get(key)
     if path is None or not os.path.isdir(path):
+        import time
+
+        from sql_engine_spark.sharedcost import record
+
+        t0 = time.time()
         mark = cache_mark()
         und = _persist(und_edges(knn_graph_shared(spark, sf_dir)))
         tri = triangle_triples(und)
@@ -445,6 +456,7 @@ def triangle_triples_shared(spark, sf_dir: str) -> DataFrame:
         tri.write.mode("overwrite").parquet(path)
         release_since(mark)
         _TRI_CACHE[key] = path
+        record("triangles", time.time() - t0)
     return spark.read.parquet(path)
 
 

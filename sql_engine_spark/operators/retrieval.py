@@ -113,12 +113,16 @@ def bm25_index_shared(spark: SparkSession, sf_dir: str):
         release_since,
         tracked_tmpdir,
     )
+    from sql_engine_spark.sharedcost import record
 
     key = (os.path.abspath(sf_dir), dataset_fingerprint(sf_dir, "documents"))
     root = _BM25_IDX_CACHE.get(key)
     if root is None or not os.path.isdir(root):
+        import time
+
         from sql_engine_spark.operators.dedup import _persist
 
+        t0 = time.time()
         docs = load(spark, sf_dir, "documents")
         mark = cache_mark()
         # A repartition(defaultParallelism) before the tokenize (the
@@ -155,6 +159,7 @@ def bm25_index_shared(spark: SparkSession, sf_dir: str):
         ).write.mode("overwrite").parquet(os.path.join(root, "tokens.parquet"))
         release_since(mark)
         _BM25_IDX_CACHE[key] = root
+        record("bm25_index", time.time() - t0)
     return (
         spark.read.parquet(os.path.join(root, "tf.parquet")),
         spark.read.parquet(os.path.join(root, "docs.parquet")),

@@ -216,6 +216,11 @@ def phash_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (os.path.abspath(sf_dir), dataset_fingerprint(sf_dir, "documents"))
     path = _PHASH_CACHE.get(key)
     if path is None or not os.path.isdir(path):
+        import time
+
+        from sql_engine_spark.sharedcost import record
+
+        t0 = time.time()
         docs = load(spark, sf_dir, "documents").select("doc_id", "text")
         # The augmentation (and multimodal_phash_dct's sub-offset slice)
         # assumes real doc_ids sit below _COPY_OFFSET; on a dataset
@@ -239,6 +244,7 @@ def phash_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
         # drop only intermediates appended by THIS build.
         release_since(mark)
         _PHASH_CACHE[key] = path
+        record("phash", time.time() - t0)
     return spark.read.parquet(path)
 
 

@@ -328,7 +328,7 @@ def asof_batchstate_step(
             )
             .coalesce(1)
         )
-        return out, new_state
+        return out, new_state, [win]
 
     return step
 

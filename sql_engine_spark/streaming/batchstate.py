@@ -10,12 +10,17 @@ pandas-state op at ~7x the pure-JVM state path on the same replay —
 the API, not the state logic, is the wall. Where the per-event state
 transition is expressible as JVM expressions (the EWMA halving fold,
 a running max-by struct), this runner keeps the same incremental
-semantics — bounded per-key state, exactly-once under batch retries
-and restart-from-checkpoint — with zero Python in the row path.
+semantics — bounded per-key state, exactly-once under foreachBatch
+retries and batch replays against the SAME out/state directories (the
+crash tests restart a handler over the committed dirs; the registered
+queries use fresh dirs per invocation, so for them the guarantee is
+within-run retry idempotence — the stream itself runs on a
+non-recoverable temp checkpoint) — with zero Python in the row path.
 
 Per micro-batch the runner calls
 
     step(state_df_or_none, batch_df) -> (out_df, new_state_df)
+    # or -> (out_df, new_state_df, persisted_frames)
 
 and commits the two results in a fixed order:
 
@@ -92,13 +97,24 @@ def batchstate_handler(spark: SparkSession, out_root: str, state_dir: str, step)
             if state.last_applied() >= 0
             else None
         )
-        out_df, new_state = step(cur, batch_df)
+        res = step(cur, batch_df)
+        # Steps that persist a shared intermediate (the windowed
+        # relation feeding both commits) return it as a third element
+        # so it is released once both commits hold — otherwise the
+        # batch-sized cached blocks outlive the drain and bypass the
+        # repo's _CACHED tracking (r12 advice).
+        out_df, new_state = res[0], res[1]
+        persisted = res[2] if len(res) > 2 else ()
         # Pinning the (per-query fixed) schemas skips the parquet
         # footer-inference job every later read would otherwise pay.
         schemas.setdefault("state", new_state.schema)
         schemas.setdefault("out", out_df.schema)
-        _commit_output(out_df, out_root, batch_id)
-        state.merge(new_state, batch_id)
+        try:
+            _commit_output(out_df, out_root, batch_id)
+            state.merge(new_state, batch_id)
+        finally:
+            for df in persisted:
+                df.unpersist(blocking=False)
 
     return handle, schemas
 
@@ -124,7 +140,17 @@ def run_batchstate(
         .start()
     )
     q.awaitTermination()
-    reader = (
-        spark.read.schema(schemas["out"]) if "out" in schemas else spark.read
+    if "out" not in schemas:
+        # Zero batches committed: the unmatched batch_* glob below would
+        # throw an opaque PATH_NOT_FOUND, and with no step invocation
+        # there is no output schema to shape an empty result — fail
+        # loudly instead (r12 advice; every registered replay is
+        # non-empty by construction).
+        raise ValueError(
+            f"run_batchstate({name!r}): the bounded replay produced "
+            "zero micro-batches — the source dir is empty or the "
+            "stream matched no files"
+        )
+    return spark.read.schema(schemas["out"]).parquet(
+        os.path.join(out_root, "batch_*")
     )
-    return reader.parquet(os.path.join(out_root, "batch_*"))

@@ -69,7 +69,48 @@ def ewma_batchstate_step(window: int):
         win = u.withColumn("__vals", F.collect_list("value").over(w)).withColumn(
             "__rk", F.row_number().over(wk)
         )
+        if state_df is not None:
+            # Strict-order guard (r12 advice, the asof step's pattern):
+            # a batch row older than the carried trailing window would
+            # silently change the fold — fail loudly in both commits
+            # instead. Same user_id partitioning as the fold windows,
+            # so no extra exchange.
+            w_all = Window.partitionBy("user_id")
+            win = win.withColumn(
+                "__min_live_ts",
+                F.min(F.when(F.col("__live"), F.col("ts"))).over(w_all),
+            ).withColumn(
+                "__st_max",
+                F.max(F.when(~F.col("__live"), F.col("ts"))).over(w_all),
+            )
         win.persist()
+
+        def _checked(value_col):
+            if state_df is None:
+                return value_col
+            viol = F.col("__st_max").isNotNull() & (
+                F.col("__min_live_ts") < F.col("__st_max")
+            )
+            return F.when(
+                viol,
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "ewma batch-state: out-of-order replay for "
+                            "key "
+                        ),
+                        F.col("user_id").cast("string"),
+                        F.lit(": batch delivered ts "),
+                        F.col("__min_live_ts").cast("string"),
+                        F.lit(" < carried trailing-window max "),
+                        F.col("__st_max").cast("string"),
+                        F.lit(
+                            ". Cross-batch time order per key is the "
+                            "operator's exact-convergence precondition."
+                        ),
+                    )
+                ),
+            ).otherwise(value_col)
         # Batch outputs are small (one chunk of the replay); single-file
         # commits cut the per-write task+commit overhead that dominates
         # a 4-trigger drain. The fold itself is partitioning-insensitive.
@@ -78,17 +119,19 @@ def ewma_batchstate_step(window: int):
             .select(
                 "event_id",
                 "user_id",
-                "ts",
+                _checked(F.col("ts")).alias("ts"),
                 (F.expr(EWMA_FOLD_NUM) / F.expr(EWMA_FOLD_DEN)).alias("ewma"),
             )
             .coalesce(1)
         )
         new_state = (
             win.where(F.col("__rk") <= pad)
-            .select("user_id", "ts", "event_id", "value")
+            .select(
+                "user_id", _checked(F.col("ts")).alias("ts"), "event_id", "value"
+            )
             .coalesce(1)
         )
-        return out, new_state
+        return out, new_state, [win]
 
     return step
 

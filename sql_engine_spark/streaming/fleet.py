@@ -138,6 +138,11 @@ def fleet_view(spark: SparkSession, sf_dir: str, name: str):
                     )
                 )
 
+        import time
+
+        from sql_engine_spark.sharedcost import record
+
+        t0 = time.time()
         with _state_partitions(spark):
             stream = table_stream(
                 spark, sf_dir, table, _TABLE_ORDER[table], 4
@@ -151,6 +156,7 @@ def fleet_view(spark: SparkSession, sf_dir: str, name: str):
             q.awaitTermination()
         for n, v in views.items():
             dirs[n] = v.view_dir
+        record(f"fleet_{table}", time.time() - t0)
     spec = _SPECS[name]
     return IdempotentMatView(
         dirs[name], partial_of=spec.partial_of, combine=spec.combine

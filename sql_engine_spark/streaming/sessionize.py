@@ -216,6 +216,28 @@ def sessionize_batchstate_step(gap_s: int = 1800):
             ).over(w_sort.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
         )
         w_user = Window.partitionBy("user_id")
+        if state_df is not None:
+            # Strict-order guard (r12 advice, the asof step's pattern):
+            # a batch row older than the carried session's last event
+            # would silently re-segment history — fail loudly in both
+            # commits instead. Same user_id partitioning as the
+            # segmentation window, no extra exchange.
+            win = win.withColumn(
+                "__viol",
+                F.max(F.when(F.col("__side") == 0, F.col("ts"))).over(
+                    w_user
+                ).isNotNull()
+                & (
+                    F.min(F.when(F.col("__side") == 1, F.col("ts"))).over(
+                        w_user
+                    )
+                    < F.max(F.when(F.col("__side") == 0, F.col("ts"))).over(
+                        w_user
+                    )
+                ),
+            )
+        else:
+            win = win.withColumn("__viol", F.lit(False))
         segs = (
             win.groupBy("user_id", "__seg")
             .agg(
@@ -223,6 +245,7 @@ def sessionize_batchstate_step(gap_s: int = 1800):
                 F.max("ts").alias("__s_last"),
                 F.sum("__n").alias("__s_n"),
                 F.max("__next").alias("__nxt"),
+                F.max("__viol").alias("__viol"),
             )
             .withColumn(
                 "__base", F.coalesce(F.max("__nxt").over(w_user), F.lit(1))
@@ -230,12 +253,35 @@ def sessionize_batchstate_step(gap_s: int = 1800):
             .withColumn("__S", F.max("__seg").over(w_user))
         )
         segs.persist()
+
+        def _checked(value_col):
+            if state_df is None:
+                return value_col
+            return F.when(
+                F.col("__viol"),
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "sessionize batch-state: out-of-order replay "
+                            "for key "
+                        ),
+                        F.col("user_id").cast("string"),
+                        F.lit(
+                            ": a batch event precedes the carried open "
+                            "session's last event. Cross-batch time "
+                            "order per key is the operator's "
+                            "exact-convergence precondition."
+                        ),
+                    )
+                ),
+            ).otherwise(value_col)
+
         out = (
             segs.where(F.col("__seg") < F.col("__S"))
             .select(
                 "user_id",
                 (F.col("__base") + F.col("__seg") - 1).alias("session_id"),
-                F.col("__s_start").alias("session_start"),
+                _checked(F.col("__s_start")).alias("session_start"),
                 F.col("__s_last").alias("session_end"),
                 F.col("__s_n").alias("n_events"),
             )
@@ -246,13 +292,13 @@ def sessionize_batchstate_step(gap_s: int = 1800):
             .select(
                 "user_id",
                 (F.col("__base") + F.col("__S") - 1).alias("next_id"),
-                F.col("__s_start").alias("start"),
+                _checked(F.col("__s_start")).alias("start"),
                 F.col("__s_last").alias("last"),
                 F.col("__s_n").alias("n"),
             )
             .coalesce(1)
         )
-        return out, new_state
+        return out, new_state, [segs]
 
     return step
 

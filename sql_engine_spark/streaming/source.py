@@ -72,6 +72,9 @@ def table_replay_chunks(
     """Materialize a table as `n_chunks` ordered parquet files and return
     (dir, stream reading them one file per trigger) — an ordered replay
     that exercises cross-batch state like a live source would."""
+    from sql_engine_spark.sharedcost import record
+
+    t0 = time.time()
     out_dir = out_dir or tempfile.mkdtemp(prefix=f"{table}_replay_")
     src = load(spark, sf_dir, table)
     # Range-partition by the replay order: part-00000 holds the earliest
@@ -99,6 +102,7 @@ def table_replay_chunks(
         .option("maxFilesPerTrigger", "1")
         .parquet(out_dir)
     )
+    record(f"replay_{table}", time.time() - t0)
     return out_dir, stream
 
 

@@ -6,6 +6,12 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 
+def _two(res):
+    """(out, state) from a batch-state step result; steps may return a
+    third element (frames to unpersist after the commits, r12 advice)."""
+    return res[0], res[1]
+
+
 def test_packed_hamming_equals_unrolled(spark, sf_dir):
     """The r12 bit_count(xor)-over-packed-words Hamming verify
     (operators/dedup.simhash_hamming_pairs_from_digests) must equal the
@@ -237,12 +243,12 @@ def test_batchstate_two_commit_protocol(spark, tmp_path):
             if crash_after_output_of == bid:
                 # Simulate the crash window: output committed, state
                 # commit never ran. The restart re-delivers this batch.
-                out_df, _st = step(
+                out_df, _st = _two(step(
                     None
                     if bid == 0
                     else spark.read.parquet(os.path.join(state_dir, "current")),
                     b,
-                )
+                ))
                 _commit_output(out_df, out_root, bid)
                 handle2, _ = batchstate_handler(
                     spark, out_root, state_dir, step
@@ -296,7 +302,7 @@ def test_asof_batchstate_matches_single_shot_and_ties(spark):
     def drain(batches):
         state, got = None, {}
         for b in batches:
-            out, state = step(state, b)
+            out, state = _two(step(state, b))
             out.persist()
             for r in out.collect():
                 got[r.event_id] = (r.asof_ts, r.asof_event_id)
@@ -334,9 +340,9 @@ def test_asof_batchstate_strict_order_raises(spark):
     b1 = spark.createDataFrame([(10, 1, t(5), "view")], schema)
     b2 = spark.createDataFrame([(20, 1, t(3), "purchase")], schema)
     step = asof_batchstate_step("view", "purchase")
-    _out, state = step(None, b1)
+    _out, state = _two(step(None, b1))
     state.persist().count()
-    out2, state2 = step(state, b2)
+    out2, state2 = _two(step(state, b2))
     with pytest.raises((Py4JJavaError, PySparkException)) as exc:
         out2.collect()
     assert "out-of-order replay" in str(exc.value)
@@ -374,7 +380,7 @@ def test_sessionize_batchstate_matches_single_shot(spark):
     def drain(batches):
         state, got = None, []
         for b in batches:
-            out, state = step(state, b)
+            out, state = _two(step(state, b))
             got.extend(
                 (r.user_id, r.session_id, r.session_start, r.session_end, r.n_events)
                 for r in out.collect()

@@ -29,6 +29,12 @@ import pytest
 from pyspark.sql import functions as F
 
 
+def _two(res):
+    """(out, state) from a batch-state step result; steps may return a
+    third element (frames to unpersist after the commits, r12 advice)."""
+    return res[0], res[1]
+
+
 def _write_single_parquet(df, path: str) -> None:
     tmp = path + "__dir"
     df.coalesce(1).write.mode("overwrite").parquet(tmp)
@@ -93,18 +99,18 @@ def test_ewma_state_trim_bounded(spark, window):
     schema = "user_id long, ts timestamp_ntz, event_id long, value double"
     batch1 = spark.createDataFrame(rows[:25], schema)
     batch2 = spark.createDataFrame(rows[25:], schema)
-    out1, st1 = step(None, batch1)
+    out1, st1 = _two(step(None, batch1))
     st1_rows = st1.collect()
     assert len(st1_rows) == window - 1
     assert sorted(r.event_id for r in st1_rows) == list(
         range(25 - (window - 1), 25)
     )
-    out2, st2 = step(st1, batch2)
+    out2, st2 = _two(step(st1, batch2))
     assert st2.count() == window - 1
     # Emission covers exactly the batch rows, and the cross-batch fold
     # equals the one-shot batch fold over the full 40-event history.
     assert sorted(r.event_id for r in out2.collect()) == list(range(25, 40))
-    whole, _ = step(None, batch1.unionByName(batch2))
+    whole, _ = _two(step(None, batch1.unionByName(batch2)))
     got = {r.event_id: r.ewma for r in out1.collect()} | {
         r.event_id: r.ewma for r in out2.collect()
     }
