@@ -60,5 +60,28 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     "IS what the index stores.",
 )
 def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    tf, docstats = R.bm25_index_shared(spark, sf_dir)
-    return R.bm25_topk_from_index(tf, docstats, _BM25_QUERIES, k=_BM25_K)
+    return bm25_ranked_shared(spark, sf_dir)
+
+
+def bm25_ranked_shared(
+    spark: SparkSession, sf_dir: str, *, k: int = _BM25_K
+) -> DataFrame:
+    """The house BM25 first-pass ranking (query_id, doc_id, score,
+    rank <= k) over _BM25_QUERIES, built once per (process, dataset)
+    and materialized (operators/retrieval.ranked_shared). `k` must be
+    <= the house {_BM25_K} and filters the shared table by rank — a
+    rank-prefix is bit-identical to ranking at the smaller k under the
+    (score DESC, doc ASC) strict total order."""
+    if k > _BM25_K:
+        raise ValueError(f"k={k} exceeds the shared ranking's k={_BM25_K}")
+
+    def build() -> DataFrame:
+        tf, docstats = R.bm25_index_shared(spark, sf_dir)
+        return R.bm25_topk_from_index(tf, docstats, _BM25_QUERIES, k=_BM25_K)
+
+    ranked = R.ranked_shared(spark, sf_dir, "bm25", build)
+    if k < _BM25_K:
+        from pyspark.sql import functions as F
+
+        ranked = ranked.where(F.col("rank") <= k)
+    return ranked

@@ -560,10 +560,12 @@ def retrieval_pivoted_length_norm(
 def retrieval_map_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
+    from sql_engine_spark.queries.retrieval import bm25_ranked_shared
+
     tf_idx, docstats = bm25_index_shared(spark, sf_dir)
-    ranked = bm25_topk_from_index(
-        tf_idx, docstats, _BM25_QUERIES, k=_K
-    ).select("query_id", "doc_id", "rank")
+    ranked = bm25_ranked_shared(spark, sf_dir, k=_K).select(
+        "query_id", "doc_id", "rank"
+    )
     qterms = _qterms_df(spark)
     qsize = qterms.groupBy("query_id").agg(
         F.count("*").cast("long").alias("n_terms")
@@ -731,11 +733,15 @@ def retrieval_rank_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         retrieval_qlm_dirichlet_topk,
     )
 
-    tf_idx, docstats = bm25_index_shared(spark, sf_dir)
-    bm25 = bm25_topk_from_index(
-        tf_idx, docstats, _BM25_QUERIES, k=_K
-    ).select("query_id", "doc_id", F.col("rank").alias("rank_bm25"))
-    qlm = retrieval_qlm_dirichlet_topk(spark, sf_dir).select(
+    from sql_engine_spark.queries.retrieval import bm25_ranked_shared
+    from sql_engine_spark.queries.round9_retrieval import qlm_ranked_shared
+
+    # Both legs scan process-shared materialized rankings (r13; r12
+    # verdict #8): the tau join is now the only per-invocation work.
+    bm25 = bm25_ranked_shared(spark, sf_dir, k=_K).select(
+        "query_id", "doc_id", F.col("rank").alias("rank_bm25")
+    )
+    qlm = qlm_ranked_shared(spark, sf_dir).select(
         "query_id", "doc_id", F.col("rank").alias("rank_qlm")
     )
     from sql_engine_spark.operators.dedup import _persist

@@ -183,10 +183,15 @@ def _snippet_oracle() -> str:
 def retrieval_snippet_best_window(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    tf_idx, docstats = bm25_index_shared(spark, sf_dir)
-    top = bm25_topk_from_index(
-        tf_idx, docstats, _BM25_QUERIES, k=_SNIP_TOPD
-    ).select("query_id", "doc_id")
+    from sql_engine_spark.queries.retrieval import bm25_ranked_shared
+
+    # r13: the BM25 first pass is the process-shared materialized
+    # ranking (rank <= 3 is a prefix of the house top-10). The two
+    # consumers below (`wanted` + the broadcast into `marked`)
+    # previously re-evaluated the whole unpersisted first pass each.
+    top = bm25_ranked_shared(spark, sf_dir, k=_SNIP_TOPD).select(
+        "query_id", "doc_id"
+    )
     from sql_engine_spark.operators.retrieval import token_arrays_shared
 
     wanted = top.select("doc_id").distinct()

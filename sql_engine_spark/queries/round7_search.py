@@ -109,15 +109,14 @@ _KNN_UND = (
 )
 def ann_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
-    # Lexical leg from the SHARED materialized index (r12, guide §1.2):
-    # the from-text spelling re-tokenized and re-aggregated the corpus
-    # per invocation; bm25_topk_from_index produces identical scores
-    # (same tf/dl/stats arithmetic — see its docstring) from the
-    # once-per-process parquet index.
-    tf_idx, docstats = R.bm25_index_shared(spark, sf_dir)
-    bm25 = _persist(
-        R.bm25_topk_from_index(tf_idx, docstats, _BM25_QUERIES, k=_HYB_K)
-    )
+    # Lexical leg from the process-shared materialized first-pass
+    # ranking (r13; r12 read the shared index but still re-ranked per
+    # invocation). Identical rows — the shared table IS this pipeline's
+    # output, written once and scanned. The persist is gone with it:
+    # both consumers scan a k-rows-per-query parquet file.
+    from sql_engine_spark.queries.retrieval import bm25_ranked_shared
+
+    bm25 = bm25_ranked_shared(spark, sf_dir, k=_HYB_K)
     exemplar = bm25.where(F.col("rank") == 1).select(
         "query_id", F.col("doc_id").alias("ex_id")
     )

@@ -157,6 +157,21 @@ def _sql_sorted_fold(token: str, val: str, *, product: bool = False) -> str:
     "postings scan for numerators — no corpus-sized sort.",
 )
 def retrieval_tfidf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tfidf_ranked_shared(spark, sf_dir)
+
+
+def tfidf_ranked_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The house tf-idf cosine ranking, built once per (process,
+    dataset) and materialized (operators/retrieval.ranked_shared) —
+    consumed by the registered ranker and retrieval_rrf_fusion."""
+    from sql_engine_spark.operators.retrieval import ranked_shared
+
+    return ranked_shared(
+        spark, sf_dir, "tfidf", lambda: _tfidf_cosine_build(spark, sf_dir)
+    )
+
+
+def _tfidf_cosine_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf_idx, docstats = bm25_index_shared(spark, sf_dir)
     qterms = _qterms_df(spark)
     stats = docstats.agg(F.count("*").cast("double").alias("n_docs"))
@@ -296,6 +311,21 @@ def retrieval_tfidf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "broadcast-filtered postings scan; ranking via two_level_topk.",
 )
 def retrieval_qlm_dirichlet_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return qlm_ranked_shared(spark, sf_dir)
+
+
+def qlm_ranked_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The house Dirichlet-QLM ranking, built once per (process,
+    dataset) and materialized (operators/retrieval.ranked_shared) —
+    consumed by the registered ranker and retrieval_rank_agreement."""
+    from sql_engine_spark.operators.retrieval import ranked_shared
+
+    return ranked_shared(
+        spark, sf_dir, "qlm", lambda: _qlm_dirichlet_build(spark, sf_dir)
+    )
+
+
+def _qlm_dirichlet_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     mu = float(_QLM_MU)
     tf_idx, docstats = bm25_index_shared(spark, sf_dir)
     qterms = _qterms_df(spark)
@@ -306,17 +336,21 @@ def retrieval_qlm_dirichlet_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # identical p_c values while aggregating ~|query terms| postings
     # lists instead of the whole vocabulary (r12, guide §2.3 — the
     # oracle keeps the full-vocab CTE; the join certifies equivalence).
+    # The filtered postings relation feeds THREE consumers (p_c, the
+    # candidate set, the present-term fold) — persisted so the index
+    # scan + broadcast join run once per build, not once per consumer
+    # (r13, r12 verdict #8: one postings scan feeding every leg).
     qtok = qterms.select("token").distinct()
+    fp = _persist(tf_idx.join(F.broadcast(qtok), "token"))
     pc = (
-        tf_idx.join(F.broadcast(qtok), "token")
-        .groupBy("token")
+        fp.groupBy("token")
         .agg(F.sum("tf").cast("double").alias("cf"))
         .crossJoin(F.broadcast(coll))
         .select("token", (F.col("cf") / F.col("c_total")).alias("p_c"))
     )
     qpc = F.broadcast(qterms.join(pc, "token").select("query_id", "token", "p_c"))
     cand = (
-        tf_idx.join(F.broadcast(qterms), "token")
+        fp.join(F.broadcast(qterms), "token")
         .select("query_id", "doc_id", "dl")
         .distinct()
     )
@@ -338,7 +372,7 @@ def retrieval_qlm_dirichlet_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(mu) * F.col("p_c")
     )
     pres = (
-        tf_idx.join(qpc, "token")
+        fp.join(qpc, "token")
         .select("query_id", "doc_id", "token", ratio.alias("r"))
         .groupBy("query_id", "doc_id")
         .agg(
@@ -489,7 +523,9 @@ def _sql_bm25_ranked(k: int) -> str:
 def retrieval_eval_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf_idx, docstats = bm25_index_shared(spark, sf_dir)
     qterms = _qterms_df(spark)
-    ranked = bm25_topk_from_index(tf_idx, docstats, _BM25_QUERIES, k=_EVAL_K)
+    from sql_engine_spark.queries.retrieval import bm25_ranked_shared
+
+    ranked = bm25_ranked_shared(spark, sf_dir, k=_EVAL_K)
     nq = qterms.groupBy("query_id").agg(F.count("*").cast("long").alias("nq"))
     matches = (
         tf_idx.join(F.broadcast(qterms), "token")
@@ -653,11 +689,12 @@ def _sql_tfidf_ranked(k: int) -> str:
 )
 def retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     k0 = float(_RRF_K0)
-    tf_idx, docstats = bm25_index_shared(spark, sf_dir)
-    b = bm25_topk_from_index(tf_idx, docstats, _BM25_QUERIES, k=_BM25_K).select(
+    from sql_engine_spark.queries.retrieval import bm25_ranked_shared
+
+    b = bm25_ranked_shared(spark, sf_dir).select(
         "query_id", "doc_id", F.col("rank").alias("r_b")
     )
-    t = retrieval_tfidf_cosine_topk(spark, sf_dir).select(
+    t = tfidf_ranked_shared(spark, sf_dir).select(
         "query_id", "doc_id", F.col("rank").alias("r_t")
     )
     fused = b.join(t, ["query_id", "doc_id"], "full_outer").select(

@@ -140,15 +140,14 @@ _RM3_K = 10
 def retrieval_rm3_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf_idx, docstats = bm25_index_shared(spark, sf_dir)
     qterms = _qterms_df(spark)
-    # One first-pass scoring serves both consumers: the top-3 feedback
-    # set is a rank-prefix of the top-10 original ranking. Persisted
-    # (r12, guide §1.2): it is consumed twice (feedback docs + the
-    # in_original_top10 flag), and each evaluation is a full scan of
-    # the shared index plus the score/fold/top-k tail; the relation
-    # itself is k rows per query.
-    orig10_ranked = _persist(
-        bm25_topk_from_index(tf_idx, docstats, _BM25_QUERIES, k=_RM3_K)
-    )
+    # One first-pass scoring serves both consumers (feedback docs + the
+    # in_original_top10 flag): r13 — the process-shared materialized
+    # first-pass ranking (queries/retrieval.bm25_ranked_shared); each
+    # consumer is now a scan of a k-rows-per-query parquet file, so the
+    # r12 persist is gone along with the in-plan first pass.
+    from sql_engine_spark.queries.retrieval import bm25_ranked_shared
+
+    orig10_ranked = bm25_ranked_shared(spark, sf_dir, k=_RM3_K)
     fb = orig10_ranked.where(F.col("rank") <= _RM3_FB_DOCS).select(
         "query_id", "doc_id"
     )

@@ -265,12 +265,11 @@ _SQL_DISC = (
     "via ssum at the 1e-9 grain.",
 )
 def retrieval_ndcg_at10(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sql_engine_spark.operators.retrieval import bm25_topk_from_index
-    from sql_engine_spark.queries.retrieval import _BM25_QUERIES
+    from sql_engine_spark.queries.retrieval import bm25_ranked_shared
 
     tf_idx, docstats = bm25_index_shared(spark, sf_dir)
     qterms = _qterms_df(spark)
-    ranked = bm25_topk_from_index(tf_idx, docstats, _BM25_QUERIES, k=_NDCG_K)
+    ranked = bm25_ranked_shared(spark, sf_dir, k=_NDCG_K)
     from sql_engine_spark.operators.dedup import _persist
 
     # Consumed twice (the DCG join and the ideal-ordering top-k); the
