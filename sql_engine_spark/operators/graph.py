@@ -36,6 +36,11 @@ DAMPING = 0.85
 _PR_SCALE = 1_000_000_000_000.0
 _PR_SCALE_SQL = "1000000000000.0"
 
+# Measured-size gate for the broadcast PageRank loop — the CC loop's
+# _CC_SMALL_EDGES bound (labels/ranks rows stay broadcastable well
+# below it); a 100 TB kNN graph exceeds it and keeps the shuffle path.
+_PR_SMALL_EDGES = 2_000_000
+
 
 def pagerank_fixed(
     nodes: DataFrame,
@@ -87,6 +92,63 @@ def pagerank_fixed(
     # `edges` is itself a pipeline (here: the kNN-graph build), an
     # unpersisted loop recomputes it per round. Caller-owned lifetime.
     e = _persist(edges.select(F.col(src_col).alias("__src"), F.col(dst_col).alias("__dst")))
+    # Size the loop to the MEASURED graph (r13 — the CC-loop device,
+    # operators/dedup.connected_components_fixed): the count
+    # materializes the persisted edges, which iteration 1 paid anyway.
+    # Small graphs (textrank's k-bounded vocab graph; any consumer
+    # whose edge relation fits a broadcast) take a broadcast-join loop
+    # over a flat single-task checkpoint — per iteration the only
+    # exchange is the tiny contribution groupBy, instead of
+    # session-width shuffles of a few-thousand-row relation (measured:
+    # textrank spent a ~200-400ms job train in the loop at sf0.1). The
+    # big path (the kNN-graph consumer at scale) is unchanged.
+    n_edges = e.count()
+    if n_edges <= _PR_SMALL_EDGES:
+        e = e.coalesce(1).localCheckpoint(eager=True)
+        base = base.localCheckpoint(eager=True)
+        deg = e.groupBy("__src").agg(
+            F.count("*").cast("double").alias("__deg")
+        )
+        ranks = base.withColumn("__r", F.lit(1.0) / F.col("__N"))
+        for it in range(iterations):
+            contrib = (
+                e.join(
+                    F.broadcast(
+                        ranks.select(F.col("__node").alias("__src"), "__r")
+                    ),
+                    "__src",
+                )
+                .join(F.broadcast(deg), "__src")
+                .select("__dst", (F.col("__r") / F.col("__deg")).alias("__c"))
+            )
+            sums = contrib.groupBy("__dst").agg(
+                (
+                    F.sum(
+                        F.round(F.col("__c") * F.lit(_PR_SCALE)).cast(
+                            "decimal(38,0)"
+                        )
+                    ).cast("double")
+                    / F.lit(_PR_SCALE)
+                ).alias("__in")
+            )
+            ranks = base.join(
+                F.broadcast(sums), base["__node"] == sums["__dst"], "left"
+            ).select(
+                "__node",
+                "__N",
+                (
+                    F.lit(1.0 - damping) / F.col("__N")
+                    + F.lit(damping) * F.coalesce(F.col("__in"), F.lit(0.0))
+                ).alias("__r"),
+            )
+            # Plan growth is linear here (flat leaves, one reference of
+            # base per round), but the deep-iteration contract stands:
+            # checkpoint_every still truncates lineage every k rounds.
+            if checkpoint_every and (it + 1) % checkpoint_every == 0:
+                ranks = ranks.localCheckpoint(eager=True)
+        return ranks.select(
+            F.col("__node").alias(node_col), F.col("__r").alias("pagerank")
+        )
     deg = _persist(
         e.groupBy("__src").agg(F.count("*").cast("double").alias("__deg"))
     )

