@@ -34,16 +34,31 @@ from sql_engine_spark.registry import _REGISTRY, register
     "idle-TTL eviction and unordered feeds, which need GroupState.",
 )
 def streaming_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sql_engine_spark.queries.streaming import N_CHUNKS, _state_partitions
-    from sql_engine_spark.streaming.asof import asof_enrich_replay
-    from sql_engine_spark.streaming.source import events_stream
+    # r13: drained by the shared batch-state fleet (one events replay
+    # per process, see streaming/batchstate.py and streaming_ewma_half).
+    from sql_engine_spark.queries.streaming import _state_partitions
+    from sql_engine_spark.streaming.batchstate import batchstate_fleet_view
 
     with _state_partitions(spark):
-        stream = events_stream(spark, sf_dir, N_CHUNKS)
-        res = asof_enrich_replay(
-            spark, stream, right_type="view", left_type="purchase"
-        )
-    return res
+        res = batchstate_fleet_view(spark, sf_dir, "asof_enrich")
+    return res.select("event_id", "user_id", "ts", "asof_ts", "asof_event_id")
+
+
+def _register_asof_fleet_spec() -> None:
+    from sql_engine_spark.queries.streaming import N_CHUNKS
+    from sql_engine_spark.streaming.asof import asof_batchstate_step
+    from sql_engine_spark.streaming.batchstate import register_batchstate_view
+
+    register_batchstate_view(
+        "asof_enrich",
+        table="events",
+        order_cols=["ts", "event_id"],
+        n_chunks=N_CHUNKS,
+        make_step=lambda: asof_batchstate_step("view", "purchase"),
+    )
+
+
+_register_asof_fleet_spec()
 
 
 def _fix_asof_oracle() -> None:
