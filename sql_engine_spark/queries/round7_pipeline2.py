@@ -96,46 +96,19 @@ def _smh_buckets_sql() -> str:
     "instead of inheriting the chunk file's single partition.",
 )
 def streaming_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sql_engine_spark.queries.streaming import (
-        N_CHUNKS,
-        _state_partitions,
-        run_to_memory,
-    )
-    from sql_engine_spark.streaming.source import table_stream
+    # r13: the band-ownership state is maintained by the shared
+    # documents replay fleet — per-batch partial MIN(doc_id) per
+    # (band, key) merges by MIN, which is exactly the stateful
+    # aggregation state the solo stream held (r12 already legalized the
+    # order-insensitive MIN spelling), so the drained view is
+    # bit-identical to the solo drain for any batch composition. One
+    # availableNow replay per (process, dataset, table) instead of one
+    # per invocation (drain priced in shared_builds).
+    from sql_engine_spark.queries.streaming import _state_partitions
+    from sql_engine_spark.streaming.fleet import fleet_view
 
-    rows_per_band = _SMH_HASHES // _SMH_BANDS
     with _state_partitions(spark):
-        stream = table_stream(spark, sf_dir, "documents", ["doc_id"], N_CHUNKS)
-        sig = (
-            stream.select("doc_id", "text")
-            # One chunk file = one scan partition; the signature map is
-            # the whole per-batch cost, so spread it (r12, guide §2.5
-            # input skew) — safe because ownership is an order-
-            # insensitive MIN, not arrival-order dropDuplicates.
-            .repartition(spark.sparkContext.defaultParallelism)
-            .select("doc_id", tokens("text").alias("__tokens"))
-            .withColumn("__shset", F.array_distinct(shingles("__tokens", _SMH_K)))
-            .withColumn("__dig", shingle_digests("__shset"))
-            .withColumn("__sig", minhash_signature("__dig", _SMH_HASHES))
-        )
-        key_cols = [
-            F.md5(
-                F.concat_ws(
-                    "|", F.slice("__sig", b * rows_per_band + 1, rows_per_band)
-                )
-            ).alias(f"__k{b}")
-            for b in range(_SMH_BANDS)
-        ]
-        bands = sig.select(F.col("doc_id"), *key_cols).select(
-            "doc_id",
-            F.expr(
-                f"stack({_SMH_BANDS}, "
-                + ", ".join(f"{b}, __k{b}" for b in range(_SMH_BANDS))
-                + ") as (band, key)"
-            ),
-        )
-        owners = bands.groupBy("band", "key").agg(F.min("doc_id").alias("doc_id"))
-        res = run_to_memory(owners, "stream_minhash_dedup", "complete")
+        res = fleet_view(spark, sf_dir, "streaming_minhash_dedup").read(spark)
     # Per-doc ownership counts over the drained (bounded, one row per
     # distinct band bucket) owners relation — batch post-processing of
     # the stream's stateful result, same as the final select.
@@ -148,6 +121,58 @@ def streaming_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_bands_owned") == _SMH_BANDS).alias("is_fully_novel"),
         )
     )
+
+
+def _smh_partial(b: DataFrame) -> DataFrame:
+    rows_per_band = _SMH_HASHES // _SMH_BANDS
+    spark = b.sparkSession
+    sig = (
+        b.select("doc_id", "text")
+        # One chunk file = one scan partition; the signature map is
+        # the whole per-batch cost, so spread it (r12, guide §2.5
+        # input skew) — safe because ownership is an order-
+        # insensitive MIN, not arrival-order dropDuplicates.
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("doc_id", tokens("text").alias("__tokens"))
+        .withColumn("__shset", F.array_distinct(shingles("__tokens", _SMH_K)))
+        .withColumn("__dig", shingle_digests("__shset"))
+        .withColumn("__sig", minhash_signature("__dig", _SMH_HASHES))
+    )
+    key_cols = [
+        F.md5(
+            F.concat_ws(
+                "|", F.slice("__sig", b_i * rows_per_band + 1, rows_per_band)
+            )
+        ).alias(f"__k{b_i}")
+        for b_i in range(_SMH_BANDS)
+    ]
+    bands = sig.select(F.col("doc_id"), *key_cols).select(
+        "doc_id",
+        F.expr(
+            f"stack({_SMH_BANDS}, "
+            + ", ".join(f"{b_i}, __k{b_i}" for b_i in range(_SMH_BANDS))
+            + ") as (band, key)"
+        ),
+    )
+    return bands.groupBy("band", "key").agg(F.min("doc_id").alias("doc_id"))
+
+
+def _register_smh_fleet_view() -> None:
+    from sql_engine_spark.streaming.fleet import register_fleet_view
+
+    register_fleet_view(
+        "streaming_minhash_dedup",
+        table="documents",
+        partial_of=_smh_partial,
+        combine=lambda cur, partial: (
+            cur.unionByName(partial)
+            .groupBy("band", "key")
+            .agg(F.min("doc_id").alias("doc_id"))
+        ),
+    )
+
+
+_register_smh_fleet_view()
 
 
 _NPROBES = (1, 2, 4)

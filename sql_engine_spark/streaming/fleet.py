@@ -65,9 +65,16 @@ class FleetSpec:
     name: str
     # Takes the RAW source micro-batch (all columns) — each spec does
     # its own projection, so one stream serves every view.
-    partial_of: Callable[[DataFrame], DataFrame]
+    partial_of: Callable[[DataFrame], DataFrame] | None
     combine: Callable[[DataFrame, DataFrame], DataFrame]
     table: str = "events"
+    # Dataset-aware alternative to partial_of (r13): evaluated once per
+    # drain with (spark, sf_dir), returns the per-batch partial fn.
+    # Lets stream-static views (trained stats, keep-rate tables) join
+    # the fleet — the static side is a pure function of the dataset and
+    # is built once per drain, exactly as the solo stream built it once
+    # per invocation.
+    make_partial: Callable[[SparkSession, str], Callable] | None = None
 
 
 _SPECS: dict[str, FleetSpec] = {}
@@ -79,12 +86,14 @@ _DRAINED: dict[tuple, dict[str, str]] = {}
 def register_fleet_view(
     name: str,
     *,
-    partial_of: Callable[[DataFrame], DataFrame],
+    partial_of: Callable[[DataFrame], DataFrame] | None = None,
     combine: Callable[[DataFrame, DataFrame], DataFrame],
     table: str = "events",
+    make_partial: Callable[[SparkSession, str], Callable] | None = None,
 ) -> None:
     assert table in _TABLE_ORDER, table
-    _SPECS[name] = FleetSpec(name, partial_of, combine, table)
+    assert (partial_of is None) != (make_partial is None), name
+    _SPECS[name] = FleetSpec(name, partial_of, combine, table, make_partial)
 
 
 def fleet_view(spark: SparkSession, sf_dir: str, name: str):
@@ -115,10 +124,17 @@ def fleet_view(spark: SparkSession, sf_dir: str, name: str):
         n for n, s in _SPECS.items() if s.table == table and n not in dirs
     ]
     if name in missing:
+
+        def _partial(n: str):
+            s = _SPECS[n]
+            if s.make_partial is not None:
+                return s.make_partial(spark, sf_dir)
+            return s.partial_of
+
         views = {
             n: IdempotentMatView(
                 tracked_tmpdir(f"fleet_{n}_"),
-                partial_of=_SPECS[n].partial_of,
+                partial_of=_partial(n),
                 combine=_SPECS[n].combine,
             )
             for n in missing
@@ -158,6 +174,10 @@ def fleet_view(spark: SparkSession, sf_dir: str, name: str):
             dirs[n] = v.view_dir
         record(f"fleet_{table}", time.time() - t0)
     spec = _SPECS[name]
+    # A drained view only needs read(); make_partial specs hand the
+    # already-bound per-batch fn only to the draining pass above.
     return IdempotentMatView(
-        dirs[name], partial_of=spec.partial_of, combine=spec.combine
+        dirs[name],
+        partial_of=spec.partial_of or (lambda b: b),
+        combine=spec.combine,
     )

@@ -60,8 +60,15 @@ def test_bm25_no_bare_query_window_and_broadcasts(spark, sf_dir):
     """Ranking must go through the salted two-level top-k: any window
     partitioned by query_id alone would re-open the single-task-sort
     class VERDICT r3 closed. Query terms / dfreq / stats sides must be
-    broadcast."""
-    df = _build(spark, sf_dir, "text_bm25_topk")
+    broadcast. Since r13 the registered query scans the process-shared
+    materialized ranking, so the guard reads the BUILD pipeline that
+    ranked_shared evaluates once per process (the r12 prefix-pair guard
+    repoint precedent) — the guarded class is unchanged."""
+    from sql_engine_spark.operators import retrieval as R
+    from sql_engine_spark.queries.retrieval import _BM25_K, _BM25_QUERIES
+
+    tf, docstats = R.bm25_index_shared(spark, sf_dir)
+    df = R.bm25_topk_from_index(tf, docstats, _BM25_QUERIES, k=_BM25_K)
     plan = explain_str(df, "formatted")
     for m in re.finditer(r"partitionBy=\[([^\]]*)\]", plan):
         spec = m.group(1)
