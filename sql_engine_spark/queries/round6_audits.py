@@ -344,6 +344,12 @@ def curation_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFra
     from sql_engine_spark.queries.dedup import dedup_connected_components
 
     docs = load(spark, sf_dir, "documents")
+    # cc feeds the size histogram AND the docs-in-clusters count; a
+    # persist was TRIED in r13 and measured ~2x SLOWER at sf0.1: the CC
+    # loop internally persists + checkpoints its edge relation, so a
+    # second reference of the labels plan costs only the 3 broadcast
+    # rounds over flat leaves, while the outer persist serialized the
+    # query behind a cache-materialization barrier. Reverted.
     cc = dedup_connected_components(spark, sf_dir)
     sizes = cc.groupBy("cluster_id").agg(F.count("*").cast("long").alias("sz"))
     hist = sizes.groupBy(F.col("sz").alias("cluster_size")).agg(

@@ -411,6 +411,12 @@ def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
 def events_funnel_step_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     micros = F.unix_micros(F.col("ts").cast("timestamp"))
+    # v1/s1 each feed the next milestone AND a gaps leg; persisting them
+    # was TRIED in r13 and measured ~75% SLOWER at sf0.1 (4.3s vs 2.4s
+    # adjacent runs): runtime exchange reuse already dedupes the
+    # identical grouped-MIN subtrees here, and the persists serialize
+    # the pipeline behind two cache-materialization barriers. Reverted;
+    # the downstream `gaps` persist (below) is the load-bearing one.
     v1 = (
         ev.where(F.col("event_type") == "view")
         .groupBy("user_id")

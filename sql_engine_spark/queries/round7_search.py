@@ -398,7 +398,10 @@ _COP_TOPK = 20
 )
 def graph_copurchase_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
-    po = li.select("l_orderkey", "l_partkey").distinct()
+    # Both self-join sides alias one relation — persist so the lineitem
+    # scan + distinct runs once, not once per side (r13, guide §1.2;
+    # runtime exchange reuse is not structural).
+    po = _persist(li.select("l_orderkey", "l_partkey").distinct())
     a = po.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("part_a"))
     b = po.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("part_b"))
     pairs = a.join(b, "k").where(F.col("part_a") < F.col("part_b"))
