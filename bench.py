@@ -782,12 +782,13 @@ def main() -> int:
         summary["companion_queries"] = companion
     line = json.dumps(summary, separators=(",", ":"))
     if len(line) > 1990:
-        # Never let the contract-critical keys fall off a 2,000-char
-        # tail: shed the companion map first, then shared_builds.
-        summary.pop("companion_queries", None)
+        # Never let the contract-critical per-query maps fall off a
+        # 2,000-char tail: shed shared_builds first (it stays in the
+        # full first line and the committed artifact), then companion.
+        summary.pop("shared_builds", None)
         line = json.dumps(summary, separators=(",", ":"))
         if len(line) > 1990:
-            summary.pop("shared_builds", None)
+            summary.pop("companion_queries", None)
             line = json.dumps(summary, separators=(",", ":"))
     print(line, flush=True)
     return 0
